@@ -1,0 +1,214 @@
+"""Normalization statistics: loading, assembly, and device-side application.
+
+The reference spreads normalization across three places:
+* netCDF stat files (``preprocessing/normalizations/{inputs,outputs}/*.nc``)
+  with per-variable scalar or per-level entries;
+* the hydra trainer assembling per-feature coefficient matrices, including
+  exponential cloud-transform lambdas and a zero-division fix for gases
+  (rnn/train_rnn_rollout_torchscript_hydra.py:323-456);
+* host-side numba loops applying them per batch (rnn/utils.py:1826-1865).
+
+Here stats are assembled once on host into dense arrays matching a
+:class:`~climsim_tpu.variables.VariableSet` layout, then applied on device as
+fused jnp ops:  input ``(x - mean) / (max - min)``, output ``y * scale``
+(data_utils.py:874-875, 1097-1099).
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import variables as V
+from ..io import read_netcdf
+
+NLEV = V.NLEV
+
+
+def _per_feature(stats: dict[str, np.ndarray], layout: V.FeatureLayout,
+                 default: float) -> np.ndarray:
+    """Flatten per-variable stats (scalar or [lev]) to a flat feature vector."""
+    out = np.full(layout.total, default, np.float64)
+    for name in layout.names:
+        sl = layout.slices[name]
+        if name not in stats:
+            continue
+        v = np.asarray(stats[name], np.float64).ravel()
+        n = sl.stop - sl.start
+        if v.size == 1:
+            out[sl] = v[0]
+        elif v.size == n:
+            out[sl] = v
+        else:  # per-level stat for a scalar var or vice versa: broadcast mean
+            out[sl] = v.mean()
+    return out
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclass(frozen=True)
+class Normalizer:
+    """Flat-feature normalization for one variable set.
+
+    x_norm = (x - mean) / div,  y_norm = y * scale  (div = max - min with a
+    zero-division guard mirroring the trainer's CH4/N2O fix,
+    train_rnn_rollout_torchscript_hydra.py:410-421).
+    """
+
+    mean: jnp.ndarray    # [nx]
+    div: jnp.ndarray     # [nx]
+    scale: jnp.ndarray   # [ny]
+
+    def tree_flatten(self):
+        return (self.mean, self.div, self.scale), None
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children)
+
+    # ---- application (device, fuses under jit) ----
+
+    def normalize_input(self, x: jnp.ndarray) -> jnp.ndarray:
+        return (x - self.mean) / self.div
+
+    def denormalize_input(self, x: jnp.ndarray) -> jnp.ndarray:
+        return x * self.div + self.mean
+
+    def scale_output(self, y: jnp.ndarray) -> jnp.ndarray:
+        return y * self.scale
+
+    def unscale_output(self, y: jnp.ndarray) -> jnp.ndarray:
+        return y / self.scale
+
+    # ---- construction ----
+
+    @classmethod
+    def from_arrays(cls, mean, maxv, minv, scale, eps: float = 0.0,
+                    dtype=jnp.float32) -> "Normalizer":
+        mean = np.asarray(mean, np.float64)
+        div = np.asarray(maxv, np.float64) - np.asarray(minv, np.float64)
+        # zero-range guard: features with max==min carry no signal; divide by 1
+        div = np.where(np.abs(div) < 1e-30, 1.0, div)
+        return cls(jnp.asarray(mean, dtype), jnp.asarray(div, dtype),
+                   jnp.asarray(np.asarray(scale, np.float64), dtype))
+
+    @classmethod
+    def from_files(cls, vset: V.VariableSet, input_mean: str, input_max: str,
+                   input_min: str, output_scale: str,
+                   dtype=jnp.float32) -> "Normalizer":
+        """Build from the reference normalization netCDF files."""
+        m = read_netcdf(input_mean)
+        mx = read_netcdf(input_max)
+        mn = read_netcdf(input_min)
+        sc = read_netcdf(output_scale)
+        mean = _per_feature(m, vset.inputs, 0.0)
+        maxv = _per_feature(mx, vset.inputs, 1.0)
+        minv = _per_feature(mn, vset.inputs, 0.0)
+        scale = _per_feature(sc, vset.outputs, 1.0)
+        return cls.from_arrays(mean, maxv, minv, scale, dtype=dtype)
+
+    @classmethod
+    def identity(cls, vset: V.VariableSet, dtype=jnp.float32) -> "Normalizer":
+        nx, ny = vset.input_feature_len, vset.target_feature_len
+        return cls(jnp.zeros(nx, dtype), jnp.ones(nx, dtype),
+                   jnp.ones(ny, dtype))
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclass(frozen=True)
+class LevelNormalizer:
+    """Keeplev-layout normalization: separate (lev, sfc) coefficient matrices,
+    the layout the rnn/ stack trains from (rnn/utils.py:2252-2277).
+
+    x_lev: [..., nlev, n_lev_vars], x_sfc: [..., n_sfc_vars].
+    Coefficients may be per-level ([nlev, n]) or scalar-per-var ([1, n]).
+    """
+
+    mean_lev: jnp.ndarray   # [nlev or 1, nx_lev]
+    div_lev: jnp.ndarray
+    mean_sfc: jnp.ndarray   # [nx_sfc]
+    div_sfc: jnp.ndarray
+    scale_lev: jnp.ndarray  # [nlev or 1, ny_lev]
+    scale_sfc: jnp.ndarray  # [ny_sfc]
+
+    def tree_flatten(self):
+        return ((self.mean_lev, self.div_lev, self.mean_sfc, self.div_sfc,
+                 self.scale_lev, self.scale_sfc), None)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children)
+
+    def normalize(self, x_lev, x_sfc):
+        return ((x_lev - self.mean_lev) / self.div_lev,
+                (x_sfc - self.mean_sfc) / self.div_sfc)
+
+    def denormalize(self, x_lev, x_sfc):
+        return (x_lev * self.div_lev + self.mean_lev,
+                x_sfc * self.div_sfc + self.mean_sfc)
+
+    def scale_output(self, y_lev, y_sfc):
+        return y_lev * self.scale_lev, y_sfc * self.scale_sfc
+
+    def unscale_output(self, y_lev, y_sfc):
+        return y_lev / self.scale_lev, y_sfc / self.scale_sfc
+
+    @classmethod
+    def from_var_stats(cls, vset: V.VariableSet, mean: dict, maxv: dict,
+                       minv: dict, scale: dict, per_level: bool = True,
+                       dtype=jnp.float32) -> "LevelNormalizer":
+        """Assemble from per-variable stat dicts (numpy scalars or [lev])."""
+        inl, outl = vset.inputs, vset.outputs
+
+        def mat(stats, names, default, rows):
+            out = np.full((rows, len(names)), default, np.float64)
+            for j, n in enumerate(names):
+                if n not in stats:
+                    continue
+                v = np.asarray(stats[n], np.float64).ravel()
+                if v.size == rows:
+                    out[:, j] = v
+                else:
+                    out[:, j] = v.mean()
+            return out
+
+        rows = NLEV if per_level else 1
+        mean_lev = mat(mean, inl.lev_names, 0.0, rows)
+        div_lev = (mat(maxv, inl.lev_names, 1.0, rows)
+                   - mat(minv, inl.lev_names, 0.0, rows))
+        div_lev = np.where(np.abs(div_lev) < 1e-30, 1.0, div_lev)
+        mean_sfc = mat(mean, inl.sfc_names, 0.0, 1)[0]
+        div_sfc = (mat(maxv, inl.sfc_names, 1.0, 1)[0]
+                   - mat(minv, inl.sfc_names, 0.0, 1)[0])
+        div_sfc = np.where(np.abs(div_sfc) < 1e-30, 1.0, div_sfc)
+        scale_lev = mat(scale, outl.lev_names, 1.0, rows)
+        scale_sfc = mat(scale, outl.sfc_names, 1.0, 1)[0]
+        j = lambda a: jnp.asarray(a, dtype)
+        return cls(j(mean_lev), j(div_lev), j(mean_sfc), j(div_sfc),
+                   j(scale_lev), j(scale_sfc))
+
+    @classmethod
+    def from_files(cls, vset: V.VariableSet, input_mean: str, input_max: str,
+                   input_min: str, output_scale: str, per_level: bool = True,
+                   dtype=jnp.float32) -> "LevelNormalizer":
+        return cls.from_var_stats(
+            vset, read_netcdf(input_mean), read_netcdf(input_max),
+            read_netcdf(input_min), read_netcdf(output_scale),
+            per_level=per_level, dtype=dtype)
+
+    @classmethod
+    def identity(cls, vset: V.VariableSet, dtype=jnp.float32):
+        inl, outl = vset.inputs, vset.outputs
+        return cls(jnp.zeros((1, inl.n_lev_vars), dtype),
+                   jnp.ones((1, inl.n_lev_vars), dtype),
+                   jnp.zeros(inl.n_sfc_vars, dtype),
+                   jnp.ones(inl.n_sfc_vars, dtype),
+                   jnp.ones((1, outl.n_lev_vars), dtype),
+                   jnp.ones(outl.n_sfc_vars, dtype))
+
+
+def load_exp_lambdas(path: str) -> np.ndarray:
+    """Per-level lambda for the exponential cloud transform from the
+    reference's txt files (qc/qi/qn_exp_lambda_large.txt)."""
+    return np.loadtxt(path)

@@ -1,0 +1,6 @@
+from .loop import FitConfig, TrainState, fit, init_state, make_train_step, \
+    make_eval_step, save_checkpoint, restore_checkpoint
+from . import losses
+
+__all__ = ["FitConfig", "TrainState", "fit", "init_state", "make_train_step",
+           "make_eval_step", "save_checkpoint", "restore_checkpoint", "losses"]

@@ -1,0 +1,263 @@
+"""1-D EDM-style U-Net emulator over the vertical column.
+
+Capability parity with the ClimSim-Online U-Net
+(online_testing/baseline_models/Unet_v4/training/climsim_unet.py:35-411 and
+its EDM layer library layers.py): profile variables as channels over the
+60-level column zero-padded to seq_resolution=64, scalars broadcast over
+levels, a learnable 385x8 column-location embedding, encoder/decoder of
+residual blocks (GroupNorm-SiLU-Conv) with single-head attention at the
+configured resolutions, identity-initialized (optionally trainable) 1x1
+skip convolutions, skip_scale=1/sqrt(2), zero-init output convolution,
+ReLU'd scalar head averaged over levels, and stratosphere output pruning.
+
+TPU notes: channels-last [B, L, C] layout so convs lower to MXU matmuls;
+attention over 64 levels is a tiny einsum — XLA fuses it; all resampling is
+factor-2 mean-pool / nearest-neighbor (resample_filter=[1,1]).
+"""
+from __future__ import annotations
+
+from typing import Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .common import Policy, F32
+
+SKIP_SCALE = 0.5 ** 0.5
+
+
+def _down(x):
+    """Factor-2 mean pooling over the level axis ([B, L, C] -> [B, L/2, C])."""
+    return 0.5 * (x[:, 0::2, :] + x[:, 1::2, :])
+
+
+def _up(x):
+    """Nearest-neighbor upsample over the level axis."""
+    return jnp.repeat(x, 2, axis=1)
+
+
+class AttnBlock(nn.Module):
+    channels: int
+    policy: Policy = F32
+
+    @nn.compact
+    def __call__(self, x):
+        h = nn.GroupNorm(num_groups=min(32, self.channels // 4), epsilon=1e-6)(x)
+        qkv = nn.Conv(self.channels * 3, (1,),
+                      dtype=self.policy.compute_dtype,
+                      param_dtype=self.policy.param_dtype, name="qkv")(h)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        scale = 1.0 / jnp.sqrt(jnp.sqrt(jnp.asarray(self.channels,
+                                                    q.dtype)))
+        w = jnp.einsum("blc,bmc->blm", q * scale, k * scale)
+        w = jax.nn.softmax(w, axis=-1)
+        a = jnp.einsum("blm,bmc->blc", w, v)
+        a = nn.Conv(self.channels, (1,), kernel_init=nn.initializers.zeros,
+                    dtype=self.policy.compute_dtype,
+                    param_dtype=self.policy.param_dtype, name="proj")(a)
+        return (x + a) * SKIP_SCALE
+
+
+class UNetBlock(nn.Module):
+    """EDM residual block: GN-SiLU-Conv3 x2 with optional resampling and
+    attention (layers.py UNetBlock_{noatten,atten} equivalents)."""
+
+    out_channels: int
+    up: bool = False
+    down: bool = False
+    attention: bool = False
+    dropout: float = 0.10
+    policy: Policy = F32
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        cin = x.shape[-1]
+        h = nn.GroupNorm(num_groups=min(32, cin // 4), epsilon=1e-6)(x)
+        h = nn.silu(h)
+        if self.up:
+            h, x = _up(h), _up(x)
+        elif self.down:
+            h, x = _down(h), _down(x)
+        h = nn.Conv(self.out_channels, (3,), padding="SAME",
+                    dtype=self.policy.compute_dtype,
+                    param_dtype=self.policy.param_dtype, name="conv0")(h)
+        h = nn.GroupNorm(num_groups=min(32, self.out_channels // 4),
+                         epsilon=1e-6)(h)
+        h = nn.silu(h)
+        h = nn.Dropout(self.dropout, deterministic=deterministic)(h)
+        h = nn.Conv(self.out_channels, (3,), padding="SAME",
+                    kernel_init=nn.initializers.zeros,
+                    dtype=self.policy.compute_dtype,
+                    param_dtype=self.policy.param_dtype, name="conv1")(h)
+        if cin != self.out_channels:
+            x = nn.Conv(self.out_channels, (1,),
+                        dtype=self.policy.compute_dtype,
+                        param_dtype=self.policy.param_dtype, name="skip")(x)
+        h = (h + x) * SKIP_SCALE
+        if self.attention:
+            h = AttnBlock(self.out_channels, self.policy)(h)
+        return h
+
+
+class IdentityConv(nn.Module):
+    """1x1 conv initialized to identity; frozen unless trainable
+    (climsim_unet.py:209-219 skip_conv)."""
+
+    channels: int
+    trainable: bool = False
+
+    @nn.compact
+    def __call__(self, x):
+        kernel = self.param(
+            "kernel",
+            lambda k, s: jnp.eye(self.channels, dtype=jnp.float32)[None],
+            (1, self.channels, self.channels))
+        bias = self.param("bias", nn.initializers.zeros, (self.channels,))
+        if not self.trainable:
+            kernel = jax.lax.stop_gradient(kernel)
+            bias = jax.lax.stop_gradient(bias)
+        kernel = kernel.astype(x.dtype)
+        bias = bias.astype(x.dtype)
+        return jax.lax.conv_general_dilated(
+            x, kernel, (1,), "SAME",
+            dimension_numbers=("NLC", "LIO", "NLC")) + bias
+
+
+class ClimsimUNet(nn.Module):
+    """Flat-vector in/out U-Net following the reference's forward contract:
+    x = [profiles(nvp*60), scalars(nvs), loc_index(1)] -> y =
+    [profiles_out(nvpo*60), scalars_out(nvso)]."""
+
+    num_vars_profile: int
+    num_vars_scalar: int
+    num_vars_profile_out: int
+    num_vars_scalar_out: int
+    seq_resolution: int = 64
+    model_channels: int = 128
+    channel_mult: Sequence[int] = (1, 2, 2, 2)
+    num_blocks: int = 4
+    attn_resolutions: Sequence[int] = (16,)
+    dropout: float = 0.10
+    n_model_levels: int = 60
+    output_prune: bool = False
+    strato_lev: int = 12
+    loc_embedding: bool = False
+    skip_conv: bool = False
+    policy: Policy = F32
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        nvp, nvs = self.num_vars_profile, self.num_vars_scalar
+        L = self.n_model_levels
+        pad = self.seq_resolution - L
+
+        x_profile = x[:, :nvp * L].reshape(-1, nvp, L)
+        x_scalar = x[:, nvp * L:-1]
+        x_loc = x[:, -1]
+
+        # 385-entry learnable location embedding; index 0 = "no embedding"
+        emb_loc = self.param("emb_loc", nn.initializers.normal(1.0), (385, 8))
+        idx = jnp.where(jnp.asarray(self.loc_embedding),
+                        x_loc.astype(jnp.int32), 0)
+        loc = emb_loc[jnp.clip(idx, 0, 384)]                    # [B, 8]
+
+        h = jnp.concatenate([
+            jnp.moveaxis(x_profile, 1, 2),                      # [B, L, nvp]
+            jnp.repeat(x_scalar[:, None, :], L, axis=1),        # [B, L, nvs]
+            jnp.repeat(loc[:, None, :], L, axis=1),             # [B, L, 8]
+        ], axis=-1)
+        h = jnp.pad(h, ((0, 0), (pad, 0), (0, 0)))
+        h = self.policy.cast_in(h)
+
+        # ---- encoder
+        skips = []
+        cout = self.model_channels
+        h = nn.Conv(cout, (3,), padding="SAME",
+                    dtype=self.policy.compute_dtype,
+                    param_dtype=self.policy.param_dtype, name="enc_in")(h)
+        skips.append(h)
+        for level, mult in enumerate(self.channel_mult):
+            res = self.seq_resolution >> level
+            if level > 0:
+                h = UNetBlock(h.shape[-1], down=True, dropout=self.dropout,
+                              policy=self.policy,
+                              name=f"enc_{res}_down")(h, deterministic)
+                skips.append(h)
+            for b in range(self.num_blocks):
+                cout = self.model_channels * mult
+                attn = res in self.attn_resolutions
+                h = UNetBlock(cout, attention=attn, dropout=self.dropout,
+                              policy=self.policy,
+                              name=f"enc_{res}_block{b}")(h, deterministic)
+                skips.append(h)
+
+        skips = [IdentityConv(s.shape[-1], self.skip_conv,
+                              name=f"skipconv_{i}")(s)
+                 for i, s in enumerate(skips)]
+
+        # ---- decoder
+        for level, mult in reversed(list(enumerate(self.channel_mult))):
+            res = self.seq_resolution >> level
+            if level == len(self.channel_mult) - 1:
+                h = UNetBlock(h.shape[-1], attention=True,
+                              dropout=self.dropout, policy=self.policy,
+                              name=f"dec_{res}_in0")(h, deterministic)
+                h = UNetBlock(h.shape[-1], dropout=self.dropout,
+                              policy=self.policy,
+                              name=f"dec_{res}_in1")(h, deterministic)
+            else:
+                h = UNetBlock(h.shape[-1], up=True, dropout=self.dropout,
+                              policy=self.policy,
+                              name=f"dec_{res}_up")(h, deterministic)
+            for b in range(self.num_blocks + 1):
+                h = jnp.concatenate([h, skips.pop()], axis=-1)
+                attn = b == self.num_blocks and res in self.attn_resolutions
+                h = UNetBlock(self.model_channels * mult, attention=attn,
+                              dropout=self.dropout, policy=self.policy,
+                              name=f"dec_{res}_block{b}")(h, deterministic)
+
+        out_ch = self.num_vars_profile_out + self.num_vars_scalar_out
+        h = nn.GroupNorm(num_groups=min(32, h.shape[-1] // 4),
+                         epsilon=1e-6)(h)
+        h = nn.Conv(out_ch, (3,), padding="SAME",
+                    kernel_init=nn.initializers.zeros,
+                    dtype=self.policy.compute_dtype,
+                    param_dtype=self.policy.param_dtype, name="out_conv")(
+            nn.silu(h))
+        h = self.policy.cast_out(h)
+
+        h = h[:, pad:, :]                                      # strip padding
+        y_profile = jnp.moveaxis(h[..., :self.num_vars_profile_out], 2, 1)
+        y_scalar = nn.relu(h[..., self.num_vars_profile_out:]).mean(axis=1)
+        y = jnp.concatenate(
+            [y_profile.reshape(-1, self.num_vars_profile_out * L), y_scalar],
+            axis=1)
+
+        if self.output_prune:
+            mask = np.ones(y.shape[-1], np.float32)
+            for v in range(1, self.num_vars_profile_out):  # all but ptend_t
+                mask[v * L: v * L + self.strato_lev] = 0.0
+            y = y * jnp.asarray(mask, y.dtype)
+        return y
+
+
+def unet_v4(**kw) -> ClimsimUNet:
+    """v4 configuration: 25 profile + 24 scalar inputs (+loc idx), v4 outputs
+    (6 profile + 8 scalar)."""
+    args = dict(num_vars_profile=25, num_vars_scalar=24,
+                num_vars_profile_out=6, num_vars_scalar_out=8,
+                output_prune=True)
+    args.update(kw)
+    return ClimsimUNet(**args)
+
+
+def unet_v5(**kw) -> ClimsimUNet:
+    """v5 configuration: 22 profile + 24 scalar inputs (+loc idx), v5 outputs
+    (5 profile + 8 scalar)."""
+    args = dict(num_vars_profile=22, num_vars_scalar=24,
+                num_vars_profile_out=5, num_vars_scalar_out=8,
+                output_prune=True)
+    args.update(kw)
+    return ClimsimUNet(**args)

@@ -1,0 +1,191 @@
+"""Model-zoo tests: shapes, gradients, stochastic sampling, and a small
+learning check per family (SURVEY.md §2.4 parity)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+from climsim_tpu.models import (MLP, mlp_for, CNN, ED, HSR, hsr_nll,
+                                hsr_sample, RPNEnsemble, CVAE, cvae_loss,
+                                cvae_samples, reshape_input_for_cnn,
+                                reshape_target_from_cnn)
+from climsim_tpu import variables as V
+
+K = jax.random.PRNGKey
+
+
+def test_mlp_shapes_and_relu_head():
+    vs = V.get("v1")
+    m = mlp_for(vs, features=(64, 64))
+    x = jax.random.normal(K(0), (8, 124))
+    p = m.init(K(1), x)
+    y = m.apply(p, x)
+    assert y.shape == (8, 128)
+    assert np.all(np.asarray(y[:, -8:]) >= 0)  # ReLU scalar head
+
+
+def test_mlp_prune_mask():
+    vs = V.get("v2")
+    m = mlp_for(vs, features=(32,), prune=True)
+    x = jax.random.normal(K(0), (4, 557))
+    y = np.asarray(m.apply(m.init(K(1), x), x))
+    # stratosphere (top 12 levels) of ptend_q0001 (block 60:120) zeroed
+    assert np.all(y[:, 60:72] == 0)
+    # ptend_t untouched by prune
+    assert np.any(y[:, 0:12] != 0)
+
+
+def test_cnn_reshapes_roundtrip_contract():
+    x = jax.random.normal(K(0), (4, 124))
+    img = reshape_input_for_cnn(x)
+    assert img.shape == (4, 60, 6)
+    np.testing.assert_array_equal(np.asarray(img[:, :, 0]), np.asarray(x[:, :60]))
+    np.testing.assert_array_equal(np.asarray(img[:, 7, 2]), np.asarray(x[:, 120]))
+    yimg = jax.random.normal(K(1), (4, 60, 10))
+    yflat = reshape_target_from_cnn(yimg)
+    assert yflat.shape == (4, 128)
+    np.testing.assert_allclose(np.asarray(yflat[:, 120]),
+                               np.asarray(yimg[:, :, 2].mean(1)), rtol=1e-6)
+
+
+def test_cnn_forward():
+    m = CNN(depth=2, channels=32)
+    x = jax.random.normal(K(0), (4, 124))
+    p = m.init(K(1), x)
+    y = m.apply(p, x)
+    assert y.shape == (4, 128)
+    assert np.all(np.asarray(y[:, 120:]) >= 0)
+
+
+def test_ed_forward():
+    m = ED(out_dim=128, latent_dim=5, intermediate_dim=64)
+    x = jax.random.normal(K(0), (4, 124))
+    y = m.apply(m.init(K(1), x), x)
+    assert y.shape == (4, 128)
+    assert np.all(np.asarray(y) >= -1.0)  # elu lower bound
+
+
+def test_hsr_loss_and_sampling():
+    m = HSR(out_dim=16, hidden=32, layers=1)
+    x = jax.random.normal(K(0), (8, 10))
+    y = jax.random.normal(K(1), (8, 16))
+    p = m.init(K(2), x)
+    mean, logprec = m.apply(p, x)
+    assert mean.shape == (8, 16) and logprec.shape == (8, 16)
+    l_warm = hsr_nll(mean, logprec, y, warm=True)
+    l_full = hsr_nll(mean, logprec, y, warm=False)
+    assert np.isfinite(float(l_warm)) and np.isfinite(float(l_full))
+    s = hsr_sample(p, m, x, K(3), num_samples=5)
+    assert s.shape == (8, 16, 5)
+    # grads flow through both towers
+    g = jax.grad(lambda p: hsr_nll(*m.apply(p, x), y))(p)
+    flat = jax.tree_util.tree_leaves(g)
+    assert all(np.isfinite(np.asarray(a)).all() for a in flat)
+
+
+def test_rpn_ensemble():
+    ens = RPNEnsemble(out_dim=16, features=(32, 32), num_members=4)
+    x = jax.random.normal(K(0), (8, 10))
+    y = jax.random.normal(K(1), (8, 16))
+    p = ens.init(K(2), x)
+    preds = ens.apply(p, x)
+    assert preds.shape == (4, 8, 16)
+    # members differ (random priors)
+    assert float(jnp.std(preds, axis=0).mean()) > 1e-4
+    # prior params receive zero gradient (stop_gradient)
+    g = jax.grad(ens.loss)(p, x, y)
+    prior_norm = sum(float(jnp.abs(a).sum())
+                     for a in jax.tree_util.tree_leaves(g["prior"]))
+    net_norm = sum(float(jnp.abs(a).sum())
+                   for a in jax.tree_util.tree_leaves(g["net"]))
+    assert prior_norm == 0.0 and net_norm > 0.0
+    s = ens.samples(p, x)
+    assert s.shape == (8, 16, 4)
+
+
+def test_cvae_loss_and_samples():
+    m = CVAE(out_dim=16, latent_dim=3, hidden=32, layers=1)
+    x = jax.random.normal(K(0), (8, 10))
+    y = jax.random.normal(K(1), (8, 16))
+    p = m.init(K(2), y, x, K(3))
+    loss = cvae_loss(m, p, y, x, K(4), beta=1.0)
+    assert np.isfinite(float(loss))
+    s = cvae_samples(m, p, x, K(5), num_samples=6)
+    assert s.shape == (8, 16, 6)
+    assert float(jnp.std(s, axis=-1).mean()) > 1e-5
+
+
+@pytest.mark.parametrize("maker", [
+    lambda: ("mlp", mlp_for(V.get("v1"), features=(64, 64))),
+    lambda: ("cnn", CNN(depth=1, channels=16)),
+    lambda: ("ed", ED(out_dim=128, latent_dim=32, intermediate_dim=64)),
+])
+def test_family_learns(maker):
+    """Each deterministic family fits a small synthetic mapping."""
+    name, m = maker()
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(0, 1, (256, 124)).astype(np.float32))
+    w = rng.normal(0, 0.2, (124, 128)).astype(np.float32)
+    y = jnp.asarray(np.tanh(np.asarray(x) @ w))
+    p = m.init(K(0), x[:2])
+    tx = optax.adam(1e-3)
+    st = tx.init(p)
+
+    @jax.jit
+    def step(p, st):
+        def lf(p):
+            return jnp.mean(jnp.square(m.apply(p, x) - y))
+        l, g = jax.value_and_grad(lf)(p)
+        up, st = tx.update(g, st, p)
+        return optax.apply_updates(p, up), st, l
+
+    l0 = None
+    steps = 200 if name == "ed" else 60   # tight latent bottleneck trains slowly
+    for i in range(steps):
+        p, st, l = step(p, st)
+        if l0 is None:
+            l0 = float(l)
+    assert float(l) < 0.85 * l0, f"{name} did not learn: {l0} -> {float(l)}"
+
+
+def test_unet_forward_and_prune():
+    from climsim_tpu.models import ClimsimUNet
+    m = ClimsimUNet(num_vars_profile=3, num_vars_scalar=2,
+                    num_vars_profile_out=2, num_vars_scalar_out=8,
+                    model_channels=16, channel_mult=(1, 2), num_blocks=1,
+                    attn_resolutions=(32,), output_prune=True, strato_lev=12)
+    B, L = 4, 60
+    x = jnp.concatenate([
+        jax.random.normal(K(0), (B, 3 * L + 2)),
+        jnp.arange(1, B + 1, dtype=jnp.float32)[:, None],  # loc index
+    ], axis=1)
+    p = m.init(K(1), x)
+    y = m.apply(p, x)
+    assert y.shape == (B, 2 * L + 8)
+    # scalar head non-negative
+    assert np.all(np.asarray(y[:, -8:]) >= 0)
+    # stratosphere of 2nd profile output pruned
+    assert np.all(np.asarray(y[:, L:L + 12]) == 0)
+    # gradients finite
+    g = jax.grad(lambda p: jnp.sum(jnp.square(m.apply(p, x))))(p)
+    assert all(np.isfinite(np.asarray(a)).all()
+               for a in jax.tree_util.tree_leaves(g))
+
+
+def test_unet_identity_skip_frozen():
+    from climsim_tpu.models import ClimsimUNet
+    m = ClimsimUNet(num_vars_profile=2, num_vars_scalar=1,
+                    num_vars_profile_out=1, num_vars_scalar_out=8,
+                    model_channels=8, channel_mult=(1,), num_blocks=1,
+                    attn_resolutions=(), skip_conv=False)
+    B, L = 2, 60
+    x = jnp.concatenate([jax.random.normal(K(0), (B, 2 * L + 1)),
+                         jnp.zeros((B, 1))], axis=1)
+    p = m.init(K(1), x)
+    g = jax.grad(lambda p: jnp.sum(jnp.square(m.apply(p, x))))(p)
+    # frozen identity skip convs receive zero gradient
+    for name, sub in g["params"].items():
+        if name.startswith("skipconv_"):
+            for leaf in jax.tree_util.tree_leaves(sub):
+                assert float(jnp.abs(leaf).sum()) == 0.0

@@ -1,0 +1,207 @@
+"""RNN cells for vertical-column scans (lax.scan-compatible flax modules).
+
+TPU-native re-design of the reference's custom cell zoo
+(rnn/models_torch_kernels.py): GRU/LSTM (cuDNN in the reference), SRU (:25),
+LayerNorm-LSTM (:718), stochastic GRU/LSTM layers (VAE-style noise
+perturbing the gates, :565-624, :1034-1328 incl. AR(1) `_ar` variants).
+
+Each cell follows the flax RNNCellBase calling convention
+``(carry, x) -> (carry, y)``; :func:`scan_rnn` lifts a cell over the level
+axis with batch on the leading axis, so a whole column batch advances one
+level per step via one fused [B, nx+nh] x [nx+nh, k*nh] matmul on the MXU.
+The input projection for the full sequence is hoisted out of the scan
+(the reference's v5 trick, models_torch_kernels.py:565-622) so the scan
+body contains only the recurrent matmul.
+"""
+from __future__ import annotations
+
+from typing import Any
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+
+class GRUCell(nn.Module):
+    hidden: int
+
+    @nn.compact
+    def __call__(self, h, x_proj):
+        """x_proj: precomputed input projection [B, 3*hidden] (+bias)."""
+        hh = nn.Dense(3 * self.hidden, use_bias=True, name="hh")(h)
+        xr, xz, xn = jnp.split(x_proj, 3, axis=-1)
+        hr, hz, hn = jnp.split(hh, 3, axis=-1)
+        r = jax.nn.sigmoid(xr + hr)
+        z = jax.nn.sigmoid(xz + hz)
+        n = jnp.tanh(xn + r * hn)
+        h_new = (1.0 - z) * n + z * h
+        return h_new, h_new
+
+    @staticmethod
+    def proj_width(hidden):
+        return 3 * hidden
+
+
+class LSTMCell(nn.Module):
+    hidden: int
+
+    @nn.compact
+    def __call__(self, carry, x_proj):
+        h, c = carry
+        hh = nn.Dense(4 * self.hidden, use_bias=True, name="hh")(h)
+        g = x_proj + hh
+        i, f, gg, o = jnp.split(g, 4, axis=-1)
+        i, f, o = jax.nn.sigmoid(i), jax.nn.sigmoid(f), jax.nn.sigmoid(o)
+        c_new = f * c + i * jnp.tanh(gg)
+        h_new = o * jnp.tanh(c_new)
+        return (h_new, c_new), h_new
+
+    @staticmethod
+    def proj_width(hidden):
+        return 4 * hidden
+
+
+class LayerNormLSTMCell(nn.Module):
+    """LSTM with layer-normalized gates (models_torch_kernels.py:718)."""
+
+    hidden: int
+
+    @nn.compact
+    def __call__(self, carry, x_proj):
+        h, c = carry
+        hh = nn.Dense(4 * self.hidden, use_bias=False, name="hh")(h)
+        g = nn.LayerNorm(name="ln_g")(x_proj + hh)
+        i, f, gg, o = jnp.split(g, 4, axis=-1)
+        i, f, o = jax.nn.sigmoid(i), jax.nn.sigmoid(f), jax.nn.sigmoid(o)
+        c_new = f * c + i * jnp.tanh(gg)
+        h_new = o * jnp.tanh(nn.LayerNorm(name="ln_c")(c_new))
+        return (h_new, c_new), h_new
+
+    @staticmethod
+    def proj_width(hidden):
+        return 4 * hidden
+
+
+class SRUCell(nn.Module):
+    """Simple Recurrent Unit (models_torch_kernels.py:25): elementwise
+    recurrence, all matmuls hoisted — the fastest cell on TPU."""
+
+    hidden: int
+
+    @nn.compact
+    def __call__(self, c, x_proj):
+        xt, f_in, r_in = jnp.split(x_proj, 3, axis=-1)
+        vf = self.param("vf", nn.initializers.ones, (self.hidden,),
+                        jnp.float32).astype(c.dtype)
+        vr = self.param("vr", nn.initializers.ones, (self.hidden,),
+                        jnp.float32).astype(c.dtype)
+        f = jax.nn.sigmoid(f_in + vf * c)
+        c_new = f * c + (1.0 - f) * xt
+        r = jax.nn.sigmoid(r_in + vr * c_new)
+        y = r * jnp.tanh(c_new) + (1.0 - r) * xt
+        return c_new, y
+
+    @staticmethod
+    def proj_width(hidden):
+        return 3 * hidden
+
+
+class StochasticGRUCell(nn.Module):
+    """VAE-style stochastic GRU (models_torch_kernels.py:565-622): the hidden
+    state parameterizes (mu, log sigma); a sampled z perturbs the candidate
+    activation. Noise comes in via the input stream (functional RNG)."""
+
+    hidden: int
+    noise_scale: float = 1.0
+
+    @nn.compact
+    def __call__(self, h, inp):
+        x_proj, eps = inp     # eps: [B, hidden] standard normal
+        hh = nn.Dense(3 * self.hidden, use_bias=True, name="hh")(h)
+        mu = nn.Dense(self.hidden, name="mu")(h)
+        logsig = nn.Dense(self.hidden, name="logsig")(h)
+        z = mu + jnp.exp(0.5 * jnp.clip(logsig, -10.0, 2.0)) * eps
+        xr, xz, xn = jnp.split(x_proj, 3, axis=-1)
+        hr, hz, hn = jnp.split(hh, 3, axis=-1)
+        r = jax.nn.sigmoid(xr + hr)
+        zg = jax.nn.sigmoid(xz + hz)
+        n = jnp.tanh(xn + r * hn + self.noise_scale * z)
+        h_new = (1.0 - zg) * n + zg * h
+        return h_new, h_new
+
+    @staticmethod
+    def proj_width(hidden):
+        return 3 * hidden
+
+
+class StochasticLSTMCell(nn.Module):
+    """Stochastic LSTM (models_torch_kernels.py:1034-1328): sampled z
+    perturbs the cell candidate."""
+
+    hidden: int
+    noise_scale: float = 1.0
+
+    @nn.compact
+    def __call__(self, carry, inp):
+        h, c = carry
+        x_proj, eps = inp
+        hh = nn.Dense(4 * self.hidden, use_bias=True, name="hh")(h)
+        mu = nn.Dense(self.hidden, name="mu")(h)
+        logsig = nn.Dense(self.hidden, name="logsig")(h)
+        z = mu + jnp.exp(0.5 * jnp.clip(logsig, -10.0, 2.0)) * eps
+        g = x_proj + hh
+        i, f, gg, o = jnp.split(g, 4, axis=-1)
+        i, f, o = jax.nn.sigmoid(i), jax.nn.sigmoid(f), jax.nn.sigmoid(o)
+        c_new = f * c + i * jnp.tanh(gg + self.noise_scale * z)
+        h_new = o * jnp.tanh(c_new)
+        return (h_new, c_new), h_new
+
+    @staticmethod
+    def proj_width(hidden):
+        return 4 * hidden
+
+
+CELL_TYPES = {"gru": GRUCell, "lstm": LSTMCell, "ln_lstm": LayerNormLSTMCell,
+              "sru": SRUCell, "sgru": StochasticGRUCell,
+              "slstm": StochasticLSTMCell}
+
+
+def needs_cell_state(kind: str) -> bool:
+    return kind in ("lstm", "ln_lstm", "slstm")
+
+
+class RNNLayer(nn.Module):
+    """One directional RNN over the level axis: hoisted input projection +
+    nn.scan of the cell. Input [B, L, nx] -> outputs [B, L, hidden].
+
+    ``reverse=True`` scans from the last level (surface, since TOA is level
+    0) upward — the reference's flip-then-scan (models.py:478-496).
+    """
+
+    hidden: int
+    kind: str = "gru"
+    reverse: bool = False
+    noise: bool = False    # feed per-level noise (stochastic cells)
+
+    @nn.compact
+    def __call__(self, xs, h0, eps=None):
+        cell_cls = CELL_TYPES[self.kind]
+        proj = nn.Dense(cell_cls.proj_width(self.hidden), name="input_proj")
+        xs_proj = proj(xs)                       # [B, L, k*hidden]
+        # lax.scan requires carry dtype stability; unify on the projection's
+        # dtype (guards x64 test mode and mixed-precision policies)
+        h0 = jax.tree_util.tree_map(lambda a: a.astype(xs_proj.dtype), h0)
+        if eps is not None:
+            eps = eps.astype(xs_proj.dtype)
+        xs_scan = jnp.swapaxes(xs_proj, 0, 1)    # [L, B, k*hidden]
+        if self.noise:
+            assert eps is not None, "stochastic cell needs eps [L, B, hidden]"
+            stream: Any = (xs_scan, eps)
+        else:
+            stream = xs_scan
+
+        scan = nn.scan(cell_cls, variable_broadcast="params",
+                       split_rngs={"params": False}, in_axes=0, out_axes=0,
+                       reverse=self.reverse)
+        carry, ys = scan(self.hidden, name="cell")(h0, stream)
+        return jnp.swapaxes(ys, 0, 1), carry     # [B, L, hidden], final carry

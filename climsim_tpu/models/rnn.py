@@ -1,0 +1,284 @@
+"""Autoregressive bidirectional vertical RNN with latent convective memory.
+
+TPU-native re-design of the fork's core emulator (Ukkonen & Chantry 2025,
+Fig 10): rnn/models/models.py:137-342 (Base_RNN_autoreg: mp_mode semantics,
+temperature-ramp cloud partitioning, postprocessing) and :345-608
+(RNN_autoreg: surface-MLP-initialized upward sweep -> TOA-MLP-initialized
+downward sweep -> latent memory head; optional stochastic third RNN;
+optional separate radiation BiGRU on all 60 levels; top-12-level output
+pruning).
+
+Step signature (the binding online contract, SURVEY.md §7.4 item 5):
+    (x_main [B, L, nx], x_sfc [B, nx_sfc], mem [B, L, nh_mem])
+        -> (out [B, L, ny], out_sfc [B, ny_sfc], new_mem)
+
+Design differences from the reference (deliberate, TPU-first):
+* level sweeps are ``nn.scan`` with hoisted input projections (one fused
+  MXU matmul per level) instead of cuDNN LSTM + tensor flips;
+* normalization coefficients are *not* module buffers — the model takes
+  normalized inputs and emits scaled outputs; the mp-constraint
+  postprocessing lives in :func:`postprocess_mp` as a pure function;
+* stochastic noise arrives through functional RNG (flax 'noise' rng).
+"""
+from __future__ import annotations
+
+from typing import Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .cells import RNNLayer, needs_cell_state
+from .common import Policy, F32
+
+DT = 1200.0
+INV_DT = 1.0 / DT
+
+
+class RNNAutoreg(nn.Module):
+    """Bi-directional vertical RNN emulator with latent convective memory."""
+
+    nx: int                      # level-input features (before pressure)
+    nx_sfc: int
+    ny: int                      # level outputs (5 for mp_mode 1, else 6)
+    ny_sfc: int
+    nneur: Sequence[int] = (192, 192)
+    nh_mem: int = 16
+    cell: str = "gru"            # gru | lstm | ln_lstm | sru
+    use_initial_mlp: bool = True
+    add_pres: bool = True
+    output_prune: bool = True
+    separate_radiation: bool = False
+    add_stochastic_layer: bool = False
+    stochastic_cell: str = "sgru"
+    # static hybrid coefficients + ps normalization for the pressure feature
+    hyam: tuple = ()
+    hybm: tuple = ()
+    sp_mean: float = 0.0
+    sp_div: float = 1.0
+    policy: Policy = F32
+
+    @nn.compact
+    def __call__(self, x_main, x_sfc, mem, deterministic: bool = True):
+        B, L, _ = x_main.shape
+        nh1, nh2 = self.nneur[0], self.nneur[1]
+        pol = self.policy
+
+        x_main = pol.cast_in(x_main)
+        x_sfc = pol.cast_in(x_sfc)
+        mem = pol.cast_in(mem)
+
+        if self.add_pres:
+            # normalized sqrt-pressure feature (rnn/layers.py:101-121)
+            sp = x_sfc[:, 0] * self.sp_div + self.sp_mean
+            pres = (jnp.asarray(self.hyam, x_main.dtype) * 1.0e5
+                    + sp[:, None] * jnp.asarray(self.hybm, x_main.dtype))
+            pres = jnp.sqrt(pres) / 314.0
+            x_main = jnp.concatenate([x_main, pres[:, :, None]], axis=-1)
+
+        if self.separate_radiation:
+            # CRM sees non-radiation surface vars and only the bottom 50
+            # levels (E3SM-MMF's CRM domain, models.py:177-181); gases are
+            # handled by the radiation RNN on all 60 levels
+            x_sfc_crm = jnp.concatenate([x_sfc[:, 0:6], x_sfc[:, 12:]], axis=1)
+            gases = x_main[:, :, 12:15]
+            x_crm_in = jnp.concatenate([x_main[:, :, :12], x_main[:, :, 15:]],
+                                       axis=-1)[:, L - mem.shape[1]:, :]
+        else:
+            x_sfc_crm = x_sfc
+            x_crm_in = x_main
+
+        h = x_crm_in
+        if self.use_initial_mlp:
+            h = jnp.tanh(nn.Dense(nh1, dtype=pol.compute_dtype,
+                                  param_dtype=pol.param_dtype,
+                                  name="mlp_initial")(h))
+        h = jnp.concatenate([h, mem], axis=-1)
+
+        # ---- upward sweep (surface -> TOA): reverse scan, surface MLP init
+        hx1 = jnp.tanh(nn.Dense(nh1, dtype=pol.compute_dtype,
+                                param_dtype=pol.param_dtype,
+                                name="mlp_surface1")(x_sfc_crm))
+        if needs_cell_state(self.cell):
+            cx1 = nn.Dense(nh1, dtype=pol.compute_dtype,
+                           param_dtype=pol.param_dtype,
+                           name="mlp_surface2")(x_sfc_crm)
+            carry1 = (hx1, cx1)
+        else:
+            carry1 = hx1
+        up_out, _ = RNNLayer(nh1, self.cell, reverse=True,
+                             name="rnn_up")(h, carry1)
+
+        # ---- downward sweep (TOA -> surface): TOA MLP init from
+        # (SOLIN, COSZRS) = aux[1], aux[6] (models.py:503-507)
+        x_toa = jnp.concatenate([x_sfc[:, 1:2], x_sfc[:, 6:7]], axis=1)
+        hx2 = nn.Dense(nh2, dtype=pol.compute_dtype,
+                       param_dtype=pol.param_dtype, name="mlp_toa1")(x_toa)
+        if needs_cell_state(self.cell):
+            cx2 = nn.Dense(nh2, dtype=pol.compute_dtype,
+                           param_dtype=pol.param_dtype,
+                           name="mlp_toa2")(x_toa)
+            carry2 = (hx2, cx2)
+        else:
+            carry2 = hx2
+        down_out, carry_dn = RNNLayer(nh2, self.cell, reverse=False,
+                                      name="rnn_down")(up_out, carry2)
+        last_h = carry_dn[0] if needs_cell_state(self.cell) else carry_dn
+
+        # ---- optional stochastic third layer (models.py:405-412,521-534)
+        if self.add_stochastic_layer:
+            nh3 = self.nneur[-1]
+            eps = jax.random.normal(self.make_rng("noise"), (L, B, nh3),
+                                    down_out.dtype) if not deterministic \
+                else jnp.zeros((L, B, nh3), down_out.dtype)
+            hx3 = jnp.zeros((B, nh3), down_out.dtype)
+            carry3 = (hx3, jnp.zeros_like(hx3)) \
+                if needs_cell_state(self.stochastic_cell) else hx3
+            down_out, _ = RNNLayer(nh3, self.stochastic_cell, reverse=False,
+                                   noise=True, name="rnn_stoch")(
+                down_out, carry3, eps)
+
+        # ---- latent convective memory + output heads
+        new_mem = nn.Dense(self.nh_mem, dtype=pol.compute_dtype,
+                           param_dtype=pol.param_dtype,
+                           name="mlp_latent")(down_out)
+        out = nn.Dense(self.ny, dtype=pol.compute_dtype,
+                       param_dtype=pol.param_dtype, name="mlp_output")(new_mem)
+        # with separate radiation the CRM head predicts only PRECSC/PRECC;
+        # the radiative scalars come from the radiation RNN (models.py:380)
+        ny_sfc_crm = 2 if self.separate_radiation else self.ny_sfc
+        out_sfc = nn.Dense(ny_sfc_crm, dtype=pol.compute_dtype,
+                           param_dtype=pol.param_dtype,
+                           name="mlp_surface_output")(last_h)
+
+        if self.output_prune and not self.separate_radiation:
+            # only dT is nonzero in the top 12 levels (models.py:554-559)
+            mask = np.ones((1, L, self.ny), np.float32)
+            mask[:, :12, 1:] = 0.0
+            out = out * jnp.asarray(mask, out.dtype)
+
+        if self.separate_radiation:
+            out, out_sfc = self._radiation(x_sfc, gases, new_mem, out,
+                                           out_sfc, pol)
+
+        return pol.cast_out(out), pol.cast_out(out_sfc), pol.cast_out(new_mem)
+
+    def _radiation(self, x_sfc, gases, mem, out_crm, out_sfc_crm, pol):
+        """Separate-radiation BiGRU on all 60 levels taking gases + CRM
+        latent (models.py:362-388,562-604). The CRM part runs on the bottom
+        50 levels; radiation adds dT everywhere and predicts the 6 radiative
+        surface scalars; PRECSC/PRECC come from the CRM head."""
+        B, L50, _ = mem.shape
+        L = gases.shape[1]
+        nh_rad = 96
+        pad = L - L50 if L != L50 else 10
+        mem_padded = jnp.pad(mem, ((0, 0), (pad, 0), (0, 0)))
+        x_rad = jnp.concatenate([gases, mem_padded], axis=-1)
+
+        x_sfc_rad = x_sfc[:, 6:12]
+        hx = nn.Dense(nh_rad, dtype=pol.compute_dtype,
+                      param_dtype=pol.param_dtype, name="mlp_surface_rad")(
+            x_sfc_rad)
+        up, _ = RNNLayer(nh_rad, "gru", reverse=True, name="rnn1_rad")(
+            x_rad, hx)
+        x_toa = jnp.concatenate([x_sfc[:, 1:2], x_sfc[:, 6:7]], axis=1)
+        hx2 = nn.Dense(nh_rad, dtype=pol.compute_dtype,
+                       param_dtype=pol.param_dtype, name="mlp_toa_rad")(x_toa)
+        down, last_h = RNNLayer(nh_rad, "gru", reverse=False,
+                                name="rnn2_rad")(up, hx2)
+        d_t_rad = nn.Dense(1, dtype=pol.compute_dtype,
+                           param_dtype=pol.param_dtype,
+                           name="mlp_output_rad")(down)
+        out_sfc_rad = nn.Dense(self.ny_sfc - 2, dtype=pol.compute_dtype,
+                               param_dtype=pol.param_dtype,
+                               name="mlp_surface_output_rad")(last_h)
+
+        # CRM output lives on the bottom 50 levels; pad with zeros above
+        out = jnp.pad(out_crm, ((0, 0), (pad, 0), (0, 0)))
+        out = out.at[:, :, 0:1].add(d_t_rad)
+        # surface layout [NETSW, FLWDS, PRECSC, PRECC, SOLS, SOLL, SOLSD,
+        # SOLLD]: rad predicts all but PRECSC/PRECC (models.py:600-604)
+        out_sfc = jnp.concatenate([out_sfc_rad[:, 0:2], out_sfc_crm,
+                                   out_sfc_rad[:, 2:]], axis=1)
+        return out, out_sfc
+
+
+# --------------------------------------------------------------------------
+# microphysics postprocessing (Base_RNN_autoreg.postprocessing, :273-339)
+# --------------------------------------------------------------------------
+
+def temperature_scaling(T_raw):
+    """Liquid fraction ramp (T-253.16)*0.05 clamped to [0,1]
+    (models.py:260-266)."""
+    return jnp.clip((T_raw - 253.16) * 0.05, 0.0, 1.0)
+
+
+def temperature_scaling_precip(t_sfc):
+    """Snow fraction (283.3-T)/14.6 clamped to [0,1] (models.py:268-271)."""
+    return jnp.clip((283.3 - t_sfc) / 14.6, 0.0, 1.0)
+
+
+def postprocess_mp(out, out_sfc, x_denorm, yscale_lev, yscale_sca,
+                   mp_mode: int = 0, qv_index: int = -1):
+    """Un-scale outputs and re-split qn into (dqliq, dqice).
+
+    out/out_sfc: scaled model outputs [B, L, ny], [B, ny_sfc].
+    x_denorm:    raw (un-normalized) level inputs with T at channel 0,
+                 qliq at 2, qice at 3 (v4 ordering).
+    mp_mode semantics (models.py:200-227):
+      0: passthrough un-scaling (6 raw tendency outputs)
+      1: 5 outputs [dT, dqv, dqn, du, dv]; liq fraction diagnosed from T_new
+     -1: 6 outputs [dT, dqv, dqn, liq_frac, du, dv]; predicted fraction
+         clamped to +-0.2 of the T-diagnosed value (Hu et al. Fig 2b).
+         (The reference contains a leftover line discarding the clamp,
+         models.py:318-320; we implement the documented clamped behavior.)
+     -2: [dT, dqtot, cld_water_frac, liq_frac, ...]: total-water split.
+    Returns raw-unit (out_denorm [B, L, 6], out_sfc_denorm).
+    """
+    out_denorm = out / yscale_lev
+    out_sfc_denorm = out_sfc / yscale_sca
+    if mp_mode == 0:
+        return out_denorm, out_sfc_denorm
+
+    T_old = x_denorm[:, :, 0:1]
+    qliq_old = x_denorm[:, :, 2:3]
+    qice_old = x_denorm[:, :, 3:4]
+    qn_old = qliq_old + qice_old
+
+    if mp_mode == -2:
+        dqtot = out_denorm[:, :, 1:2]
+        cwf = jnp.clip(jnp.square(jnp.square(out_denorm[:, :, 2:3])), 0.0, 1.0)
+        qv_old = x_denorm[:, :, qv_index:qv_index + 1] if qv_index >= 0 \
+            else x_denorm[:, :, -1:]
+        qtot_old = qn_old + qv_old
+        qtot_new = qtot_old + dqtot * DT
+        qv_new = (1.0 - cwf) * qtot_new
+        qn_new_tot = cwf * qtot_new
+        dqv = (qv_new - qv_old) * INV_DT
+        dqn = (qn_new_tot - qn_old) * INV_DT
+        out_denorm = out_denorm.at[:, :, 1:2].set(dqv)
+        out_denorm = out_denorm.at[:, :, 2:3].set(dqn)
+
+    T_new = T_old + out_denorm[:, :, 0:1] * DT
+    liq_frac = temperature_scaling(T_new)
+
+    if mp_mode in (-1, -2):
+        liq_frac_pred = out_denorm[:, :, 3:4]
+        max_frac = jnp.minimum(liq_frac + 0.2, 1.0)
+        min_frac = jnp.maximum(liq_frac - 0.2, 0.0)
+        liq_frac = jnp.clip(liq_frac_pred, min_frac, max_frac)
+
+    qn_new = qn_old + out_denorm[:, :, 2:3] * DT
+    qliq_new = liq_frac * qn_new
+    qice_new = (1.0 - liq_frac) * qn_new
+    dqliq = (qliq_new - qliq_old) * INV_DT
+    dqice = (qice_new - qice_old) * INV_DT
+
+    if mp_mode in (-1, -2):
+        rest = out_denorm[:, :, 4:]
+    else:
+        rest = out_denorm[:, :, 3:]
+    out_denorm = jnp.concatenate(
+        [out_denorm[:, :, 0:2], dqliq, dqice, rest], axis=2)
+    return out_denorm, out_sfc_denorm

@@ -158,7 +158,8 @@ class ClimsimUNet(nn.Module):
         x_loc = x[:, -1]
 
         # 385-entry learnable location embedding; index 0 = "no embedding"
-        emb_loc = self.param("emb_loc", nn.initializers.normal(1.0), (385, 8))
+        emb_loc = self.param("emb_loc", nn.initializers.normal(1.0), (385, 8),
+                             jnp.float32)
         idx = jnp.where(jnp.asarray(self.loc_embedding),
                         x_loc.astype(jnp.int32), 0)
         loc = emb_loc[jnp.clip(idx, 0, 384)]                    # [B, 8]

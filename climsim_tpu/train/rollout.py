@@ -1,0 +1,250 @@
+"""Autoregressive rollout training engine for the memory-RNN emulator.
+
+TPU-native re-design of the reference epoch engine
+(rnn/utils.py:816-1796 ``train_or_eval_one_epoch``) and its driver loop
+(train_rnn_rollout_torchscript_hydra.py):
+
+* time-contiguous chunks are split into rollout windows of W coupled steps;
+  each window is ONE jitted update: a ``lax.scan`` over the W steps carrying
+  the latent memory, with BPTT through the scan (the reference's
+  accumulate-then-backward, :1199-1376);
+* the memory is detached between windows simply by passing it out of the
+  jitted step as data (:1579);
+* replay modes 'full'/'mixed' substitute the model's previous predictions
+  into the previous-physics input channels — 'mixed' for a random column
+  subset whose fraction ramps with ``gradual_mixing_end_epoch``
+  (:1078-1095, 1582-1590);
+* the hybrid loss = weighted huber/mse + energy-conservation +
+  water-conservation + precip-accumulation terms with the reference's
+  weights (w_hcon/w_wcon/..., rnn/conf/autoreg_LSTM.yaml);
+* the curriculum ``rollout_schedule`` maps epoch -> W; each distinct W
+  compiles once (bucketed jit).
+"""
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+from functools import partial
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..physics import conservation
+from . import losses as L
+
+
+@dataclass
+class RolloutConfig:
+    # rollout curriculum: epoch thresholds -> window length, reference
+    # `timestep_schedule` (driver :703-707). E.g. {0:1, 2:2, 4:3, 8:5}
+    rollout_schedule: dict = field(default_factory=lambda: {0: 1, 2: 2, 4: 3})
+    loss: str = "huber"
+    lr: float = 1e-3
+    optimizer: str = "adam"
+    weight_decay: float = 0.0
+    # loss term weights (autoreg_LSTM.yaml loss switches)
+    w_main: float = 1.0
+    w_energy: float = 0.0
+    w_water: float = 0.0
+    w_precip: float = 0.0
+    # replay: None | 'full' | 'mixed'
+    replay: str | None = None
+    replay_slice: tuple = (15, 20)   # input channels holding prev tendencies
+    pred_slice: tuple = (0, 5)       # output channels substituted in
+    gradual_mixing_end_epoch: int = 10
+    ensemble_size: int = 1
+    seed: int = 0
+
+    def window_for_epoch(self, epoch: int) -> int:
+        w = 1
+        for e, t in sorted(self.rollout_schedule.items()):
+            if epoch >= e:
+                w = t
+        return w
+
+    def mix_fraction(self, epoch: int) -> float:
+        if self.replay != "mixed":
+            return 1.0 if self.replay == "full" else 0.0
+        return min(1.0, (epoch + 1) / max(1, self.gradual_mixing_end_epoch))
+
+
+def make_optimizer(cfg: RolloutConfig):
+    if cfg.optimizer == "adam":
+        return optax.adam(cfg.lr)
+    if cfg.optimizer == "adamw":
+        return optax.adamw(cfg.lr, weight_decay=cfg.weight_decay)
+    if cfg.optimizer == "soap":
+        from .soap import soap
+        return soap(cfg.lr, weight_decay=cfg.weight_decay)
+    if cfg.optimizer == "muon":
+        from .muon import muon
+        return muon(cfg.lr, weight_decay=cfg.weight_decay)
+    raise ValueError(cfg.optimizer)
+
+
+class RolloutTrainer:
+    """Drives window-scan updates of an RNNAutoreg-style model.
+
+    model apply contract: apply(params, x_lev, x_sfc, mem) ->
+    (out [B,L,ny], out_sfc [B,ny_sfc], new_mem).
+    Data windows are dicts of arrays with leading window axis W:
+      x_lev [W,B,L,nx], x_sfc [W,B,ns], y_lev [W,B,L,ny], y_sfc [W,B,nys],
+      sp [W,B] raw surface pressure.
+    """
+
+    def __init__(self, model, cfg: RolloutConfig, hyai, hybi,
+                 yscale_lev=None, yscale_sca=None):
+        self.model = model
+        self.cfg = cfg
+        self.hyai = jnp.asarray(hyai)
+        self.hybi = jnp.asarray(hybi)
+        self.yscale_lev = yscale_lev   # [1(or L), ny] or None
+        self.yscale_sca = yscale_sca
+        self.tx = make_optimizer(cfg)
+        self._step_cache: dict = {}
+        self._eval_cache: dict = {}
+
+    def init(self, key, sample_window):
+        x_lev, x_sfc = sample_window["x_lev"][0], sample_window["x_sfc"][0]
+        B, Llev = x_lev.shape[0], x_lev.shape[1]
+        mem_lev = getattr(self.model, "nh_mem", 16)
+        nlev_mem = 50 if getattr(self.model, "separate_radiation", False) \
+            else Llev
+        mem = jnp.zeros((B, nlev_mem, mem_lev), x_lev.dtype)
+        params = self.model.init(key, x_lev, x_sfc, mem)
+        return params, self.tx.init(params), mem
+
+    # ------------------------------------------------------------------
+
+    def _window_loss(self, params, window, mem, mix_mask):
+        """Scan over W coupled steps; returns (total loss, aux)."""
+        cfg = self.cfg
+        r0, r1 = cfg.replay_slice
+        p0, p1 = cfg.pred_slice
+
+        def step(carry, inp):
+            mem, prev_out, have_prev = carry
+            x_lev, x_sfc, y_lev, y_sfc, sp = inp
+
+            if cfg.replay in ("full", "mixed"):
+                sub = prev_out[..., p0:p1]
+                use = (have_prev * mix_mask)[:, None, None]
+                repl = use * sub + (1.0 - use) * x_lev[..., r0:r1]
+                x_lev = jnp.concatenate(
+                    [x_lev[..., :r0], repl, x_lev[..., r1:]], axis=-1)
+
+            out, out_sfc, mem = self.model.apply(params, x_lev, x_sfc, mem)
+            main = L.LOSS_FNS[cfg.loss](out, y_lev) \
+                + L.LOSS_FNS[cfg.loss](out_sfc, y_sfc)
+
+            extra = 0.0
+            if cfg.w_energy > 0 or cfg.w_water > 0:
+                od = out / self.yscale_lev if self.yscale_lev is not None \
+                    else out
+                osd = out_sfc / self.yscale_sca \
+                    if self.yscale_sca is not None else out_sfc
+                td = y_lev / self.yscale_lev if self.yscale_lev is not None \
+                    else y_lev
+                tsd = y_sfc / self.yscale_sca \
+                    if self.yscale_sca is not None else y_sfc
+                if cfg.w_energy > 0:
+                    extra += cfg.w_energy * conservation.energy_conservation_mse(
+                        td, tsd, od, osd, sp, self.hyai, self.hybi)
+                if cfg.w_water > 0:
+                    extra += cfg.w_water * conservation.water_conservation_mse(
+                        od, osd, sp, self.hyai, self.hybi)
+
+            new_carry = (mem, out, jnp.ones(()))
+            return new_carry, (cfg.w_main * main + extra, out_sfc)
+
+        W = window["x_lev"].shape[0]
+        prev0 = jnp.zeros_like(window["y_lev"][0])
+        carry0 = (mem, prev0, jnp.zeros(()))
+        xs = (window["x_lev"], window["x_sfc"], window["y_lev"],
+              window["y_sfc"], window["sp"])
+        (mem, _, _), (losses, out_sfcs) = jax.lax.scan(step, carry0, xs)
+
+        loss = jnp.mean(losses)
+        if cfg.w_precip > 0:
+            # accumulated-precipitation MSE over the window
+            # (rnn/metrics.py:184-190)
+            prec_pred = out_sfcs[..., 3].sum(0)
+            prec_true = window["y_sfc"][..., 3].sum(0)
+            loss = loss + cfg.w_precip * jnp.mean(
+                jnp.square(prec_pred - prec_true)) / (W * W)
+        return loss, mem
+
+    def _get_step(self, W: int):
+        if W in self._step_cache:
+            return self._step_cache[W]
+
+        @partial(jax.jit, donate_argnums=(0, 1), static_argnums=())
+        def step(params, opt_state, mem, window, mix_mask):
+            def loss_fn(p):
+                return self._window_loss(p, window, mem, mix_mask)
+            (loss, new_mem), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(params)
+            updates, opt_state = self.tx.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            # memory detaches here: it exits the jit as data (:1579)
+            return params, opt_state, jax.lax.stop_gradient(new_mem), loss
+
+        self._step_cache[W] = step
+        return step
+
+    def _get_eval(self, W: int):
+        if W in self._eval_cache:
+            return self._eval_cache[W]
+
+        @jax.jit
+        def step(params, mem, window, mix_mask):
+            loss, new_mem = self._window_loss(params, window, mem, mix_mask)
+            return new_mem, loss
+
+        self._eval_cache[W] = step
+        return step
+
+    # ------------------------------------------------------------------
+
+    def run_epoch(self, params, opt_state, mem, chunks, epoch: int,
+                  train: bool = True, key=None):
+        """chunks: iterable of window dicts with time-major arrays
+        [T, B, ...]; consecutive windows inside a chunk share memory."""
+        cfg = self.cfg
+        W = cfg.window_for_epoch(epoch)
+        frac = cfg.mix_fraction(epoch)
+        key = key if key is not None else jax.random.PRNGKey(cfg.seed + epoch)
+        tstep = self._get_step(W) if train else None
+        estep = self._get_eval(W) if not train else None
+
+        tot, n = 0.0, 0
+        t0 = time.time()
+        for chunk in chunks:
+            T = chunk["x_lev"].shape[0]
+            B = chunk["x_lev"].shape[1]
+            if mem is None or mem.shape[0] != B:
+                nlev_mem = 50 if getattr(self.model, "separate_radiation",
+                                         False) else chunk["x_lev"].shape[2]
+                mem = jnp.zeros((B, nlev_mem,
+                                 getattr(self.model, "nh_mem", 16)),
+                                jnp.float32)
+            for s in range(0, T - W + 1, W):
+                window = {k: jnp.asarray(v[s:s + W]) for k, v in
+                          chunk.items()}
+                key, km = jax.random.split(key)
+                mix_mask = (jax.random.uniform(km, (B,)) < frac).astype(
+                    jnp.float32)
+                if train:
+                    params, opt_state, mem, loss = tstep(
+                        params, opt_state, mem, window, mix_mask)
+                else:
+                    mem, loss = estep(params, mem, window, mix_mask)
+                tot += float(loss)
+                n += 1
+        rec = {"epoch": epoch, "window": W, "mix_frac": frac,
+               "loss": tot / max(n, 1), "updates": n,
+               "seconds": time.time() - t0}
+        return params, opt_state, mem, rec

@@ -1,0 +1,278 @@
+"""RNN emulator + rollout engine tests (SURVEY.md §2.2 parity)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from climsim_tpu.grid import Grid
+from climsim_tpu.models.rnn import (RNNAutoreg, postprocess_mp,
+                                    temperature_scaling,
+                                    temperature_scaling_precip)
+from climsim_tpu.train.rollout import RolloutTrainer, RolloutConfig
+from climsim_tpu.data import keeplev_chunks
+
+GRID_PATH = "/root/reference/grid_info/ClimSim_low-res_grid-info.nc"
+K = jax.random.PRNGKey
+
+
+def _grid_tuples():
+    g = Grid.from_file(GRID_PATH)
+    return (tuple(float(x) for x in np.asarray(g.hyam)),
+            tuple(float(x) for x in np.asarray(g.hybm)), g)
+
+
+@pytest.mark.parametrize("cell", ["gru", "lstm", "sru", "ln_lstm"])
+def test_rnn_autoreg_cells(cell):
+    hyam, hybm, _ = _grid_tuples()
+    m = RNNAutoreg(nx=15, nx_sfc=24, ny=6, ny_sfc=8, nneur=(32, 32),
+                   nh_mem=8, cell=cell, hyam=hyam, hybm=hybm,
+                   sp_mean=9.8e4, sp_div=1e4)
+    B, L = 4, 60
+    xm = jax.random.normal(K(0), (B, L, 15))
+    xs = jax.random.normal(K(1), (B, 24))
+    mem = jnp.zeros((B, L, 8))
+    p = m.init(K(2), xm, xs, mem)
+    out, out_sfc, new_mem = m.apply(p, xm, xs, mem)
+    assert out.shape == (B, L, 6)
+    assert out_sfc.shape == (B, 8)
+    assert new_mem.shape == (B, L, 8)
+    # output pruning: only dT nonzero in top 12 levels
+    assert np.all(np.asarray(out[:, :12, 1:]) == 0)
+    assert np.any(np.asarray(out[:, :12, 0]) != 0)
+
+
+def test_memory_feeds_back():
+    """The latent memory must influence the next step's output — the core
+    autoregressive mechanism (models.py:461,547-552)."""
+    hyam, hybm, _ = _grid_tuples()
+    m = RNNAutoreg(nx=15, nx_sfc=24, ny=6, ny_sfc=8, nneur=(32, 32),
+                   nh_mem=8, hyam=hyam, hybm=hybm)
+    B, L = 4, 60
+    xm = jax.random.normal(K(0), (B, L, 15))
+    xs = jax.random.normal(K(1), (B, 24))
+    p = m.init(K(2), xm, xs, jnp.zeros((B, L, 8)))
+    out0, _, mem1 = m.apply(p, xm, xs, jnp.zeros((B, L, 8)))
+    out1, _, _ = m.apply(p, xm, xs, mem1)
+    assert float(jnp.abs(out0 - out1).max()) > 1e-7
+    # memory itself is input-dependent
+    assert float(jnp.abs(mem1).max()) > 1e-7
+
+
+def test_stochastic_layer_rng():
+    hyam, hybm, _ = _grid_tuples()
+    m = RNNAutoreg(nx=15, nx_sfc=24, ny=6, ny_sfc=8, nneur=(32, 32, 32),
+                   nh_mem=8, add_stochastic_layer=True, hyam=hyam, hybm=hybm)
+    B, L = 4, 60
+    xm = jax.random.normal(K(0), (B, L, 15))
+    xs = jax.random.normal(K(1), (B, 24))
+    mem = jnp.zeros((B, L, 8))
+    p = m.init({"params": K(2), "noise": K(3)}, xm, xs, mem,
+               deterministic=False)
+    o1, _, _ = m.apply(p, xm, xs, mem, deterministic=False,
+                       rngs={"noise": K(4)})
+    o2, _, _ = m.apply(p, xm, xs, mem, deterministic=False,
+                       rngs={"noise": K(5)})
+    o3, _, _ = m.apply(p, xm, xs, mem, deterministic=False,
+                       rngs={"noise": K(4)})
+    assert float(jnp.abs(o1 - o2).max()) > 1e-8      # different noise
+    np.testing.assert_array_equal(np.asarray(o1), np.asarray(o3))  # same key
+    # deterministic mode ignores noise
+    d1, _, _ = m.apply(p, xm, xs, mem, deterministic=True)
+    d2, _, _ = m.apply(p, xm, xs, mem, deterministic=True)
+    np.testing.assert_array_equal(np.asarray(d1), np.asarray(d2))
+
+
+def test_separate_radiation_shapes():
+    hyam, hybm, _ = _grid_tuples()
+    m = RNNAutoreg(nx=15, nx_sfc=24, ny=6, ny_sfc=8, nneur=(32, 32),
+                   nh_mem=8, separate_radiation=True, hyam=hyam, hybm=hybm)
+    B, L = 4, 60
+    xm = jax.random.normal(K(0), (B, L, 15))
+    xs = jax.random.normal(K(1), (B, 24))
+    mem = jnp.zeros((B, 50, 8))
+    p = m.init(K(2), xm, xs, mem)
+    out, out_sfc, new_mem = m.apply(p, xm, xs, mem)
+    assert out.shape == (B, 60, 6)
+    assert out_sfc.shape == (B, 8)
+    assert new_mem.shape == (B, 50, 8)
+
+
+# ---------------------------------------------------------------- mp modes
+
+def test_temperature_scalings():
+    T = jnp.asarray([233.16, 253.16, 263.16, 273.16, 300.0])
+    np.testing.assert_allclose(np.asarray(temperature_scaling(T)),
+                               [0, 0, 0.5, 1, 1], atol=1e-6)
+    Ts = jnp.asarray([260.0, 268.7, 283.3, 300.0])
+    sf = np.asarray(temperature_scaling_precip(Ts))
+    assert sf[0] == 1.0 and sf[-1] == 0.0
+    np.testing.assert_allclose(sf[1], 1.0, atol=1e-6)
+
+
+def test_postprocess_mp1_numpy_parity():
+    """mp_mode=1: dqn split by T-ramp; matches independent numpy impl of
+    Base_RNN_autoreg.postprocessing (models.py:273-339)."""
+    rng = np.random.default_rng(0)
+    B, L = 6, 60
+    out = rng.normal(0, 1, (B, L, 5)).astype(np.float32)
+    ysl = np.abs(rng.normal(1, 0.1, (1, 1, 5))).astype(np.float32)
+    yss = np.abs(rng.normal(1, 0.1, 8)).astype(np.float32)
+    out_sfc = rng.normal(0, 1, (B, 8)).astype(np.float32)
+    x_den = np.stack([rng.uniform(220, 300, (B, L)),
+                      rng.uniform(0, 1, (B, L)),
+                      np.abs(rng.normal(0, 1e-5, (B, L))),
+                      np.abs(rng.normal(0, 1e-5, (B, L)))], -1).astype(np.float32)
+    od, osd = postprocess_mp(jnp.asarray(out), jnp.asarray(out_sfc),
+                             jnp.asarray(x_den), jnp.asarray(ysl),
+                             jnp.asarray(yss), mp_mode=1)
+    # numpy reference
+    d = out / ysl
+    T_new = x_den[:, :, 0] + d[:, :, 0] * 1200
+    lf = np.clip((T_new - 253.16) * 0.05, 0, 1)
+    qn_old = x_den[:, :, 2] + x_den[:, :, 3]
+    qn_new = qn_old + d[:, :, 2] * 1200
+    dql = (lf * qn_new - x_den[:, :, 2]) / 1200
+    dqi = ((1 - lf) * qn_new - x_den[:, :, 3]) / 1200
+    exp = np.concatenate([d[:, :, 0:2], dql[..., None], dqi[..., None],
+                          d[:, :, 3:]], axis=2)
+    np.testing.assert_allclose(np.asarray(od), exp, rtol=2e-4, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(osd), out_sfc / yss, rtol=1e-5)
+    # water closure: dql+dqi == dqn
+    np.testing.assert_allclose(np.asarray(od[:, :, 2] + od[:, :, 3]),
+                               d[:, :, 2], rtol=2e-3, atol=1e-7)
+
+
+def test_postprocess_mp_neg1_clamp():
+    """mp_mode=-1: predicted liquid fraction clamped to +-0.2 of diagnosed."""
+    B, L = 2, 60
+    out = np.zeros((B, L, 6), np.float32)
+    out[:, :, 3] = 5.0  # absurd liq_frac prediction -> must clamp
+    x_den = np.zeros((B, L, 4), np.float32)
+    x_den[:, :, 0] = 300.0  # warm: diagnosed frac = 1
+    x_den[:, :, 2] = 1e-5
+    ysl = np.ones((1, 1, 6), np.float32)
+    od, _ = postprocess_mp(jnp.asarray(out), jnp.zeros((B, 8)),
+                           jnp.asarray(x_den), jnp.asarray(ysl),
+                           jnp.ones(8), mp_mode=-1)
+    # clamp to max 1.0 -> all condensate change goes to liquid
+    qn_new = 1e-5  # qn_old + 0
+    np.testing.assert_allclose(np.asarray(od[:, :, 2]),
+                               (1.0 * qn_new - 1e-5) / 1200, atol=1e-12)
+
+
+# ------------------------------------------------------------- rollout
+
+def _make_training_setup(replay=None, w_energy=0.0):
+    g = Grid.from_file(GRID_PATH)
+    rng = np.random.default_rng(0)
+    T, B, L = 8, 32, 60
+    x_lev = rng.normal(0, 1, (T, B, L, 15)).astype(np.float32)
+    x_sfc = rng.normal(0, 1, (T, B, 24)).astype(np.float32)
+    # target = smooth function of inputs so the model can learn
+    y_lev = np.tanh(x_lev[..., :6]) * 0.5
+    y_sfc = np.abs(x_sfc[..., :8]) * 0.5
+    sp = rng.uniform(9.6e4, 1.03e5, (T, B)).astype(np.float32)
+    hyam = tuple(float(x) for x in np.asarray(g.hyam))
+    hybm = tuple(float(x) for x in np.asarray(g.hybm))
+    model = RNNAutoreg(nx=15, nx_sfc=24, ny=6, ny_sfc=8, nneur=(32, 32),
+                       nh_mem=8, hyam=hyam, hybm=hybm, add_pres=False,
+                       output_prune=False)
+    cfg = RolloutConfig(rollout_schedule={0: 1, 1: 2}, lr=3e-3,
+                        replay=replay, replay_slice=(9, 14),
+                        pred_slice=(0, 5), w_energy=w_energy,
+                        gradual_mixing_end_epoch=2)
+    tr = RolloutTrainer(model, cfg, np.asarray(g.hyai), np.asarray(g.hybi),
+                        yscale_lev=jnp.ones((1, 1, 6)),
+                        yscale_sca=jnp.ones(8))
+    data = (x_lev, x_sfc, y_lev, y_sfc, sp)
+    return tr, data
+
+
+def _chunks(data):
+    return keeplev_chunks(*data, chunk_size=4, shuffle=False)
+
+
+def test_rollout_loss_decreases():
+    tr, data = _make_training_setup()
+    params, opt, mem = tr.init(K(0), next(iter(_chunks(data))))
+    recs = []
+    for ep in range(3):
+        params, opt, mem, rec = tr.run_epoch(params, opt, mem,
+                                             _chunks(data), ep)
+        recs.append(rec)
+    assert recs[-1]["loss"] < 0.7 * recs[0]["loss"], recs
+    assert recs[0]["window"] == 1 and recs[1]["window"] == 2
+
+
+def test_rollout_replay_mixed_runs():
+    tr, data = _make_training_setup(replay="mixed")
+    params, opt, mem = tr.init(K(0), next(iter(_chunks(data))))
+    for ep in range(2):
+        params, opt, mem, rec = tr.run_epoch(params, opt, mem,
+                                             _chunks(data), ep)
+        assert np.isfinite(rec["loss"])
+    assert tr.cfg.mix_fraction(0) == 0.5 and tr.cfg.mix_fraction(1) == 1.0
+
+
+def test_rollout_conservation_term():
+    tr, data = _make_training_setup(w_energy=1e-10)
+    params, opt, mem = tr.init(K(0), next(iter(_chunks(data))))
+    params, opt, mem, rec = tr.run_epoch(params, opt, mem, _chunks(data), 0)
+    assert np.isfinite(rec["loss"])
+
+
+def test_rollout_eval_mode_no_update():
+    tr, data = _make_training_setup()
+    params, opt, mem = tr.init(K(0), next(iter(_chunks(data))))
+    p_before = jax.tree_util.tree_map(lambda a: np.asarray(a).copy(), params)
+    params, opt, mem, rec = tr.run_epoch(params, opt, mem, _chunks(data), 0,
+                                         train=False)
+    for a, b in zip(jax.tree_util.tree_leaves(p_before),
+                    jax.tree_util.tree_leaves(params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+# ------------------------------------------------------------- wrapper
+
+def test_online_wrapper_contract():
+    """Raw-in/raw-out wrapper: snowhice fix, exp transform, NaN scrub,
+    368-feature flattening (save_wrapper_mem_prevtend_ftorch.py:199-387)."""
+    from climsim_tpu.export import OnlineWrapper, WrapperConfig, flat_output
+    from climsim_tpu.data import LevelNormalizer
+    from climsim_tpu import variables as V
+
+    hyam, hybm, g = _grid_tuples()
+    vs = V.get("v4_rnn")
+    model = RNNAutoreg(nx=15, nx_sfc=24, ny=5, ny_sfc=8, nneur=(32, 32),
+                       nh_mem=8, hyam=hyam, hybm=hybm, add_pres=False)
+    B, L = 4, 60
+    rngnp = np.random.default_rng(0)
+    x_main = np.abs(rngnp.normal(0.5, 0.2, (B, L, 15))).astype(np.float32)
+    x_main[:, :, 0] = rngnp.uniform(220, 300, (B, L))   # T
+    x_main[:, :, 2:4] = np.abs(rngnp.normal(0, 1e-5, (B, L, 2)))
+    x_main[0, 0, 5] = np.nan                            # NaN input
+    x_sfc = np.abs(rngnp.normal(0.5, 0.2, (B, 24))).astype(np.float32)
+    x_sfc[1, 15] = 1e12                                 # broken SNOWHICE
+    mem = jnp.zeros((B, L, 8))
+
+    norm = LevelNormalizer.identity(vs)
+    # 5-output model: scale_lev must be [*, 5]
+    norm = LevelNormalizer(norm.mean_lev, norm.div_lev, norm.mean_sfc,
+                           norm.div_sfc, jnp.ones((1, 5)), norm.scale_sfc)
+    params = model.init(K(0), jnp.asarray(x_main), jnp.asarray(x_sfc), mem)
+    lbd = np.full(60, 1e4, np.float32)
+    w = OnlineWrapper(model, params, norm, lbd, lbd, lbd,
+                      WrapperConfig(mp_mode=1))
+    out, out_sfc, new_mem = w.jitted()(jnp.asarray(x_main),
+                                       jnp.asarray(x_sfc), mem)
+    assert out.shape == (B, L, 6)       # mp split: 5 outputs -> 6 raw
+    assert out_sfc.shape == (B, 8)
+    assert np.isfinite(np.asarray(out)).all()
+    assert np.isfinite(np.asarray(out_sfc)).all()
+    flat = flat_output(out, out_sfc)
+    assert flat.shape == (B, 368)
+    # flat layout: ptend_t block first, NETSW at 360
+    np.testing.assert_array_equal(np.asarray(flat[:, :60]),
+                                  np.asarray(out[:, :, 0]))
+    np.testing.assert_array_equal(np.asarray(flat[:, 360]),
+                                  np.asarray(out_sfc[:, 0]))

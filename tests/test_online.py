@@ -1,0 +1,235 @@
+"""Online hybrid loop tests: advection conservation/stability, proxy grid
+roundtrip, coupled rollout, halo exchange on the 8-device CPU mesh."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from climsim_tpu.grid import Grid
+from climsim_tpu.online import (build_proxy_grid, to_grid, to_columns,
+                                fv_advect_2d, semi_lagrangian_2d,
+                                conservation_fixer, HybridLoop,
+                                HostLoopConfig)
+
+GRID_PATH = "/root/reference/grid_info/ClimSim_low-res_grid-info.nc"
+
+
+def test_proxy_grid_roundtrip():
+    g = Grid.from_file(GRID_PATH)
+    lat, lon = np.asarray(g.lat), np.asarray(g.lon)
+    gi, si = build_proxy_grid(lat, lon, 16, 24)
+    x = jnp.asarray(np.random.default_rng(0).normal(0, 1, (384, 60)))
+    xg = to_grid(x, jnp.asarray(gi), 16, 24)
+    x2 = to_columns(xg, jnp.asarray(si))
+    np.testing.assert_array_equal(np.asarray(x), np.asarray(x2))
+    # rows are latitude bands: band means increase monotonically
+    latg = to_grid(jnp.asarray(lat), jnp.asarray(gi), 16, 24)
+    band_means = np.asarray(latg).mean(axis=1)
+    assert np.all(np.diff(band_means) > 0)
+
+
+def test_fv_advection_conserves_mass():
+    rng = np.random.default_rng(1)
+    q = jnp.asarray(np.abs(rng.normal(1.0, 0.3, (16, 24))))
+    u = jnp.asarray(rng.normal(0, 0.3, (16, 24)))
+    v = jnp.asarray(rng.normal(0, 0.3, (16, 24)))
+    q1 = fv_advect_2d(q, u, v, 0.5, 0.5)
+    # conservative with zero pole flux: exact global mass conservation
+    np.testing.assert_allclose(float(q1.sum()), float(q.sum()), rtol=1e-10)
+
+
+def test_fv_advection_translates():
+    """Uniform zonal wind translates a blob by u*dt cells (periodic)."""
+    q = jnp.zeros((4, 32)).at[:, 8].set(1.0)
+    u = jnp.ones((4, 32))
+    v = jnp.zeros((4, 32))
+    out = q
+    for _ in range(4):     # CFL=1: moves exactly one cell per step
+        out = fv_advect_2d(out, u, v, 1.0, 0.0)
+    np.testing.assert_allclose(np.asarray(out[:, 12]), 1.0, atol=1e-6)
+    np.testing.assert_allclose(float(out.sum()), float(q.sum()), rtol=1e-12)
+
+
+def test_fv_monotone_no_overshoot():
+    # monotonicity holds for divergence-free (here: uniform) winds; with
+    # compressible winds local accumulation is physical, not overshoot
+    rng = np.random.default_rng(2)
+    q = jnp.asarray((rng.random((16, 24)) > 0.5).astype(np.float64))
+    # v=0: nonzero v piles mass at the no-flux pole edges (physical)
+    u = jnp.full((16, 24), 0.37)
+    v = jnp.zeros((16, 24))
+    out = q
+    for _ in range(10):
+        out = fv_advect_2d(out, u, v, 0.4, 0.4)
+    assert float(out.min()) >= -1e-9
+    assert float(out.max()) <= 1.0 + 1e-9
+
+
+def test_semi_lagrangian_translates():
+    q = jnp.zeros((8, 16)).at[4, 4].set(1.0)
+    u = jnp.full((8, 16), 2.0)
+    v = jnp.zeros((8, 16))
+    out = semi_lagrangian_2d(q, u, v, 1.0, 0.0)
+    assert float(out[4, 6]) > 0.99
+
+
+def test_conservation_fixer():
+    rng = np.random.default_rng(3)
+    q_old = jnp.asarray(np.abs(rng.normal(1, 0.2, (16, 24))))
+    q_new = q_old * 1.05 - 0.02   # drifted + slightly negative
+    w = jnp.asarray(np.abs(rng.normal(1, 0.1, (16, 24))))
+    fixed = conservation_fixer(q_new, q_old, w)
+    np.testing.assert_allclose(float((fixed * w).sum()),
+                               float((q_old * w).sum()), rtol=1e-10)
+    assert float(fixed.min()) >= 0.0
+
+
+def _dummy_emulator(x_main, x_sfc, mem):
+    """Deterministic linear 'physics': warms T, dries qv, zero winds."""
+    B, L, _ = x_main.shape
+    pt = jnp.zeros((B, L, 6))
+    pt = pt.at[:, :, 0].set(1e-5)
+    pt = pt.at[:, :, 1].set(-1e-9 * x_main[:, :, 1] / 1e-3)
+    sfc = jnp.zeros((B, 8)).at[:, 3].set(1e-8)
+    return pt, sfc, mem + 1.0
+
+
+def _init_state(ncol=384, nlev=60):
+    rng = np.random.default_rng(4)
+    return {
+        "T": jnp.asarray(rng.uniform(220, 300, (ncol, nlev))),
+        "qv": jnp.asarray(np.abs(rng.normal(1e-3, 3e-4, (ncol, nlev)))),
+        "qc": jnp.asarray(np.abs(rng.normal(1e-5, 3e-6, (ncol, nlev)))),
+        "qi": jnp.asarray(np.abs(rng.normal(1e-5, 3e-6, (ncol, nlev)))),
+        "u": jnp.asarray(rng.normal(0, 10, (ncol, nlev))),
+        "v": jnp.asarray(rng.normal(0, 3, (ncol, nlev))),
+    }
+
+
+def test_hybrid_rollout_runs_and_is_finite():
+    g = Grid.from_file(GRID_PATH)
+    loop = HybridLoop(_dummy_emulator, g, HostLoopConfig(scheme="fv"))
+    state = _init_state()
+    mem = jnp.zeros((384, 60, 8))
+    x_sfc = jnp.concatenate([jnp.full((384, 1), 1e5),
+                             jnp.ones((384, 23))], axis=1)
+    roll = jax.jit(lambda s, m: loop.rollout(s, m, x_sfc, 5))
+    state2, mem2, diags = roll(state, mem)
+    for k, vv in state2.items():
+        assert np.isfinite(np.asarray(vv)).all(), k
+    assert diags["mean_T"].shape == (5,)
+    # physics heated the column: T increased over the rollout
+    assert float(diags["mean_T"][-1]) > float(diags["mean_T"][0])
+    # memory threaded through all steps
+    np.testing.assert_allclose(np.asarray(mem2), 5.0)
+
+
+def test_hybrid_rollout_water_conservation():
+    """With the fixer on and precip-free dummy physics that only moves
+    moisture, the advection step must not change column-integrated water."""
+    g = Grid.from_file(GRID_PATH)
+
+    def emulator(x_main, x_sfc, mem):
+        B, L, _ = x_main.shape
+        return jnp.zeros((B, L, 6)), jnp.zeros((B, 8)), mem
+
+    loop = HybridLoop(emulator, g, HostLoopConfig(scheme="fv",
+                                                  fix_water=True))
+    state = _init_state()
+    mem = jnp.zeros((384, 60, 8))
+    x_sfc = jnp.concatenate([jnp.full((384, 1), 1e5),
+                             jnp.ones((384, 23))], axis=1)
+    w = g.mass_weights(x_sfc[:, 0])
+    total0 = float(jnp.sum(state["qv"] * w))
+    state2, _, _ = jax.jit(lambda s, m: loop.rollout(s, m, x_sfc, 3))(state,
+                                                                      mem)
+    total1 = float(jnp.sum(state2["qv"] * w))
+    np.testing.assert_allclose(total1, total0, rtol=1e-6)
+
+
+# ------------------------------------------------------------- halo exchange
+
+def test_halo_exchange_matches_global_stencil():
+    """Sharded 3-point stencil with ppermute halos == unsharded result."""
+    from jax import shard_map
+    from jax.sharding import Mesh, PartitionSpec as P
+    from climsim_tpu.parallel.halo import exchange_halo
+    from climsim_tpu.parallel import make_mesh
+
+    mesh = make_mesh(8, axis="col")
+    n = 64
+    x = jnp.asarray(np.random.default_rng(5).normal(0, 1, (n, 16)))
+
+    def stencil_global(x):
+        xm = jnp.concatenate([x[:1], x[:-1]], 0)
+        xp = jnp.concatenate([x[1:], x[-1:]], 0)
+        return 0.25 * xm + 0.5 * x + 0.25 * xp
+
+    def local(xs):
+        xh = exchange_halo(xs, "col", width=1, periodic=False)
+        return 0.25 * xh[:-2] + 0.5 * xh[1:-1] + 0.25 * xh[2:]
+
+    sharded = shard_map(local, mesh=mesh, in_specs=P("col"),
+                        out_specs=P("col"))
+    np.testing.assert_allclose(np.asarray(sharded(x)),
+                               np.asarray(stencil_global(x)), rtol=1e-12)
+
+
+def test_halo_exchange_periodic():
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+    from climsim_tpu.parallel.halo import exchange_halo
+    from climsim_tpu.parallel import make_mesh
+
+    mesh = make_mesh(8, axis="col")
+    x = jnp.arange(16.0).reshape(16, 1)
+
+    def local(xs):
+        xh = exchange_halo(xs, "col", width=1, periodic=True)
+        return xh[:1]  # each shard's top ghost row
+
+    got = shard_map(local, mesh=mesh, in_specs=P("col"),
+                    out_specs=P("col"))(x)
+    # shard i (rows 2i, 2i+1) receives row 2i-1 of the previous shard;
+    # shard 0 wraps to row 15
+    exp = np.array([15., 1., 3., 5., 7., 9., 11., 13.]).reshape(8, 1)
+    np.testing.assert_array_equal(np.asarray(got), exp)
+
+
+def test_sharded_hybrid_step_matches_single_device():
+    """The latitude-sharded coupled step (halo exchange over 8 devices)
+    must reproduce the single-device step bit-for-bit (minus the global
+    water fixer, which is a separate collective)."""
+    from climsim_tpu.online.host_loop import sharded_hybrid_step
+    from climsim_tpu.online import to_grid
+    from climsim_tpu.parallel import make_mesh
+
+    g = Grid.from_file(GRID_PATH)
+    cfg = HostLoopConfig(scheme="fv", fix_water=False)
+    loop = HybridLoop(_dummy_emulator, g, cfg)
+    mesh = make_mesh(8, axis="col")
+
+    state = _init_state()
+    mem = jnp.zeros((384, 60, 4))
+    x_sfc = jnp.concatenate([jnp.full((384, 1), 1e5),
+                             jnp.ones((384, 23))], axis=1)
+
+    # single device reference
+    ref_state, ref_mem, _ = jax.jit(loop.coupled_step)(state, mem, x_sfc)
+
+    # sharded: convert to grid layout [nlat, nlon, lev]
+    gi, si = loop.gather_idx, loop.scatter_idx
+    tog = lambda a: to_grid(a, gi, cfg.nlat, cfg.nlon)
+    state_g = {k: tog(v) for k, v in state.items()}
+    x_sfc_g = tog(x_sfc)
+    mem_g = mem[gi]
+
+    step = sharded_hybrid_step(loop, mesh)
+    out_g, out_mem, diags = step(state_g, mem_g, x_sfc_g)
+
+    from climsim_tpu.online import to_columns
+    for k in state:
+        got = np.asarray(to_columns(out_g[k], si))
+        exp = np.asarray(ref_state[k])
+        np.testing.assert_allclose(got, exp, rtol=1e-6, atol=1e-8,
+                                   err_msg=k)

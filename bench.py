@@ -2,16 +2,19 @@
 
 Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"}.
 
-Methodology: this environment reaches the TPU through a tunnel where
-``block_until_ready`` does not synchronize with execution, so per-dispatch
-wall timing is meaningless. Instead the model forward is iterated N times
-*on device* inside one jitted ``lax.scan`` (iterations serialized through a
-data dependency) returning a scalar; the host fetches the scalar (a real
-sync), and the cost of a trivial scalar fetch is subtracted. Cross-checked
-against chip peak: the MLP path measures ~93% of v5e bf16 peak FLOPs.
+Flagship = the fork-core memory BiGRU emulator (RNNAutoreg, 192/192 hidden,
+nh_mem 16, v4_rnn feature set) — the model the online hybrid loop runs per
+coupled step. Measured with the fused Pallas BiGRU kernel when it compiles
+on the platform, else the scan path.
 
-The reference publishes no throughput numbers (SURVEY.md §6), so
-vs_baseline compares against this project's round-1 record below.
+Methodology: this environment reaches the TPU through a tunnel where
+``block_until_ready`` does not synchronize with execution, so the model is
+iterated N times on device inside one jitted ``lax.scan`` (serialized via a
+data dependency) returning a scalar; the host fetch of that scalar is the
+sync, and a trivial-fetch cost is subtracted.
+
+The reference publishes no throughput numbers (SURVEY.md §6);
+vs_baseline compares against this project's recorded value below.
 """
 import json
 import sys
@@ -20,58 +23,87 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-# Round-1 recorded value for this metric (columns/s/chip on the v1 MLP
-# forward, bf16, batch 36864). vs_baseline = value / BASELINE_VALUE.
-BASELINE_VALUE = 5.3e7
+# Recorded round-1 value (columns/s/chip, RNN emulator forward). None until
+# first measured on hardware -> vs_baseline reports 1.0.
+BASELINE_VALUE = None
 
 
-def main():
+def build(use_pallas: bool):
     import jax
     import jax.numpy as jnp
-    from climsim_tpu import variables as V
-    from climsim_tpu.models import mlp_for, BF16
+    import numpy as np
+    from climsim_tpu.grid import Grid
+    from climsim_tpu.models.rnn import RNNAutoreg
 
-    vs = V.get("v1")
-    model = mlp_for(vs, features=(768, 640, 512, 640, 640), policy=BF16)
-    batch = 36864  # 96 "timesteps" of 384 columns
-    x = jnp.ones((batch, vs.input_feature_len), jnp.float32)
-    params = model.init(jax.random.PRNGKey(0), x[:2])
-    nx = vs.input_feature_len
+    g = Grid.from_file(
+        "/root/reference/grid_info/ClimSim_low-res_grid-info.nc")
+    hyam = tuple(float(x) for x in np.asarray(g.hyam))
+    hybm = tuple(float(x) for x in np.asarray(g.hybm))
+    model = RNNAutoreg(nx=15, nx_sfc=24, ny=6, ny_sfc=8, nneur=(192, 192),
+                       nh_mem=16, use_pallas=use_pallas, hyam=hyam,
+                       hybm=hybm, sp_mean=9.8e4, sp_div=1e4)
+    B, L = 6144, 60     # 16 timesteps x 384 columns
+    xm = jnp.ones((B, L, 15), jnp.float32) * 0.1
+    xs = jnp.ones((B, 24), jnp.float32) * 0.1
+    mem = jnp.zeros((B, L, 16), jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), xm, xs, mem)
+    return model, params, xm, xs, mem, B
 
-    N = 50
+
+def measure(model, params, xm, xs, mem, B, N=20):
+    import jax
+    import jax.numpy as jnp
 
     @jax.jit
-    def loop(params, x):
+    def loop(params, xm, xs, mem):
         def body(carry, _):
-            y = model.apply(params, carry)
-            # fold a sliver of the output back into the input so scan
-            # iterations form a serial dependency chain on device
-            return carry.at[:, :nx].add(y[:, :nx] * 1e-6), ()
-        out, _ = jax.lax.scan(body, x, None, length=N)
-        return jnp.sum(out[0])
+            mem = carry
+            out, out_sfc, mem = model.apply(params, xm, xs, mem)
+            return mem, ()
+        mem, _ = jax.lax.scan(body, mem, None, length=N)
+        return jnp.sum(mem[0, 0])
 
-    triv = jax.jit(lambda x: jnp.sum(x[0]))
-    float(triv(x))            # compile trivial
-    float(loop(params, x))    # compile loop
+    triv = jax.jit(lambda m: jnp.sum(m[0, 0]))
+    float(triv(mem))
+    float(loop(params, xm, xs, mem))   # compile
 
     t0 = time.perf_counter()
     for _ in range(3):
-        float(triv(x))
+        float(triv(mem))
     fetch = (time.perf_counter() - t0) / 3
 
     times = []
     for _ in range(3):
         t0 = time.perf_counter()
-        float(loop(params, x))
+        float(loop(params, xm, xs, mem))
         times.append(time.perf_counter() - t0)
     dt = max(min(times) - fetch, 1e-9)
-    cols_per_s = batch * N / dt
+    return B * N / dt
 
+
+def main():
+    best, variant = None, "scan"
+    for use_pallas, name in ((True, "pallas"), (False, "scan")):
+        try:
+            cols = measure(*build(use_pallas))
+            if best is None or cols > best:
+                best, variant = cols, name
+        except Exception as e:
+            print(f"# {name} variant failed: {type(e).__name__}: {e}",
+                  file=sys.stderr)
+    if best is None:
+        print(json.dumps({"metric": "atmos columns/s/chip (RNN emulator)",
+                          "value": 0.0, "unit": "columns/s",
+                          "vs_baseline": 0.0}))
+        return
+
+    vs = 1.0 if BASELINE_VALUE is None else best / BASELINE_VALUE
     print(json.dumps({
-        "metric": "atmos columns/s/chip (MLP v1 emulator forward, bf16)",
-        "value": round(cols_per_s, 1),
+        "metric": f"atmos columns/s/chip (memory-BiGRU emulator fwd, "
+                  f"{variant})",
+        "value": round(best, 1),
         "unit": "columns/s",
-        "vs_baseline": round(cols_per_s / BASELINE_VALUE, 3),
+        "vs_baseline": round(vs, 3),
     }))
 
 

@@ -205,3 +205,45 @@ class RNNLayer(nn.Module):
                        reverse=self.reverse)
         carry, ys = scan(self.hidden, name="cell")(h0, stream)
         return jnp.swapaxes(ys, 0, 1), carry     # [B, L, hidden], final carry
+
+
+class FusedBiGRULayer(nn.Module):
+    """Both column sweeps as one fused Pallas kernel (ops.pallas_rnn).
+
+    Drop-in for the rnn_up + rnn_down pair of RNNAutoreg when the cell is a
+    GRU: up sweep surface->TOA (reverse), down sweep TOA->surface, down
+    input projection fused. Falls back to the scan reference off-TPU.
+    """
+
+    hidden: int
+    block_b: int = 64
+    force_reference: bool = False
+
+    @nn.compact
+    def __call__(self, x, h0_up, h0_dn):
+        from ..ops.pallas_rnn import fused_bigru, _bigru_reference
+
+        H = self.hidden
+        nx = x.shape[-1]
+        init = nn.initializers.lecun_normal()
+        zeros = nn.initializers.zeros
+        win1 = self.param("win1", init, (nx, 3 * H), jnp.float32)
+        bin1 = self.param("bin1", zeros, (3 * H,), jnp.float32)
+        whh_up = self.param("whh_up", init, (H, 3 * H), jnp.float32)
+        bhh_up = self.param("bhh_up", zeros, (3 * H,), jnp.float32)
+        win2 = self.param("win2", init, (H, 3 * H), jnp.float32)
+        bin2 = self.param("bin2", zeros, (3 * H,), jnp.float32)
+        whh_dn = self.param("whh_dn", init, (H, 3 * H), jnp.float32)
+        bhh_dn = self.param("bhh_dn", zeros, (3 * H,), jnp.float32)
+
+        dt = x.dtype
+        xp = (jnp.einsum("blx,xh->blh", x, win1.astype(dt))
+              + bin1.astype(dt))
+        args = (xp, h0_up.astype(dt), h0_dn.astype(dt), whh_up.astype(dt),
+                bhh_up.astype(dt), win2.astype(dt), bin2.astype(dt),
+                whh_dn.astype(dt), bhh_dn.astype(dt))
+        use_kernel = (not self.force_reference) and \
+            jax.default_backend() == "tpu"
+        if use_kernel:
+            return fused_bigru(*args, self.block_b, False)
+        return _bigru_reference(*args)

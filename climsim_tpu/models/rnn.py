@@ -29,7 +29,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .cells import RNNLayer, needs_cell_state
+from .cells import RNNLayer, FusedBiGRULayer, needs_cell_state
 from .common import Policy, F32
 
 DT = 1200.0
@@ -52,6 +52,7 @@ class RNNAutoreg(nn.Module):
     separate_radiation: bool = False
     add_stochastic_layer: bool = False
     stochastic_cell: str = "sgru"
+    use_pallas: bool = False     # fused BiGRU kernel (gru cell only)
     # static hybrid coefficients + ps normalization for the pressure feature
     hyam: tuple = ()
     hybm: tuple = ()
@@ -100,31 +101,38 @@ class RNNAutoreg(nn.Module):
         hx1 = jnp.tanh(nn.Dense(nh1, dtype=pol.compute_dtype,
                                 param_dtype=pol.param_dtype,
                                 name="mlp_surface1")(x_sfc_crm))
-        if needs_cell_state(self.cell):
-            cx1 = nn.Dense(nh1, dtype=pol.compute_dtype,
-                           param_dtype=pol.param_dtype,
-                           name="mlp_surface2")(x_sfc_crm)
-            carry1 = (hx1, cx1)
-        else:
-            carry1 = hx1
-        up_out, _ = RNNLayer(nh1, self.cell, reverse=True,
-                             name="rnn_up")(h, carry1)
-
-        # ---- downward sweep (TOA -> surface): TOA MLP init from
-        # (SOLIN, COSZRS) = aux[1], aux[6] (models.py:503-507)
+        # ---- downward init (TOA MLP from SOLIN, COSZRS = aux[1], aux[6],
+        # models.py:503-507)
         x_toa = jnp.concatenate([x_sfc[:, 1:2], x_sfc[:, 6:7]], axis=1)
         hx2 = nn.Dense(nh2, dtype=pol.compute_dtype,
                        param_dtype=pol.param_dtype, name="mlp_toa1")(x_toa)
-        if needs_cell_state(self.cell):
-            cx2 = nn.Dense(nh2, dtype=pol.compute_dtype,
-                           param_dtype=pol.param_dtype,
-                           name="mlp_toa2")(x_toa)
-            carry2 = (hx2, cx2)
+
+        use_fused = (self.use_pallas and self.cell == "gru"
+                     and not self.add_stochastic_layer and nh1 == nh2)
+        if use_fused:
+            down_out, last_h = FusedBiGRULayer(
+                nh1, name="bigru_fused")(h, hx1, hx2)
         else:
-            carry2 = hx2
-        down_out, carry_dn = RNNLayer(nh2, self.cell, reverse=False,
-                                      name="rnn_down")(up_out, carry2)
-        last_h = carry_dn[0] if needs_cell_state(self.cell) else carry_dn
+            if needs_cell_state(self.cell):
+                cx1 = nn.Dense(nh1, dtype=pol.compute_dtype,
+                               param_dtype=pol.param_dtype,
+                               name="mlp_surface2")(x_sfc_crm)
+                carry1 = (hx1, cx1)
+            else:
+                carry1 = hx1
+            up_out, _ = RNNLayer(nh1, self.cell, reverse=True,
+                                 name="rnn_up")(h, carry1)
+            if needs_cell_state(self.cell):
+                cx2 = nn.Dense(nh2, dtype=pol.compute_dtype,
+                               param_dtype=pol.param_dtype,
+                               name="mlp_toa2")(x_toa)
+                carry2 = (hx2, cx2)
+            else:
+                carry2 = hx2
+            down_out, carry_dn = RNNLayer(nh2, self.cell, reverse=False,
+                                          name="rnn_down")(up_out, carry2)
+            last_h = carry_dn[0] if needs_cell_state(self.cell) \
+                else carry_dn
 
         # ---- optional stochastic third layer (models.py:405-412,521-534)
         if self.add_stochastic_layer:

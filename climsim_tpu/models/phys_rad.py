@@ -1,0 +1,161 @@
+"""Physical radiation layer: gas-optics MLPs + cloud optics + RT solvers.
+
+Capability equivalent of the reference's ``rad_optical_props`` +
+``radiative_transfer`` (rnn/models/models_phys.py:709-1446) and the
+gas-optics MLP layer (rnn/layers.py:170-281 ``gasopt_mlp``): per-g-point
+optical depths from a softsign MLP with the RRTMGP-style eighth-power
+output transform tau = col_dry * (sigma*y + mu)^8, Planck-fraction softmax
+for the LW source distribution, E3SM cloud optics, the LW no-scattering and
+SW two-stream adding solvers, flux-divergence heating, and physical
+prediction of the 6 radiative surface scalars (NETSW, FLWDS, SOLS, SOLL,
+SOLSD, SOLLD).
+
+The reference loads frozen pre-trained RRTMGP-NN weights from netCDF blobs
+that are stripped from this snapshot (SURVEY.md §7.3) — here the gas-optics
+networks are trainable from scratch (same architecture), which is the
+honest TPU-native equivalent: the emulator learns its own spectral
+discretization end-to-end.
+"""
+from __future__ import annotations
+
+from typing import Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from .. import constants as C
+from ..physics import radiation as R
+from ..physics import cloud_optics as CO
+
+
+class GasOpticsMLP(nn.Module):
+    """Per-g-point optical depth (and LW Planck fractions) from layer state.
+
+    Architecture follows rnn/layers.py:170-281: 3 softsign hidden layers;
+    tau = col_dry * (sigma*y + mu)^8 with learnable scalar sigma/mu; LW
+    variant adds a Planck-fraction softmax head."""
+
+    ng: int
+    hidden: Sequence[int] = (64, 64, 64)
+    lw: bool = False
+
+    @nn.compact
+    def __call__(self, x, col_dry):
+        """x [B, L, nf] normalized layer features; col_dry [B, L] dry-air
+        column density proxy. Returns od [B, L, ng] (+ pfrac if lw)."""
+        h = x
+        for i, w in enumerate(self.hidden):
+            h = jax.nn.soft_sign(nn.Dense(w, name=f"h{i}")(h))
+        y = jax.nn.soft_sign(nn.Dense(self.ng, name="out")(h))
+        sigma = self.param("sigma", nn.initializers.constant(0.3), ())
+        mu = self.param("mu", nn.initializers.constant(0.4), ())
+        od = col_dry[..., None] * jnp.power(
+            jnp.maximum(sigma * y + mu, 0.0), 8)
+        if self.lw:
+            pf = jax.nn.softmax(nn.Dense(self.ng, name="planck")(h), axis=-1)
+            return od, pf
+        return od
+
+
+class RadiationModule(nn.Module):
+    """Full differentiable radiation: heating rates + 6 surface scalars.
+
+    Inputs are raw physical fields; output heating is raw [K/s]."""
+
+    ng_lw: int = 16
+    ng_sw: int = 16
+    hidden: Sequence[int] = (64, 64, 64)
+
+    @nn.compact
+    def __call__(self, T_lay, play, plev, gases, cloud_fields, sfc):
+        """
+        T_lay [B, L] K;  play [B, L], plev [B, L+1] Pa.
+        gases: dict with 'o3', 'ch4', 'n2o' [B, L] (mixing ratios).
+        cloud_fields: dict with 'lwp', 'iwp' [B, L] (g/m2), 'landfrac',
+            'icefrac', 'snowh' [B] surface fields for effective radii.
+        sfc: dict with 'coszrs', 'solin', 'lwup', 'aldif', 'aldir',
+            'asdif', 'asdir' [B].
+        Returns (heating [B, L] K/s, scalars dict).
+        """
+        B, L = T_lay.shape
+        dp = plev[:, 1:] - plev[:, :-1]
+        col_dry = dp / (C.GRAV * 0.02896) / 6.02214e26 * 1e26  # ~mol/cm2
+
+        feats = jnp.stack([
+            T_lay / 300.0, jnp.log(jnp.maximum(play, 1.0)) / 12.0,
+            gases["o3"] * 1e6, gases["ch4"] * 1e6, gases["n2o"] * 1e6,
+        ], axis=-1)
+
+        # ---------------- longwave ----------------
+        od_lw, pfrac = GasOpticsMLP(self.ng_lw, self.hidden, lw=True,
+                                    name="gas_lw")(feats, col_dry)
+        # grey cloud LW absorption ~ 0.07*LWP + 0.07*IWP per band share
+        od_cld_lw = (0.07 * cloud_fields["lwp"]
+                     + 0.07 * cloud_fields["iwp"])[..., None] / self.ng_lw
+        od_lw = od_lw + od_cld_lw
+
+        tlev = R.interpolate_tlev(T_lay, play, plev)
+        b_lay_top = R.outgoing_lw(tlev[:, :-1])[..., None] * pfrac
+        b_lay_bot = R.outgoing_lw(tlev[:, 1:])[..., None] * pfrac
+        sup, sdn, trans = R.reftrans_lw(b_lay_top, b_lay_bot, od_lw)
+        # surface source: LWUP distributed with the lowest layer's fractions
+        src_sfc = sfc["lwup"][:, None] * pfrac[:, -1, :]
+        emis = jnp.ones_like(src_sfc)
+        fdn_lw, fup_lw = R.lw_solver_noscat(trans, sdn, sup, src_sfc, emis)
+        fdn_lw_tot = fdn_lw.sum(-1)
+        fup_lw_tot = fup_lw.sum(-1)
+        net_lw = fdn_lw_tot - fup_lw_tot                 # down positive
+
+        # ---------------- shortwave ----------------
+        mu0 = jnp.clip(sfc["coszrs"], 1e-3, 1.0)[:, None, None]
+        od_sw = GasOpticsMLP(self.ng_sw, self.hidden,
+                             name="gas_sw")(feats, col_dry * 0.2)
+        ssa_gas = jax.nn.sigmoid(self.param(
+            "ssa_gas", nn.initializers.constant(2.0), (self.ng_sw,)))
+        tau_c, ssa_c, g_c = CO.cloud_optics_sw(
+            cloud_fields["lwp"], cloud_fields["iwp"], T_lay,
+            cloud_fields["landfrac"][:, None],
+            cloud_fields["icefrac"][:, None],
+            cloud_fields["snowh"][:, None], self.ng_sw)
+        tau, ssa, g = CO.combine_optics(
+            od_sw, jnp.broadcast_to(ssa_gas, od_sw.shape),
+            jnp.zeros_like(od_sw), tau_c, ssa_c, g_c)
+        ssa = jnp.clip(ssa, 1e-6, 0.999999)
+
+        rd, td, rdir, tdd, tdir = R.calc_ref_trans_sw(mu0, tau, ssa, g)
+
+        # spectral solar weights (learnable softmax ~ solar source fn)
+        w_solar = jax.nn.softmax(self.param(
+            "solar_w", nn.initializers.zeros, (self.ng_sw,)))
+        toa = sfc["solin"][:, None] * w_solar[None, :]
+        alb_diff = 0.5 * (sfc["aldif"] + sfc["asdif"])[:, None] \
+            * jnp.ones((1, self.ng_sw))
+        alb_dir = 0.5 * (sfc["aldir"] + sfc["asdir"])[:, None] \
+            * jnp.ones((1, self.ng_sw))
+        fup_sw, fdiff_sw, fdir_sw = R.adding_sw(
+            toa, alb_diff, alb_dir, rd, td, rdir, tdd, tdir)
+
+        # visible/near-IR split weights (make_sw_visible_weights analog)
+        vis_w = jax.nn.sigmoid(self.param(
+            "vis_w", nn.initializers.zeros, (self.ng_sw,)))
+        sfc_dir = fdir_sw[:, -1, :]
+        sfc_diff = fdiff_sw[:, -1, :]
+        sols = jnp.sum(sfc_dir * vis_w, -1)           # visible direct
+        soll = jnp.sum(sfc_dir * (1 - vis_w), -1)     # near-IR direct
+        solsd = jnp.sum(sfc_diff * vis_w, -1)
+        solld = jnp.sum(sfc_diff * (1 - vis_w), -1)
+
+        fdn_sw_tot = (fdir_sw + fdiff_sw).sum(-1)
+        fup_sw_tot = fup_sw.sum(-1)
+        net_sw = fdn_sw_tot - fup_sw_tot
+        netsw_sfc = net_sw[:, -1]
+
+        heating = R.heating_rate(net_lw + net_sw, dp)
+        scalars = {
+            "NETSW": netsw_sfc,
+            "FLWDS": fdn_lw_tot[:, -1],
+            "SOLS": sols, "SOLL": soll, "SOLSD": solsd, "SOLLD": solld,
+            "OLR": fup_lw_tot[:, 0],
+        }
+        return heating, scalars

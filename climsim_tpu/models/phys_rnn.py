@@ -1,0 +1,302 @@
+"""Physics-constrained RNN emulator: flux + process-rate microphysics.
+
+TPU-native re-design of ``physical_RNN_autoreg``
+(rnn/models/models_phys.py:25-706): instead of raw tendencies the decoder
+predicts per-sub-grid-region state decompositions, mass-flux/eddy-diffusive
+vertical fluxes with zero boundary conditions, and microphysical process
+rates (precip evaporation, condensation/evaporation, autoconversion+
+accretion) clamped for positivity IN THE REFERENCE ORDER
+(models_phys.py:535-559 — the clamp chain is order-dependent, SURVEY.md
+§7.3); tendencies are then assembled from conservation equations with
+Lv/Ls latent-heat bookkeeping, and precipitation is semi-prognostic: the
+column water sink feeds a stored-precipitation pool carried in the last
+memory slot with a learned release fraction and a temperature-dependent
+maximum (models_phys.py:647-677).
+
+Layout is batch-first [B, L, ...] (the reference is level-first); the CRM
+occupies the bottom ``nlev_crm``=50 of 60 levels (ilev_crm=10).
+
+Outputs follow the mp_mode conventions of models.py; the scaled-output
+contract matches RNNAutoreg so the same rollout engine drives both.
+"""
+from __future__ import annotations
+
+from typing import Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import constants as C
+from .cells import RNNLayer
+from .common import Policy, F32
+from .rnn import temperature_scaling, temperature_scaling_precip
+from ..physics import thermo
+
+DT = 1200.0
+
+
+class PhysicalRNNAutoreg(nn.Module):
+    """Flux-predicting physical emulator.
+
+    Call: (x_main [B,60,nx] normalized, x_sfc [B,ns] normalized,
+           mem [B,nlev_mem,nh_mem+1] with stored precip in the last slot,
+           x_denorm [B,60,>=4] RAW state with T at 0, qliq 2, qice 3 and
+           qv at channel ``qv_channel``)
+      -> (out [B,60,ny] scaled, out_sfc [B,8] scaled, new_mem, aux dict)
+    """
+
+    nx: int
+    nx_sfc: int
+    ny: int = 5                  # mp constraint: [dT, dqv, dqn, du, dv]
+    ny_sfc: int = 8
+    nneur: Sequence[int] = (128, 128)
+    nh_mem: int = 16
+    nreg: int = 8                # sub-grid regions
+    use_clear_sky_region: bool = True
+    pred_subgrid_temp: bool = True
+    ice_sedimentation: bool = True
+    store_precip: bool = True
+    allow_extra_heating: bool = False
+    condense_supersaturated: bool = False
+    ilev_crm: int = 10
+    qv_channel: int = -1         # channel of qv in x_denorm
+    # static coefficients
+    hyai: tuple = ()
+    hybi: tuple = ()
+    hyam: tuple = ()
+    hybm: tuple = ()
+    sp_mean: float = 0.0
+    sp_div: float = 1.0
+    # output scaling columns [L_crm or 1]: (dT, dqv, dqn) — passed static
+    yscale_t: float = 1.0
+    yscale_qv: float = 1.0
+    yscale_qn: float = 1.0
+    yscale_precc: float = 1.0
+    policy: Policy = F32
+
+    @nn.compact
+    def __call__(self, x_main, x_sfc, mem, x_denorm):
+        B, L, _ = x_main.shape
+        nh1, nh2 = self.nneur[0], self.nneur[1]
+        pol = self.policy
+        ic = self.ilev_crm
+        Lc = L - ic
+        nreg = self.nreg
+
+        x_main = pol.cast_in(x_main)
+        x_sfc = pol.cast_in(x_sfc)
+        mem_lat = pol.cast_in(mem[..., :self.nh_mem])
+        P_old = mem[:, -1, -1]                       # stored precip pool
+
+        # ---- bi-RNN trunk on CRM levels (as RNNAutoreg)
+        h = jnp.tanh(nn.Dense(nh1, name="mlp_initial")(x_main[:, ic:, :]))
+        h = jnp.concatenate([h, mem_lat], axis=-1)
+        hx1 = jnp.tanh(nn.Dense(nh1, name="mlp_surface1")(x_sfc))
+        up, _ = RNNLayer(nh1, "gru", reverse=True, name="rnn_up")(h, hx1)
+        x_toa = jnp.concatenate([x_sfc[:, 1:2], x_sfc[:, 6:7]], axis=1)
+        hx2 = nn.Dense(nh2, name="mlp_toa1")(x_toa)
+        rnn2out, last_h = RNNLayer(nh2, "gru", reverse=False,
+                                   name="rnn_down")(up, hx2)
+
+        new_mem_lat = nn.Dense(self.nh_mem, name="mlp_latent")(rnn2out)
+        out_raw = nn.Dense(self.ny, name="mlp_output")(new_mem_lat)
+
+        # ---- pressure geometry (raw ps from sfc channel 0)
+        sp = x_sfc[:, 0] * self.sp_div + self.sp_mean
+        hyai = jnp.asarray(self.hyai, x_main.dtype)
+        hybi = jnp.asarray(self.hybi, x_main.dtype)
+        hyam = jnp.asarray(self.hyam, x_main.dtype)
+        hybm = jnp.asarray(self.hybm, x_main.dtype)
+        plev = 1e5 * hyai + sp[:, None] * hybi       # [B, L+1]
+        play = 1e5 * hyam + sp[:, None] * hybm       # [B, L]
+        dp = (plev[:, 1:] - plev[:, :-1])[:, ic:]    # [B, Lc]
+        inv_dp = 1.0 / dp[..., None]
+
+        # ---- raw GCM state on CRM levels
+        T_gcm = x_denorm[:, ic:, 0:1]
+        qliq_gcm = x_denorm[:, ic:, 2:3]
+        qice_gcm = x_denorm[:, ic:, 3:4]
+        qn_gcm = qliq_gcm + qice_gcm
+        qv_gcm = x_denorm[:, ic:, self.qv_channel:self.qv_channel + 1] \
+            if self.qv_channel >= 0 else x_denorm[:, ic:, -1:]
+
+        # ---- 1. sub-grid decomposition (mean-preserving rescale)
+        latent = rnn2out
+        nreg_q = nreg - 1 if self.use_clear_sky_region else nreg
+        qv_crm = jax.nn.softplus(nn.Dense(nreg, name="mlp_qv_crm")(latent))
+        qn_crm = jax.nn.softplus(nn.Dense(nreg_q, name="mlp_qn_crm")(latent))
+        if self.use_clear_sky_region:
+            qn_crm = jnp.concatenate(
+                [jnp.zeros((B, Lc, 1), qn_crm.dtype), qn_crm], axis=-1)
+        area_frac = jax.nn.softmax(
+            nn.Dense(nreg, name="mlp_subgrid_area_frac")(latent), axis=-1)
+
+        def rescale(q_crm, q_gcm):
+            mean = jnp.sum(q_crm * area_frac, -1, keepdims=True)
+            scale = jnp.where(mean == 0, 1.0, q_gcm / jnp.maximum(mean, 1e-30))
+            return q_crm * scale
+
+        qv_crm = rescale(qv_crm, qv_gcm)
+        qn_crm = rescale(qn_crm, qn_gcm)
+        if self.pred_subgrid_temp:
+            dT_sub = nn.Dense(nreg, name="mlp_t_crm")(latent)
+            dT_sub = dT_sub - jnp.sum(dT_sub * area_frac, -1, keepdims=True)
+            T_crm = T_gcm + dT_sub
+        else:
+            T_crm = T_gcm
+
+        # ---- 2. vertical fluxes (zero BCs at CRM top and surface)
+        g = C.GRAV
+        sf = -g                                         # -g d(flux)/dp
+        flux1 = nn.Dense(nreg, name="mlp_massflux")(rnn2out)
+        eddy = nn.Dense(nreg, name="mlp_eddy_diff")(rnn2out)
+
+        play_crm = play[:, ic:]
+        pd0 = (play_crm - play[:, ic - 1:-1])[..., None]
+        flux_H = eddy * (C.CP / g) * T_crm * pd0
+        zer1 = jnp.zeros((B, 1, nreg), flux_H.dtype)
+        flux_H = jnp.concatenate([zer1, flux_H[:, :-1], zer1], axis=1)
+        flux_t_dp = (sf / C.CP) * (flux_H[:, 1:] - flux_H[:, :-1]) * inv_dp
+
+        fm = 3.0e5
+        fqv = fm * flux1 * qv_crm
+        fqn = fm * flux1 * qn_crm
+        fqv = jnp.concatenate([zer1, fqv[:, :-1], zer1], axis=1)
+        fqn = jnp.concatenate([zer1, fqn[:, :-1], zer1], axis=1)
+        flux_qv_dp = sf * (fqv[:, 1:] - fqv[:, :-1]) * inv_dp
+        flux_qn_dp = sf * (fqn[:, 1:] - fqn[:, :-1]) * inv_dp
+
+        ys_t, ys_qv, ys_qn = self.yscale_t, self.yscale_qv, self.yscale_qn
+        if self.ice_sedimentation:
+            qice_crm = jax.nn.softplus(
+                nn.Dense(nreg, name="mlp_qice_crm")(latent))
+            qice_crm = rescale(qice_crm, qice_gcm)
+            sed = nn.relu(nn.Dense(nreg, name="mlp_sed_qn_crm")(rnn2out))
+            sed = sed * g * qice_crm * ys_qn
+            sedimentation = jnp.sum(area_frac[:, -1] * sed[:, -1], -1)
+            sed = jnp.concatenate([zer1, sed], axis=1)
+            sed_qn_dp = sf * (sed[:, 1:] - sed[:, :-1]) * inv_dp
+        else:
+            sedimentation = jnp.zeros((B,), x_main.dtype)
+            sed_qn_dp = 0.0
+
+        # ---- 3. process rates + ORDERED positivity clamps (:535-559)
+        dqv_evap_prec = nn.relu(
+            nn.Dense(nreg, name="mlp_evap_prec_crm")(rnn2out)) + 1.0e-6
+        dq_cond = nn.Dense(nreg_q, name="mlp_evap_cond_vapor_crm")(rnn2out)
+        if self.use_clear_sky_region:
+            dq_cond = jnp.concatenate(
+                [jnp.zeros((B, Lc, 1), dq_cond.dtype), dq_cond], axis=-1)
+
+        if self.store_precip:
+            # distribute the stored pool over levels, weight evaporation
+            P_vert = jax.nn.softmax(out_raw[:, :, 2], axis=1) \
+                * P_old[:, None]
+            dqv_evap_prec = dqv_evap_prec * P_vert[..., None]
+
+        alpha = nn.relu(nn.Dense(nreg, name="mlp_mp_aa_crm")(rnn2out))
+        dqn_aa = alpha * qn_crm * ys_qn
+
+        ice_term = sed_qn_dp if self.ice_sedimentation else 0.0
+        minval = -(ys_qn * qn_crm / DT) - flux_qn_dp + dqn_aa - ice_term
+        dq_cond = jnp.maximum(dq_cond, minval)
+        minval = -(ys_qv * qv_crm / DT) - flux_qv_dp + dq_cond
+        dqv_evap_prec = jnp.maximum(dqv_evap_prec, minval)
+        qn_max = 0.0006
+        minval = flux_qn_dp + dq_cond + ice_term \
+            - ys_qn * (qn_max - qn_crm) / DT
+        dqn_aa = jnp.maximum(dqn_aa, minval)
+
+        # ---- 4. conservation equations
+        dqv_crm = flux_qv_dp - dq_cond + dqv_evap_prec
+        dqn_crm = flux_qn_dp + dq_cond - dqn_aa
+        if self.ice_sedimentation:
+            dqn_crm = dqn_crm + sed_qn_dp
+        dT_crm = flux_t_dp
+        if self.pred_subgrid_temp:
+            temp = T_crm + dT_crm / ys_t * DT
+            liq_frac_crm = temperature_scaling(temp)
+            net_cond = (1.0 / C.CP) * (
+                (liq_frac_crm * C.LV + (1 - liq_frac_crm) * C.LSUB)
+                * dq_cond - C.LV * dqv_evap_prec)
+        else:
+            temp = T_gcm[..., 0] + jnp.sum(area_frac * dT_crm, 2) / ys_t * DT
+            liq_frac = temperature_scaling(temp)[..., None]
+            dq_cond_s = jnp.sum(area_frac * dq_cond, 2, keepdims=True)
+            dqv_ep_s = jnp.sum(area_frac * dqv_evap_prec, 2, keepdims=True)
+            net_cond = (1.0 / C.CP) * (
+                (liq_frac * C.LV + (1 - liq_frac) * C.LSUB) * dq_cond_s
+                - C.LV * dqv_ep_s)
+            liq_frac_crm = liq_frac
+        net_cond = (net_cond / ys_qv) * ys_t
+        dT_crm = dT_crm + net_cond
+
+        dT = jnp.sum(area_frac * dT_crm, 2, keepdims=True)
+        dqv = jnp.sum(area_frac * dqv_crm, 2, keepdims=True)
+        dqn = jnp.sum(area_frac * dqn_crm, 2, keepdims=True)
+        d_prec = jnp.sum(area_frac * (dqn_aa - dqv_evap_prec), 2)
+
+        if self.condense_supersaturated:
+            qv_new = nn.relu(qv_gcm + DT * dqv / ys_qv)
+            temp2 = nn.relu(T_gcm + DT * dT / ys_t)
+            qsat = thermo.qsat(temp2[..., 0], play_crm)[..., None]
+            qv_excess = jnp.maximum(qv_new - qsat, 0.0) / DT
+            dqv = dqv - qv_excess * ys_qv
+            dqn = dqn + qv_excess * ys_qn
+            lf = temperature_scaling(temp2)
+            dT = dT + (1.0 / C.CP) * (lf * C.LV + (1 - lf) * C.LSUB) \
+                * qv_excess * ys_t
+
+        # ---- 5. semi-prognostic precipitation (:647-677)
+        one_over_g = 1.0 / g
+        water_new = jnp.sum(one_over_g * dp * d_prec, axis=1)
+        if self.store_precip:
+            water_new = P_old + water_new
+            prec_negative = nn.relu(-water_new)
+            water_new = nn.relu(water_new)
+            release = jax.nn.sigmoid(
+                nn.Dense(1, name="mlp_precip_release")(last_h))[:, 0]
+            water_released = release * water_new
+            water_stored = water_new * (1.0 - release)
+            Tsfc = x_denorm[:, -1, 0]
+            Pmax = 1000.0 * self.yscale_precc * 5.58e-18 \
+                * jnp.exp(0.077 * Tsfc)
+            water_excess = nn.relu(water_stored - Pmax)
+            water_stored = water_stored - water_excess
+            precip = sedimentation + water_released + water_excess
+        else:
+            prec_negative = nn.relu(-water_new)
+            water_new = nn.relu(water_new)
+            water_stored = jnp.zeros_like(water_new)
+            precip = sedimentation + water_new
+
+        precc = precip / 1000.0
+        snowfrac = temperature_scaling_precip(x_denorm[:, -1, 0])
+        precsc = snowfrac * precc
+
+        # ---- assemble outputs (winds + radiative scalars stay pure-ML)
+        out = jnp.zeros((B, L, self.ny), x_main.dtype)
+        out = out.at[:, ic + 2:, -2:].set(out_raw[:, 2:, -2:])
+        if self.allow_extra_heating:
+            out = out.at[:, ic:, 0:1].set(out_raw[:, :, 0:1] + dT)
+        else:
+            out = out.at[:, ic:, 0:1].set(dT)
+        out = out.at[:, ic:, 1:2].set(dqv)
+        out = out.at[:, ic:, 2:3].set(dqn)
+
+        sfc_ml = nn.Dense(self.ny_sfc, name="mlp_surface_output")(last_h)
+        out_sfc = sfc_ml.at[:, 2].set(precsc * self.yscale_precc)
+        out_sfc = out_sfc.at[:, 3].set(precc * self.yscale_precc)
+
+        new_mem = jnp.concatenate(
+            [new_mem_lat,
+             jnp.repeat(water_stored[:, None, None], Lc, axis=1)], axis=-1)
+
+        aux = {"prec_negative": prec_negative, "area_frac": area_frac,
+               "liq_frac_crm": liq_frac_crm, "qv_crm": qv_crm,
+               "qn_crm": qn_crm, "T_crm": T_crm,
+               "water_stored": water_stored}
+        return (pol.cast_out(out), pol.cast_out(out_sfc),
+                pol.cast_out(new_mem), aux)

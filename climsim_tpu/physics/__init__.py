@@ -1,3 +1,4 @@
-from . import thermo, transforms, conservation
+from . import thermo, transforms, conservation, radiation, cloud_optics
 
-__all__ = ["thermo", "transforms", "conservation"]
+__all__ = ["thermo", "transforms", "conservation", "radiation",
+           "cloud_optics"]

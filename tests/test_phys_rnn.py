@@ -1,0 +1,173 @@
+"""Physics-constrained RNN tests: positivity-by-construction, conservation
+of the subgrid decomposition, precip storage semantics."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from climsim_tpu.grid import Grid
+from climsim_tpu.models.phys_rnn import PhysicalRNNAutoreg
+
+GRID_PATH = "/root/reference/grid_info/ClimSim_low-res_grid-info.nc"
+K = jax.random.PRNGKey
+YS_T, YS_QV, YS_QN, YS_PREC = 1e5, 1e8, 1e8, 1e7
+
+
+def _setup(seed=0, **kw):
+    g = Grid.from_file(GRID_PATH)
+    tt = lambda a: tuple(float(x) for x in np.asarray(a))
+    args = dict(nx=15, nx_sfc=24, ny=5, ny_sfc=8, nneur=(32, 32), nh_mem=8,
+                nreg=6, hyai=tt(g.hyai), hybi=tt(g.hybi), hyam=tt(g.hyam),
+                hybm=tt(g.hybm), sp_mean=9.8e4, sp_div=1.0,
+                yscale_t=YS_T, yscale_qv=YS_QV, yscale_qn=YS_QN,
+                yscale_precc=YS_PREC)
+    args.update(kw)
+    m = PhysicalRNNAutoreg(**args)
+    B, L = 6, 60
+    rng = np.random.default_rng(seed)
+    xm = jnp.asarray(rng.normal(0, 1, (B, L, 15)).astype(np.float32))
+    xs = jnp.asarray(rng.normal(0, 1, (B, 24)).astype(np.float32))
+    mem = jnp.zeros((B, 50, args["nh_mem"] + 1))
+    xd = np.zeros((B, L, 6), np.float32)
+    xd[:, :, 0] = rng.uniform(200, 300, (B, L))
+    xd[:, :, 2] = np.abs(rng.normal(0, 1e-5, (B, L)))
+    xd[:, :, 3] = np.abs(rng.normal(0, 1e-5, (B, L)))
+    xd[:, :, -1] = np.abs(rng.normal(1e-3, 3e-4, (B, L)))
+    xd = jnp.asarray(xd)
+    p = m.init(K(1), xm, xs, mem, xd)
+    return m, p, xm, xs, mem, xd
+
+
+def test_shapes_and_finiteness():
+    m, p, xm, xs, mem, xd = _setup()
+    out, osfc, nm, aux = m.apply(p, xm, xs, mem, xd)
+    assert out.shape == (6, 60, 5)
+    assert osfc.shape == (6, 8)
+    assert nm.shape == (6, 50, 9)
+    assert np.isfinite(np.asarray(out)).all()
+    assert np.isfinite(np.asarray(osfc)).all()
+
+
+def test_positivity_by_construction():
+    """The ordered clamp chain guarantees qv/qn stay non-negative after one
+    timestep (models_phys.py:535-559 semantics)."""
+    m, p, xm, xs, mem, xd = _setup(seed=3)
+    out, _, _, _ = m.apply(p, xm, xs, mem, xd)
+    qn_new = (xd[:, 10:, 2] + xd[:, 10:, 3]) \
+        + 1200 * out[:, 10:, 2] / YS_QN
+    qv_new = xd[:, 10:, -1] + 1200 * out[:, 10:, 1] / YS_QV
+    assert float(qn_new.min()) > -1e-8
+    assert float(qv_new.min()) > -1e-8
+
+
+def test_subgrid_decomposition_preserves_mean():
+    m, p, xm, xs, mem, xd = _setup()
+    _, _, _, aux = m.apply(p, xm, xs, mem, xd)
+    af, qv_crm = aux["area_frac"], aux["qv_crm"]
+    np.testing.assert_allclose(np.asarray(af.sum(-1)), 1.0, atol=1e-5)
+    qv_mean = np.asarray(jnp.sum(af * qv_crm, -1))
+    np.testing.assert_allclose(qv_mean, np.asarray(xd[:, 10:, -1]),
+                               rtol=1e-4)
+
+
+def test_precip_nonnegative_and_snow_split():
+    m, p, xm, xs, mem, xd = _setup(seed=5)
+    _, osfc, _, _ = m.apply(p, xm, xs, mem, xd)
+    precsc, precc = np.asarray(osfc[:, 2]), np.asarray(osfc[:, 3])
+    assert np.all(precc >= 0)
+    assert np.all(precsc >= -1e-12)
+    assert np.all(precsc <= precc + 1e-12)   # snow <= total
+
+
+def test_precip_storage_carries_in_memory():
+    """Stored water appears in the last memory slot and feeds the next
+    step's release (models_phys.py:647-677, rnn_mem[-1] slot)."""
+    m, p, xm, xs, mem, xd = _setup(seed=7)
+    _, osfc1, nm1, aux1 = m.apply(p, xm, xs, mem, xd)
+    stored = np.asarray(aux1["water_stored"])
+    np.testing.assert_allclose(np.asarray(nm1[:, 0, -1]), stored, rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(nm1[:, -1, -1]), stored, rtol=1e-6)
+    # feeding the memory back changes precip
+    _, osfc2, _, _ = m.apply(p, xm, xs, nm1, xd)
+    if stored.max() > 0:
+        assert not np.allclose(np.asarray(osfc1[:, 3]),
+                               np.asarray(osfc2[:, 3]))
+
+
+def test_no_store_precip_mode():
+    m, p, xm, xs, mem, xd = _setup(store_precip=False)
+    out, osfc, nm, aux = m.apply(p, xm, xs, mem, xd)
+    assert np.all(np.asarray(osfc[:, 3]) >= 0)
+    np.testing.assert_allclose(np.asarray(nm[..., -1]), 0.0, atol=1e-12)
+
+
+def test_differentiable():
+    m, p, xm, xs, mem, xd = _setup()
+    g = jax.grad(lambda p: jnp.sum(jnp.square(
+        m.apply(p, xm, xs, mem, xd)[0])))(p)
+    assert all(np.isfinite(np.asarray(a)).all()
+               for a in jax.tree_util.tree_leaves(g))
+
+
+# ------------------------------------------------------------- radiation
+
+def _rad_setup():
+    from climsim_tpu.models.phys_rad import RadiationModule
+    g = Grid.from_file(GRID_PATH)
+    B, L = 4, 60
+    rng = np.random.default_rng(11)
+    sp = jnp.asarray(rng.uniform(9.6e4, 1.02e5, B).astype(np.float32))
+    plev = np.asarray(g.interface_pressure(sp))
+    play = np.asarray(g.mid_pressure(sp))
+    T = jnp.asarray(np.linspace(220, 290, L)[None].repeat(B, 0)
+                    .astype(np.float32))
+    gases = {"o3": jnp.full((B, L), 2e-6), "ch4": jnp.full((B, L), 9e-7),
+             "n2o": jnp.full((B, L), 5e-7)}
+    clouds = {"lwp": jnp.asarray(np.abs(rng.normal(5, 3, (B, L)))
+                                 .astype(np.float32)),
+              "iwp": jnp.asarray(np.abs(rng.normal(3, 2, (B, L)))
+                                 .astype(np.float32)),
+              "landfrac": jnp.full((B,), 0.3),
+              "icefrac": jnp.zeros((B,)), "snowh": jnp.zeros((B,))}
+    sfc = {"coszrs": jnp.asarray(rng.uniform(0.1, 1.0, B).astype(np.float32)),
+           "solin": jnp.asarray(rng.uniform(400, 1300, B).astype(np.float32)),
+           "lwup": jnp.asarray((5.67e-8 * 290 ** 4)
+                               * np.ones(B, np.float32)),
+           "aldif": jnp.full((B,), 0.3), "aldir": jnp.full((B,), 0.3),
+           "asdif": jnp.full((B,), 0.3), "asdir": jnp.full((B,), 0.3)}
+    m = RadiationModule(ng_lw=8, ng_sw=8, hidden=(32, 32))
+    p = m.init(K(0), T, jnp.asarray(play), jnp.asarray(plev), gases,
+               clouds, sfc)
+    return m, p, (T, jnp.asarray(play), jnp.asarray(plev), gases, clouds,
+                  sfc)
+
+
+def test_radiation_module_outputs():
+    m, p, args = _rad_setup()
+    heating, scalars = m.apply(p, *args)
+    B, L = args[0].shape
+    assert heating.shape == (B, L)
+    assert np.isfinite(np.asarray(heating)).all()
+    for k in ("NETSW", "FLWDS", "SOLS", "SOLL", "SOLSD", "SOLLD", "OLR"):
+        v = np.asarray(scalars[k])
+        assert v.shape == (B,) and np.isfinite(v).all(), k
+    # physical sanity: downward LW at surface positive, OLR positive,
+    # surface SW components non-negative and bounded by SOLIN
+    assert np.all(np.asarray(scalars["FLWDS"]) > 0)
+    assert np.all(np.asarray(scalars["OLR"]) > 0)
+    sw_sum = sum(np.asarray(scalars[k]) for k in
+                 ("SOLS", "SOLL", "SOLSD", "SOLLD"))
+    assert np.all(sw_sum >= 0)
+    assert np.all(sw_sum <= np.asarray(args[5]["solin"]) + 1e-3)
+
+
+def test_radiation_module_differentiable():
+    m, p, args = _rad_setup()
+
+    def loss(p):
+        heating, scalars = m.apply(p, *args)
+        return jnp.sum(jnp.square(heating)) + jnp.sum(scalars["NETSW"])
+
+    g = jax.grad(loss)(p)
+    leaves = jax.tree_util.tree_leaves(g)
+    assert all(np.isfinite(np.asarray(a)).all() for a in leaves)
+    assert sum(float(jnp.abs(a).sum()) for a in leaves) > 0

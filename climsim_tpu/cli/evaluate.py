@@ -1,0 +1,97 @@
+"""Offline evaluation CLI — the per-trial scoring script equivalent
+(evaluation/ClimSim_metrics.many-trials.v2.py:1-326): load input/target/
+prediction arrays, recover raw ps, apply the unscale -> dp/g -> area ->
+energy weighting chain, and write per-variable and per-level metric CSVs.
+
+Usage:
+    python -m climsim_tpu.cli.evaluate --input val_input.npy \
+        --target val_target.npy --pred my_model_pred.npy \
+        [--vset v1] [--samples samples.npy] [--out metrics.csv]
+        [--platform cpu]
+
+Arrays: flat [N, nx]/[N, ny] with N a multiple of 384 (time-major column
+blocks), or [T, 384, ny]. Targets/preds may be normalized (default,
+--scale-file or reference output_scale applied) or raw (--raw).
+"""
+from __future__ import annotations
+
+import argparse
+import sys
+
+import numpy as np
+
+NORM = "/root/reference/preprocessing/normalizations"
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--input", required=True)
+    p.add_argument("--target", required=True)
+    p.add_argument("--pred", required=True)
+    p.add_argument("--samples", help="npy [.., ny, S] for CRPS")
+    p.add_argument("--vset", default="v1")
+    p.add_argument("--ncol", type=int, default=384)
+    p.add_argument("--raw", action="store_true",
+                   help="targets/preds already in raw units")
+    p.add_argument("--out", default="metrics.csv")
+    p.add_argument("--out-lev", default=None)
+    p.add_argument("--grid", default="/root/reference/grid_info/"
+                   "ClimSim_low-res_grid-info.nc")
+    p.add_argument("--platform", default=None)
+    args = p.parse_args(argv)
+
+    import jax
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+    import jax.numpy as jnp
+    from .. import variables as V
+    from ..grid import Grid
+    from ..data import Normalizer
+    from ..metrics import evaluate, per_level_table
+
+    vset = V.get(args.vset)
+    grid = Grid.from_file(args.grid)
+
+    def load(path, ny):
+        a = np.load(path)
+        if a.ndim == 2:
+            T = a.shape[0] // args.ncol
+            a = a[:T * args.ncol].reshape(T, args.ncol, ny)
+        return a
+
+    x = load(args.input, vset.input_feature_len)
+    t = load(args.target, vset.target_feature_len)
+    pr = load(args.pred, vset.target_feature_len)
+
+    nz = Normalizer.from_files(
+        vset, f"{NORM}/inputs/input_mean.nc", f"{NORM}/inputs/input_max.nc",
+        f"{NORM}/inputs/input_min.nc", f"{NORM}/outputs/output_scale.nc")
+    ps = np.asarray(x[..., vset.ps_index])
+    # inputs normalized -> recover raw ps (set_pressure_grid:1455-1459)
+    mean_ps = float(nz.mean[vset.ps_index])
+    div_ps = float(nz.div[vset.ps_index])
+    if abs(ps.mean()) < 1e3:      # heuristics: normalized inputs
+        ps = ps * div_ps + mean_ps
+
+    scale = None if args.raw else nz.scale
+    samples = None
+    if args.samples:
+        s = np.load(args.samples)
+        if s.ndim == 3:
+            T = s.shape[0] // args.ncol
+            s = s[:T * args.ncol].reshape(T, args.ncol, *s.shape[1:])
+        samples = jnp.asarray(s)
+
+    df = evaluate(jnp.asarray(pr), jnp.asarray(t), jnp.asarray(ps), vset,
+                  grid, scale=scale, samplepreds=samples)
+    df.to_csv(args.out)
+    print(df.round(4).to_string())
+    if args.out_lev:
+        dfl = per_level_table(jnp.asarray(pr), jnp.asarray(t),
+                              jnp.asarray(ps), vset, grid, scale=scale)
+        dfl.to_csv(args.out_lev)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

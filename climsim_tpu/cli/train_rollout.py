@@ -1,0 +1,151 @@
+"""Rollout RNN trainer CLI — the hydra driver equivalent
+(rnn/train_rnn_rollout_torchscript_hydra.py) for the memory BiGRU and the
+physics-constrained emulator.
+
+Usage:
+    python -m climsim_tpu.cli.train_rollout conf/autoreg_gru.yaml \
+        [model.nh_mem=32 rollout.replay=mixed optimizer.name=soap ...]
+"""
+from __future__ import annotations
+
+import json
+import sys
+
+import numpy as np
+
+
+def main(argv=None):
+    argv = argv if argv is not None else sys.argv[1:]
+    if not argv:
+        print(__doc__)
+        return 1
+    import jax
+    import jax.numpy as jnp
+    from .. import variables as V
+    from ..grid import Grid
+    from ..data import synthetic as S, keeplev_chunks, KeeplevReader
+    from ..models.rnn import RNNAutoreg
+    from ..train.config import load_config
+    from ..train.rollout import RolloutTrainer, RolloutConfig
+
+    cfg = load_config(argv[0], argv[1:])
+    if cfg.get("platform"):
+        # must precede the first backend use (e.g. 'cpu' for local smoke
+        # runs; the sitecustomize hook otherwise pins the TPU tunnel)
+        jax.config.update("jax_platforms", cfg["platform"])
+    vset = V.get(cfg.get("vset", "v4_rnn"))
+    grid = Grid.from_file(cfg.get(
+        "grid_path", "/root/reference/grid_info/ClimSim_low-res_grid-info.nc"))
+    tt = lambda a: tuple(float(x) for x in np.asarray(a))
+
+    # ---- data: keeplev H5 if given, else synthetic
+    dcfg = cfg.get("data", {})
+    if dcfg.get("h5_path"):
+        r = KeeplevReader(dcfg["h5_path"])
+        d = r.load_all()
+        B = dcfg.get("ncol", 384)
+        T = d["input_lev"].shape[0] // B
+        resh = lambda a: a[:T * B].reshape((T, B) + a.shape[1:])
+        x_lev, x_sfc = resh(d["input_lev"]), resh(d["input_sca"])
+        y_lev, y_sfc = resh(d["output_lev"]), resh(d["output_sca"])
+    else:
+        x_lev, x_sfc, y_lev, y_sfc = S.make_timeseries(
+            jax.random.PRNGKey(dcfg.get("seed", 0)),
+            S.SyntheticConfig(vset_name=vset.name), grid,
+            dcfg.get("steps", 24), flat=False)
+        x_lev, x_sfc = np.asarray(x_lev), np.asarray(x_sfc)
+        y_lev, y_sfc = np.asarray(y_lev), np.asarray(y_sfc)
+
+    # normalization from data statistics (per-level optional)
+    xm = x_lev.mean((0, 1)); xsd = x_lev.std((0, 1)) + 1e-8
+    xms = x_sfc.mean((0, 1)); xss = x_sfc.std((0, 1)) + 1e-8
+    ysc_lev = 1.0 / (np.abs(y_lev).std((0, 1)) + 1e-12)
+    ysc_sfc = 1.0 / (np.abs(y_sfc).std((0, 1)) + 1e-12)
+    sp = x_sfc[..., 0]
+    x_lev_n = (x_lev - xm) / xsd
+    x_sfc_n = (x_sfc - xms) / xss
+    y_lev_n = y_lev * ysc_lev
+    y_sfc_n = y_sfc * ysc_sfc
+
+    mcfg = cfg.get("model", {})
+    model = RNNAutoreg(
+        nx=x_lev.shape[-1], nx_sfc=x_sfc.shape[-1],
+        ny=y_lev.shape[-1], ny_sfc=y_sfc.shape[-1],
+        nneur=tuple(mcfg.get("nneur", (192, 192))),
+        nh_mem=mcfg.get("nh_mem", 16),
+        cell=mcfg.get("cell", "gru"),
+        add_stochastic_layer=mcfg.get("add_stochastic_layer", False),
+        separate_radiation=mcfg.get("separate_radiation", False),
+        use_pallas=mcfg.get("use_pallas", False),
+        output_prune=mcfg.get("output_prune", True),
+        add_pres=mcfg.get("add_pres", True),
+        hyam=tt(grid.hyam), hybm=tt(grid.hybm),
+        sp_mean=float(xms[0]), sp_div=float(xss[0]))
+
+    rcfg = cfg.get("rollout", {})
+    ocfg = cfg.get("optimizer", {})
+    lcfg = cfg.get("loss", {})
+    rc = RolloutConfig(
+        rollout_schedule={int(k): v for k, v in
+                          rcfg.get("schedule", {0: 1, 3: 2, 6: 3}).items()},
+        loss=lcfg.get("name", "huber"),
+        lr=ocfg.get("lr", 1e-3),
+        optimizer=ocfg.get("name", "adam"),
+        weight_decay=ocfg.get("weight_decay", 0.0),
+        w_main=lcfg.get("w_main", 1.0),
+        w_energy=lcfg.get("w_hcon", 0.0),
+        w_water=lcfg.get("w_wcon", 0.0),
+        w_precip=lcfg.get("w_precip", 0.0),
+        replay=rcfg.get("replay"),
+        replay_slice=tuple(rcfg.get("replay_slice", (9, 14))),
+        pred_slice=tuple(rcfg.get("pred_slice", (0, 5))),
+        gradual_mixing_end_epoch=rcfg.get("gradual_mixing_end_epoch", 10),
+    )
+    trainer = RolloutTrainer(model, rc, np.asarray(grid.hyai),
+                             np.asarray(grid.hybi),
+                             yscale_lev=jnp.asarray(ysc_lev)[None, None],
+                             yscale_sca=jnp.asarray(ysc_sfc))
+
+    chunk = dcfg.get("chunk_size", 8)
+    ntr = int(x_lev.shape[0] * (1 - dcfg.get("val_frac", 0.2)))
+
+    def chunks(lo, hi, shuffle):
+        n = (hi if hi is not None else x_lev.shape[0]) - lo
+        return keeplev_chunks(x_lev_n[lo:hi], x_sfc_n[lo:hi],
+                              y_lev_n[lo:hi], y_sfc_n[lo:hi], sp[lo:hi],
+                              chunk_size=max(1, min(chunk, n)),
+                              shuffle=shuffle)
+
+    params, opt_state, mem = trainer.init(
+        jax.random.PRNGKey(cfg.get("seed", 0)),
+        next(iter(chunks(0, ntr, False))))
+
+    log_path = cfg.get("log_path")
+    for epoch in range(cfg.get("epochs", 10)):
+        params, opt_state, mem, rec = trainer.run_epoch(
+            params, opt_state, mem, chunks(0, ntr, True), epoch)
+        _, _, _, vrec = trainer.run_epoch(
+            params, opt_state, None, chunks(ntr, None, False), epoch,
+            train=False)
+        rec["val_loss"] = vrec["loss"]
+        print(json.dumps(rec))
+        if log_path:
+            with open(log_path, "a") as f:
+                f.write(json.dumps(rec) + "\n")
+        if not np.isfinite(rec["loss"]):
+            print("non-finite loss; aborting (two-strikes policy)")
+            return 2
+    ckpt = cfg.get("checkpoint_dir")
+    if ckpt:
+        import orbax.checkpoint as ocp
+        import os
+        os.makedirs(ckpt, exist_ok=True)
+        c = ocp.StandardCheckpointer()
+        c.save(os.path.abspath(os.path.join(ckpt, "final")),
+               {"params": params}, force=True)
+        c.wait_until_finished()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -212,3 +212,22 @@ def load_exp_lambdas(path: str) -> np.ndarray:
     """Per-level lambda for the exponential cloud transform from the
     reference's txt files (qc/qi/qn_exp_lambda_large.txt)."""
     return np.loadtxt(path)
+
+
+def save_norm_txt(normalizer: Normalizer, save_path: str = "",
+                  write_input: bool = True, write_output: bool = True):
+    """Export flat normalization vectors as text files — the artifact the
+    E3SM-side coupling consumes (data_utils.save_norm:1365-1399 writes
+    inp_sub.txt, inp_div.txt, out_scale.txt)."""
+    import os
+    if write_input:
+        np.savetxt(os.path.join(save_path, "inp_sub.txt"),
+                   np.asarray(normalizer.mean)[None], fmt="%.18e",
+                   delimiter=",")
+        np.savetxt(os.path.join(save_path, "inp_div.txt"),
+                   np.asarray(normalizer.div)[None], fmt="%.18e",
+                   delimiter=",")
+    if write_output:
+        np.savetxt(os.path.join(save_path, "out_scale.txt"),
+                   np.asarray(normalizer.scale)[None], fmt="%.18e",
+                   delimiter=",")

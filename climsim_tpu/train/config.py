@@ -39,6 +39,11 @@ class Config(dict):
 
 
 def _parse_value(s: str) -> Any:
+    low = s.lower()
+    if low in ("true", "false"):
+        return low == "true"
+    if low in ("null", "none"):
+        return None
     try:
         return ast.literal_eval(s)
     except (ValueError, SyntaxError):

@@ -1,0 +1,72 @@
+"""Hyperparameter search driver: random search over config spaces.
+
+Replaces the reference's KerasTuner RandomSearch + Slurm chief/worker
+oracle (baseline_models/MLP/training/HPO/baseline_v1/hpo_baseline_v1.py:
+17-43, 227-260) with a functional in-process searcher: sample configs from
+a declarative space, run a user-supplied trial function, retain the top-K.
+Parallelism comes from the mesh (vmap/pjit inside the trial), not from a
+TCP oracle; multi-host sweeps shard trial seeds by process index.
+"""
+from __future__ import annotations
+
+import json
+import time
+from dataclasses import dataclass, field
+from typing import Any, Callable
+
+import numpy as np
+
+
+@dataclass
+class SearchSpace:
+    """Declarative space: name -> ('choice', [..]) | ('loguniform', lo, hi)
+    | ('uniform', lo, hi) | ('int', lo, hi)."""
+
+    params: dict = field(default_factory=dict)
+
+    def sample(self, rng: np.random.Generator) -> dict:
+        out = {}
+        for name, spec in self.params.items():
+            kind = spec[0]
+            if kind == "choice":
+                out[name] = spec[1][rng.integers(len(spec[1]))]
+            elif kind == "loguniform":
+                out[name] = float(np.exp(rng.uniform(np.log(spec[1]),
+                                                     np.log(spec[2]))))
+            elif kind == "uniform":
+                out[name] = float(rng.uniform(spec[1], spec[2]))
+            elif kind == "int":
+                out[name] = int(rng.integers(spec[1], spec[2] + 1))
+            else:
+                raise ValueError(f"unknown spec {spec}")
+        return out
+
+
+def random_search(trial_fn: Callable[[dict], float], space: SearchSpace,
+                  num_trials: int = 20, seed: int = 0, top_k: int = 5,
+                  max_retries: int = 1, log_path: str | None = None,
+                  minimize: bool = True) -> list[dict]:
+    """Run trials; returns top-K [{'config', 'score', 'seconds'}] sorted
+    best-first. A trial raising is retried up to ``max_retries`` then
+    recorded as inf (KerasTuner max_retries_per_trial=1 semantics)."""
+    rng = np.random.default_rng(seed)
+    results = []
+    for i in range(num_trials):
+        cfg = space.sample(rng)
+        score, t0 = np.inf, time.time()
+        for attempt in range(max_retries + 1):
+            try:
+                score = float(trial_fn(cfg))
+                break
+            except Exception as e:   # noqa: BLE001 — trial isolation
+                if attempt == max_retries:
+                    score = np.inf
+        rec = {"trial": i, "config": cfg, "score": score,
+               "seconds": time.time() - t0}
+        results.append(rec)
+        if log_path:
+            with open(log_path, "a") as f:
+                f.write(json.dumps(rec, default=str) + "\n")
+    key = (lambda r: r["score"]) if minimize else (lambda r: -r["score"])
+    finite = [r for r in results if np.isfinite(r["score"])]
+    return sorted(finite, key=key)[:top_k]

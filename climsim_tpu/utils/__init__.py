@@ -1,0 +1,5 @@
+from .observability import (trace, annotate, device_memory_stats,
+                            Throughput, JsonlLogger)
+
+__all__ = ["trace", "annotate", "device_memory_stats", "Throughput",
+           "JsonlLogger"]

@@ -1,0 +1,117 @@
+"""Observability: structured profiling, throughput counters, memory stats.
+
+The reference's tracing is ad hoc (wall timers, psutil RAM prints,
+commented-out CUDA memory snapshots — SURVEY.md §5). Here the framework
+exposes first-class hooks:
+
+* :func:`trace` — context manager around ``jax.profiler`` emitting a
+  TensorBoard-compatible trace directory (per-op device timeline);
+* :class:`Throughput` — rolling columns/s + step-time accounting with the
+  compute/IO split the reference logs per report interval
+  (rnn/utils.py:892,1592-1623);
+* :func:`device_memory_stats` — live HBM usage per device;
+* :class:`JsonlLogger` — the wandb replacement: structured per-step/epoch
+  records to JSONL (reference metric names preserved by callers).
+"""
+from __future__ import annotations
+
+import contextlib
+import json
+import time
+
+
+@contextlib.contextmanager
+def trace(logdir: str):
+    """Profile a region: ``with trace('/tmp/tb'): step()``. View with
+    TensorBoard or xprof."""
+    import jax
+    jax.profiler.start_trace(logdir)
+    try:
+        yield
+    finally:
+        jax.profiler.stop_trace()
+
+
+def annotate(name: str):
+    """Named trace annotation for profiler timelines."""
+    import jax
+    return jax.profiler.TraceAnnotation(name)
+
+
+def device_memory_stats() -> list[dict]:
+    import jax
+    out = []
+    for d in jax.devices():
+        try:
+            s = d.memory_stats() or {}
+        except Exception:
+            s = {}
+        out.append({"device": str(d),
+                    "bytes_in_use": s.get("bytes_in_use"),
+                    "peak_bytes_in_use": s.get("peak_bytes_in_use"),
+                    "bytes_limit": s.get("bytes_limit")})
+    return out
+
+
+class Throughput:
+    """Rolling throughput/step-time accounting.
+
+    Mirrors the reference's per-report-interval timers with separate
+    compute-time bookkeeping (rnn/utils.py:1592-1623)."""
+
+    def __init__(self, report_every: int = 100):
+        self.report_every = report_every
+        self.reset()
+
+    def reset(self):
+        self.n_steps = 0
+        self.n_items = 0
+        self.compute_s = 0.0
+        self.t0 = time.perf_counter()
+
+    @contextlib.contextmanager
+    def step(self, items: int = 1):
+        t = time.perf_counter()
+        yield
+        self.compute_s += time.perf_counter() - t
+        self.n_steps += 1
+        self.n_items += items
+
+    @property
+    def should_report(self) -> bool:
+        return self.n_steps > 0 and self.n_steps % self.report_every == 0
+
+    def report(self) -> dict:
+        wall = time.perf_counter() - self.t0
+        rec = {
+            "steps": self.n_steps,
+            "items_per_s": self.n_items / max(wall, 1e-9),
+            "step_ms": 1e3 * wall / max(self.n_steps, 1),
+            "compute_frac": self.compute_s / max(wall, 1e-9),
+        }
+        return rec
+
+
+class JsonlLogger:
+    """Append-only structured metric log (the wandb role,
+    driver :925-977)."""
+
+    def __init__(self, path: str):
+        self.path = path
+
+    def log(self, record: dict, step: int | None = None):
+        if step is not None:
+            record = {"step": step, **record}
+        record.setdefault("ts", time.time())
+        with open(self.path, "a") as f:
+            f.write(json.dumps(record, default=float) + "\n")
+
+    def read(self) -> list[dict]:
+        out = []
+        try:
+            with open(self.path) as f:
+                for line in f:
+                    out.append(json.loads(line))
+        except FileNotFoundError:
+            pass
+        return out

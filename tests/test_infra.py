@@ -1,0 +1,132 @@
+"""Infrastructure tests: config system, H5 store, feature expansion, HPO,
+serialized export, observability."""
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from climsim_tpu.train.config import load_config, save_config, Config
+from climsim_tpu.data.h5store import (KeeplevWriter, KeeplevReader,
+                                      concatenate, write_timeseries)
+from climsim_tpu.data.expand import expand_features, location_features
+from climsim_tpu.train.hpo import SearchSpace, random_search
+
+
+def test_config_yaml_and_overrides(tmp_path):
+    p = tmp_path / "c.yaml"
+    p.write_text("model:\n  nneur: [192, 192]\n  nh_mem: 16\nlr: 0.001\n")
+    cfg = load_config(str(p), ["model.nh_mem=32", "optimizer.name=soap",
+                               "flag=true", "name=hello"])
+    assert cfg.model.nh_mem == 32
+    assert cfg.model.nneur == [192, 192]
+    assert cfg.optimizer.name == "soap"
+    assert cfg.flag is True          # literal-eval'd
+    assert cfg.name == "hello"       # falls back to string
+    save_config(cfg, str(tmp_path / "out.yaml"))
+    cfg2 = load_config(str(tmp_path / "out.yaml"))
+    assert cfg2.to_dict() == cfg.to_dict()
+
+
+def test_h5_keeplev_roundtrip_and_concat(tmp_path):
+    rng = np.random.default_rng(0)
+    mk = lambda n: (rng.normal(0, 1, (n, 60, 5)).astype(np.float32),
+                    rng.normal(0, 1, (n, 7)).astype(np.float32),
+                    rng.normal(0, 1, (n, 60, 6)).astype(np.float32),
+                    rng.normal(0, 1, (n, 8)).astype(np.float32))
+    names = {"input_lev": ["a", "b", "c", "d", "e"]}
+    p1, p2 = str(tmp_path / "s1.h5"), str(tmp_path / "s2.h5")
+    a1, a2 = mk(100), mk(60)
+    with KeeplevWriter(p1, varnames=names) as w:
+        w.append(*a1)
+        w.append(*mk(20))           # appendable
+    with KeeplevWriter(p2, varnames=names) as w:
+        w.append(*a2)
+    r = KeeplevReader(p1)
+    assert r.n == 120
+    assert r.varnames["input_lev"] == ["a", "b", "c", "d", "e"]
+    d = r.load_all()
+    np.testing.assert_allclose(d["input_lev"][:100], a1[0], rtol=1e-6)
+    # NaN scrub
+    bad = mk(4)
+    bad[0][0, 0, 0] = np.nan
+    with KeeplevWriter(str(tmp_path / "s3.h5")) as w:
+        w.append(*bad)
+    d3 = KeeplevReader(str(tmp_path / "s3.h5")).load_all()
+    assert d3["input_lev"][0, 0, 0] == 0.0
+    # concat
+    out = str(tmp_path / "cat.h5")
+    concatenate([p1, p2], out)
+    assert KeeplevReader(out).n == 180
+
+
+def test_expand_features_identities():
+    T, N, L = 6, 8, 4
+    rng = np.random.default_rng(1)
+    mli = {"state_t": jnp.asarray(rng.normal(280, 10, (T, N, L)))}
+    mlo = {"state_t": jnp.asarray(rng.normal(280, 10, (T, N, L)))}
+    out = expand_features(mli, mlo, var_names=("state_t",))
+    # tm = previous input step
+    np.testing.assert_allclose(np.asarray(out["tm_state_t"][2]),
+                               np.asarray(mli["state_t"][1]))
+    # prvphy = (mlo[t-1] - mli[t-1])/1200
+    np.testing.assert_allclose(
+        np.asarray(out["state_t_prvphy"][3]),
+        np.asarray((mlo["state_t"][2] - mli["state_t"][2]) / 1200),
+        rtol=1e-6)
+    # dyn = (mli[t] - mlo[t-1])/1200
+    np.testing.assert_allclose(
+        np.asarray(out["state_t_dyn"][3]),
+        np.asarray((mli["state_t"][3] - mlo["state_t"][2]) / 1200),
+        rtol=1e-6)
+    loc = location_features(jnp.asarray([0.0, 90.0]), jnp.asarray([0.0, 10.0]))
+    np.testing.assert_allclose(np.asarray(loc["clat"]), [1.0, 0.0],
+                               atol=1e-7)
+    np.testing.assert_array_equal(np.asarray(loc["icol"]), [1.0, 2.0])
+
+
+def test_hpo_random_search():
+    space = SearchSpace({"lr": ("loguniform", 1e-4, 1e-1),
+                         "width": ("choice", [64, 128]),
+                         "depth": ("int", 2, 5)})
+
+    def trial(cfg):
+        if cfg["width"] == 64:
+            raise RuntimeError("flaky")   # exercises retry->inf path
+        return abs(np.log10(cfg["lr"]) + 2)  # best near lr=1e-2
+
+    top = random_search(trial, space, num_trials=30, top_k=3, seed=0)
+    assert len(top) >= 1
+    assert all(t["config"]["width"] == 128 for t in top)
+    assert top[0]["score"] <= top[-1]["score"]
+
+
+def test_export_serialize_roundtrip(tmp_path):
+    def step(x, y):
+        return jnp.tanh(x) @ y
+
+    x = jnp.ones((4, 8)); y = jnp.ones((8, 3))
+    path = str(tmp_path / "step.stablehlo")
+    n = __import__("climsim_tpu.export.serialize",
+                   fromlist=["export_step"]).export_step(step, (x, y), path)
+    assert n > 0 and os.path.getsize(path) == n
+    call = __import__("climsim_tpu.export.serialize",
+                      fromlist=["load_step"]).load_step(path)
+    got = call(x, y)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(step(x, y)),
+                               rtol=1e-6)
+
+
+def test_observability(tmp_path):
+    from climsim_tpu.utils import Throughput, JsonlLogger
+    tp = Throughput(report_every=2)
+    for _ in range(4):
+        with tp.step(items=10):
+            pass
+    rec = tp.report()
+    assert rec["steps"] == 4 and rec["items_per_s"] > 0
+    lg = JsonlLogger(str(tmp_path / "log.jsonl"))
+    lg.log({"loss": 1.0}, step=0)
+    lg.log({"loss": 0.5}, step=1)
+    rows = lg.read()
+    assert len(rows) == 2 and rows[1]["loss"] == 0.5

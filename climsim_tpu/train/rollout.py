@@ -33,6 +33,7 @@ import numpy as np
 import optax
 
 from ..physics import conservation
+from ..constants import DT_STEP
 from . import losses as L
 
 
@@ -55,6 +56,15 @@ class RolloutConfig:
     replay_slice: tuple = (15, 20)   # input channels holding prev tendencies
     pred_slice: tuple = (0, 5)       # output channels substituted in
     gradual_mixing_end_epoch: int = 10
+    # semi-online training (rnn/utils.py:994-1060): reconstruct the
+    # prognostic input state from the model's own previous predictions plus
+    # the dynamics increment diagnosed from the true time series:
+    #   X_pred[k] = X_pred[k-1] + dt*y_pred[k-1] + dX_dyn[k],
+    #   dX_dyn[k] = (X_true[k] - X_true[k-1]) - dt*y_true[k-1]
+    # Requires raw-state window entries 'x_lev_raw' [W,B,L,6] and raw true
+    # tendencies 'y_lev_raw' [W,B,L,6], plus a state normalizer.
+    semi_online: bool = False
+    n_prog: int = 6                  # prognostic channels (T,qv,qc,qi,u,v)
     ensemble_size: int = 1
     seed: int = 0
 
@@ -96,13 +106,20 @@ class RolloutTrainer:
     """
 
     def __init__(self, model, cfg: RolloutConfig, hyai, hybi,
-                 yscale_lev=None, yscale_sca=None):
+                 yscale_lev=None, yscale_sca=None,
+                 xmean_prog=None, xdiv_prog=None, lbd_qc=None, lbd_qi=None):
         self.model = model
         self.cfg = cfg
         self.hyai = jnp.asarray(hyai)
         self.hybi = jnp.asarray(hybi)
         self.yscale_lev = yscale_lev   # [1(or L), ny] or None
         self.yscale_sca = yscale_sca
+        # semi-online state normalization: [L or 1, n_prog] mean/div for the
+        # prognostic input channels + exp-transform lambdas for qc/qi
+        self.xmean_prog = None if xmean_prog is None else jnp.asarray(xmean_prog)
+        self.xdiv_prog = None if xdiv_prog is None else jnp.asarray(xdiv_prog)
+        self.lbd_qc = None if lbd_qc is None else jnp.asarray(lbd_qc)
+        self.lbd_qi = None if lbd_qi is None else jnp.asarray(lbd_qi)
         self.tx = make_optimizer(cfg)
         self._step_cache: dict = {}
         self._eval_cache: dict = {}
@@ -125,13 +142,48 @@ class RolloutTrainer:
         r0, r1 = cfg.replay_slice
         p0, p1 = cfg.pred_slice
 
-        def step(carry, inp):
-            mem, prev_out, have_prev = carry
-            x_lev, x_sfc, y_lev, y_sfc, sp = inp
+        np_ = cfg.n_prog
 
-            if cfg.replay in ("full", "mixed"):
+        def normalize_prog(x_raw):
+            """Raw prognostic state -> normalized input channels, with the
+            exp cloud transform on qc/qi (rnn/utils.py:1038-1050)."""
+            x = jnp.maximum(x_raw, 0.0)
+            if self.lbd_qc is not None:
+                x = x.at[..., 2].set(
+                    1.0 - jnp.exp(-x[..., 2] * self.lbd_qc))
+                x = x.at[..., 3].set(
+                    1.0 - jnp.exp(-x[..., 3] * self.lbd_qi))
+            if self.xmean_prog is not None:
+                x = (x - self.xmean_prog) / self.xdiv_prog
+            return x
+
+        def step(carry, inp):
+            mem, prev_out, have_prev, x_pred, x_true_prev, y_true_prev = carry
+            if cfg.semi_online:
+                x_lev, x_sfc, y_lev, y_sfc, sp, x_raw, y_raw = inp
+            else:
+                x_lev, x_sfc, y_lev, y_sfc, sp = inp
+                x_raw = y_raw = None
+
+            if cfg.semi_online:
+                # dynamics increment from the true series, applied to the
+                # model-advanced state (rnn/utils.py:1014-1056):
+                #   dX_dyn = (X_true[k]-X_true[k-1]) - dt*y_true[k-1]
+                dx_dyn = (x_raw[..., :np_] - x_true_prev) \
+                    - DT_STEP * y_true_prev
+                ysl = self.yscale_lev[..., :np_] \
+                    if self.yscale_lev is not None else 1.0
+                y_pred_raw = prev_out[..., :np_] / ysl
+                x_adv = x_pred + DT_STEP * y_pred_raw + dx_dyn
+                use = have_prev * (mix_mask[:, None, None]
+                                   if cfg.replay == "mixed" else 1.0)
+                x_pred = use * x_adv + (1.0 - use) * x_raw[..., :np_]
+                x_lev = jnp.concatenate(
+                    [normalize_prog(x_pred), x_lev[..., np_:]], axis=-1)
+            elif cfg.replay in ("full", "mixed"):
                 sub = prev_out[..., p0:p1]
-                use = (have_prev * mix_mask)[:, None, None]
+                use = have_prev * (mix_mask[:, None, None]
+                                   if cfg.replay == "mixed" else 1.0)
                 repl = use * sub + (1.0 - use) * x_lev[..., r0:r1]
                 x_lev = jnp.concatenate(
                     [x_lev[..., :r0], repl, x_lev[..., r1:]], axis=-1)
@@ -157,15 +209,30 @@ class RolloutTrainer:
                     extra += cfg.w_water * conservation.water_conservation_mse(
                         od, osd, sp, self.hyai, self.hybi)
 
-            new_carry = (mem, out, jnp.ones(()))
+            if cfg.semi_online:
+                x_true_prev = x_raw[..., :np_]
+                y_true_prev = y_raw[..., :np_]
+                # keep the carry dtype stable (scale division may promote)
+                x_pred = x_pred.astype(x_true_prev.dtype)
+            new_carry = (mem, out, jnp.ones(()), x_pred, x_true_prev,
+                         y_true_prev)
             return new_carry, (cfg.w_main * main + extra, out_sfc)
 
         W = window["x_lev"].shape[0]
+        B_, Llev = window["x_lev"].shape[1], window["x_lev"].shape[2]
+        dtp = window["x_lev"].dtype
         prev0 = jnp.zeros_like(window["y_lev"][0])
-        carry0 = (mem, prev0, jnp.zeros(()))
-        xs = (window["x_lev"], window["x_sfc"], window["y_lev"],
-              window["y_sfc"], window["sp"])
-        (mem, _, _), (losses, out_sfcs) = jax.lax.scan(step, carry0, xs)
+        zprog = jnp.zeros((B_, Llev, np_), dtp)
+        carry0 = (mem, prev0, jnp.zeros(()), zprog, zprog, zprog)
+        if cfg.semi_online:
+            xs = (window["x_lev"], window["x_sfc"], window["y_lev"],
+                  window["y_sfc"], window["sp"], window["x_lev_raw"],
+                  window["y_lev_raw"])
+        else:
+            xs = (window["x_lev"], window["x_sfc"], window["y_lev"],
+                  window["y_sfc"], window["sp"])
+        carry_out, (losses, out_sfcs) = jax.lax.scan(step, carry0, xs)
+        mem = carry_out[0]
 
         loss = jnp.mean(losses)
         if cfg.w_precip > 0:

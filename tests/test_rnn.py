@@ -276,3 +276,54 @@ def test_online_wrapper_contract():
                                   np.asarray(out[:, :, 0]))
     np.testing.assert_array_equal(np.asarray(flat[:, 360]),
                                   np.asarray(out_sfc[:, 0]))
+
+
+def test_rollout_semi_online():
+    """Semi-online training: input state reconstructed from the model's own
+    previous predictions + true dynamics increments (rnn/utils.py:994-1060).
+    """
+    g = Grid.from_file(GRID_PATH)
+    rng = np.random.default_rng(0)
+    T, B, L = 8, 16, 60
+    x_lev = rng.normal(0, 1, (T, B, L, 15)).astype(np.float32)
+    x_sfc = rng.normal(0, 1, (T, B, 24)).astype(np.float32)
+    y_lev = np.tanh(x_lev[..., :6]) * 0.5
+    y_sfc = np.abs(x_sfc[..., :8]) * 0.5
+    sp = rng.uniform(9.6e4, 1.03e5, (T, B)).astype(np.float32)
+    x_raw = np.abs(rng.normal(1.0, 0.1, (T, B, L, 6))).astype(np.float32)
+    y_raw = rng.normal(0, 1e-5, (T, B, L, 6)).astype(np.float32)
+    hyam = tuple(float(x) for x in np.asarray(g.hyam))
+    hybm = tuple(float(x) for x in np.asarray(g.hybm))
+    model = RNNAutoreg(nx=15, nx_sfc=24, ny=6, ny_sfc=8, nneur=(16, 16),
+                       nh_mem=4, hyam=hyam, hybm=hybm, add_pres=False,
+                       output_prune=False)
+    cfg = RolloutConfig(rollout_schedule={0: 2}, lr=1e-3, semi_online=True,
+                        n_prog=6)
+    tr = RolloutTrainer(model, cfg, np.asarray(g.hyai), np.asarray(g.hybi),
+                        yscale_lev=jnp.ones((1, 1, 6)),
+                        yscale_sca=jnp.ones(8),
+                        xmean_prog=np.zeros((1, 6), np.float32),
+                        xdiv_prog=np.ones((1, 6), np.float32),
+                        lbd_qc=np.full(L, 100.0, np.float32),
+                        lbd_qi=np.full(L, 100.0, np.float32))
+
+    def chunks():
+        return keeplev_chunks(x_lev, x_sfc, y_lev, y_sfc, sp, chunk_size=4,
+                              shuffle=False)
+
+    # chunks need the raw entries too
+    def chunks_raw():
+        for i, c in enumerate(chunks()):
+            s = i * 4
+            c["x_lev_raw"] = x_raw[s:s + 4]
+            c["y_lev_raw"] = y_raw[s:s + 4]
+            yield c
+
+    params, opt, mem = tr.init(K(0), next(iter(chunks_raw())))
+    losses = []
+    for ep in range(2):
+        params, opt, mem, rec = tr.run_epoch(params, opt, mem, chunks_raw(),
+                                             ep)
+        losses.append(rec["loss"])
+        assert np.isfinite(rec["loss"]), rec
+    assert losses[1] < losses[0]

@@ -247,3 +247,61 @@ class FusedBiGRULayer(nn.Module):
         if use_kernel:
             return fused_bigru(*args, self.block_b, False)
         return _bigru_reference(*args)
+
+
+class GLU(nn.Module):
+    """Gated linear unit y = (xW+a) * sigmoid(xV+b)
+    (models_torch_kernels.py:1329)."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self, x):
+        a = nn.Dense(self.features, name="lin")(x)
+        b = nn.Dense(self.features, name="gate")(x)
+        return a * jax.nn.sigmoid(b)
+
+
+class QRNNLayer(nn.Module):
+    """Quasi-RNN over the level axis (models_torch_kernels.py:1358-1546):
+    a (causal or centered) convolution produces (z, f, o) gate streams, and
+    the only recurrence is the elementwise fo-pooling
+        c_l = f_l * c_{l-1} + (1 - f_l) * z_l,  h_l = o_l * c_l
+    — all matmuls hoisted, the scan body is pure VPU work.
+    x [B, L, nx] -> (h [B, L, hidden], c_last [B, hidden])."""
+
+    hidden: int
+    kernel: int = 2
+    causal: bool = True
+    reverse: bool = False
+
+    @nn.compact
+    def __call__(self, x, c0=None):
+        B, L, _ = x.shape
+        if self.causal:
+            # pad so position l sees levels [l-kernel+1 .. l] (flip for
+            # reverse scans so causality follows scan direction)
+            if self.reverse:
+                x_p = jnp.pad(x, ((0, 0), (0, self.kernel - 1), (0, 0)))
+            else:
+                x_p = jnp.pad(x, ((0, 0), (self.kernel - 1, 0), (0, 0)))
+            pad = "VALID"
+        else:
+            x_p, pad = x, "SAME"
+        gates = nn.Conv(3 * self.hidden, (self.kernel,), padding=pad,
+                        name="conv")(x_p)
+        z, f, o = jnp.split(jnp.swapaxes(gates, 0, 1), 3, axis=-1)
+        z = jnp.tanh(z)
+        f = jax.nn.sigmoid(f)
+        o = jax.nn.sigmoid(o)
+
+        def body(c, inp):
+            zl, fl = inp
+            c = fl * c + (1.0 - fl) * zl
+            return c, c
+
+        c0 = jnp.zeros((B, self.hidden), gates.dtype) if c0 is None \
+            else c0.astype(gates.dtype)
+        c_last, cs = jax.lax.scan(body, c0, (z, f), reverse=self.reverse)
+        h = o * cs
+        return jnp.swapaxes(h, 0, 1), c_last

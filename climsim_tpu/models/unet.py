@@ -262,3 +262,64 @@ def unet_v5(**kw) -> ClimsimUNet:
                 output_prune=True)
     args.update(kw)
     return ClimsimUNet(**args)
+
+
+class ClimsimUNetClassifier(nn.Module):
+    """Cloud-state classifier U-Net (Unet_v5 classifier variant,
+    online_testing/.../train_unet_h5loader_classifier.py:306-390 +
+    climsim_unet_classifier.py): per-level 3-class logits for the cloud
+    tendency regime, trained with cross-entropy. Class labels follow
+    climsim_datapip_classifier_h5.py:121-122:
+      0: |dq| <= threshold_class2 (no change)
+      1: next-step q <= threshold_class1 (cloud clears)
+      2: otherwise (cloud persists/changes)
+    """
+
+    num_vars_profile: int
+    num_vars_scalar: int
+    num_profile_out: int = 1     # cloud variables classified
+    num_classes: int = 3
+    seq_resolution: int = 64
+    model_channels: int = 64
+    channel_mult: Sequence[int] = (1, 2, 2)
+    num_blocks: int = 2
+    attn_resolutions: Sequence[int] = (16,)
+    dropout: float = 0.0
+    n_model_levels: int = 60
+    loc_embedding: bool = False
+    policy: Policy = F32
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        backbone = ClimsimUNet(
+            num_vars_profile=self.num_vars_profile,
+            num_vars_scalar=self.num_vars_scalar,
+            num_vars_profile_out=self.num_profile_out * self.num_classes,
+            num_vars_scalar_out=1,       # dummy scalar head, ignored
+            seq_resolution=self.seq_resolution,
+            model_channels=self.model_channels,
+            channel_mult=self.channel_mult, num_blocks=self.num_blocks,
+            attn_resolutions=self.attn_resolutions, dropout=self.dropout,
+            n_model_levels=self.n_model_levels, output_prune=False,
+            loc_embedding=self.loc_embedding, policy=self.policy,
+            name="backbone")
+        y = backbone(x, deterministic)
+        L = self.n_model_levels
+        logits = y[:, :self.num_profile_out * self.num_classes * L]
+        return logits.reshape(-1, self.num_profile_out, self.num_classes, L)
+
+
+def cloud_class_labels(q_next, dq, threshold_class1: float = 1e-9,
+                       threshold_class2: float = 1e-11):
+    """3-class cloud labels (climsim_datapip_classifier_h5.py:121-122)."""
+    mask = jnp.where(q_next <= threshold_class1, 1, 2)
+    return jnp.where(jnp.abs(dq) <= threshold_class2, 0, mask)
+
+
+def classifier_loss(logits, labels):
+    """Cross-entropy over the class axis; logits [B, nvar, ncls, L],
+    labels [B, nvar, L] int."""
+    logp = jax.nn.log_softmax(logits, axis=2)
+    onehot = jax.nn.one_hot(labels, logits.shape[2], axis=2,
+                            dtype=logits.dtype)
+    return -jnp.mean(jnp.sum(onehot * logp, axis=2))

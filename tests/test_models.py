@@ -189,3 +189,53 @@ def test_unet_identity_skip_frozen():
         if name.startswith("skipconv_"):
             for leaf in jax.tree_util.tree_leaves(sub):
                 assert float(jnp.abs(leaf).sum()) == 0.0
+
+
+def test_unet_classifier():
+    from climsim_tpu.models.unet import (ClimsimUNetClassifier,
+                                         cloud_class_labels,
+                                         classifier_loss)
+    m = ClimsimUNetClassifier(num_vars_profile=3, num_vars_scalar=2,
+                              model_channels=8, channel_mult=(1,),
+                              num_blocks=1, attn_resolutions=())
+    B, L = 4, 60
+    x = jnp.concatenate([jax.random.normal(K(0), (B, 3 * L + 2)),
+                         jnp.zeros((B, 1))], axis=1)
+    p = m.init(K(1), x)
+    logits = m.apply(p, x)
+    assert logits.shape == (B, 1, 3, L)
+    q_next = jnp.asarray([[0.0, 1e-10, 1e-6]])
+    dq = jnp.asarray([[1e-12, 1e-8, 1e-8]])
+    labels = np.asarray(cloud_class_labels(q_next, dq))
+    np.testing.assert_array_equal(labels, [[0, 1, 2]])
+    lab = jax.random.randint(K(2), (B, 1, L), 0, 3)
+    loss = classifier_loss(logits, lab)
+    assert np.isfinite(float(loss)) and float(loss) > 0
+    g = jax.grad(lambda p: classifier_loss(m.apply(p, x), lab))(p)
+    assert all(np.isfinite(np.asarray(a)).all()
+               for a in jax.tree_util.tree_leaves(g))
+
+
+def test_qrnn_and_glu():
+    from climsim_tpu.models.cells import QRNNLayer, GLU
+    B, L, nx, H = 4, 60, 10, 16
+    x = jax.random.normal(K(0), (B, L, nx))
+    for reverse in (False, True):
+        m = QRNNLayer(H, kernel=2, causal=True, reverse=reverse)
+        p = m.init(K(1), x)
+        h, c = m.apply(p, x)
+        assert h.shape == (B, L, H) and c.shape == (B, H)
+        assert np.isfinite(np.asarray(h)).all()
+    # causality: forward-causal QRNN output at level l must not depend on
+    # levels > l
+    m = QRNNLayer(H, kernel=2, causal=True, reverse=False)
+    p = m.init(K(1), x)
+    h1, _ = m.apply(p, x)
+    x2 = x.at[:, 30:, :].set(0.0)
+    h2, _ = m.apply(p, x2)
+    np.testing.assert_allclose(np.asarray(h1[:, :29]),
+                               np.asarray(h2[:, :29]), rtol=1e-5)
+    g = GLU(8)
+    pg = g.init(K(2), x)
+    y = g.apply(pg, x)
+    assert y.shape == (B, L, 8)

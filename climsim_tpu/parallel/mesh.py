@@ -61,3 +61,34 @@ def data_parallel_step(step_fn, mesh: Mesh, axis: str = "data"):
         donate_argnums=0,
     )
     return jitted
+
+
+def init_distributed(coordinator_address: str | None = None,
+                     num_processes: int | None = None,
+                     process_id: int | None = None):
+    """Multi-host initialization: wraps jax.distributed.initialize (the
+    torch.distributed/Slurm-rendezvous role). No-ops when already
+    initialized or when env-based auto-detection applies."""
+    import jax
+
+    try:
+        jax.distributed.initialize(coordinator_address=coordinator_address,
+                                   num_processes=num_processes,
+                                   process_id=process_id)
+    except (RuntimeError, ValueError):
+        pass  # already initialized or single-process
+    return jax.process_index(), jax.process_count()
+
+
+def make_global_mesh(axes: dict[str, int] | None = None):
+    """Mesh over ALL devices across hosts. axes: name->size (product must
+    equal total device count); default one 'data' axis."""
+    import jax
+    from jax.experimental import mesh_utils
+
+    devs = jax.devices()
+    if axes is None:
+        axes = {"data": len(devs)}
+    shape = tuple(axes.values())
+    mesh_devs = mesh_utils.create_device_mesh(shape, devices=devs)
+    return Mesh(mesh_devs, tuple(axes.keys()))

@@ -65,7 +65,12 @@ class RolloutConfig:
     # tendencies 'y_lev_raw' [W,B,L,6], plus a state normalizer.
     semi_online: bool = False
     n_prog: int = 6                  # prognostic channels (T,qv,qc,qi,u,v)
+    # stochastic/ensemble training: replicate each batch ensemble_size
+    # times (the reference's repeat_interleave, rnn/utils.py:1064-1072),
+    # drive the model with distinct noise RNGs per member, and train with a
+    # CRPS-family loss over members ('crps' | 'crps_af' | 'energy')
     ensemble_size: int = 1
+    ens_loss: str = "crps"
     seed: int = 0
 
     def window_for_epoch(self, epoch: int) -> int:
@@ -131,7 +136,15 @@ class RolloutTrainer:
         nlev_mem = 50 if getattr(self.model, "separate_radiation", False) \
             else Llev
         mem = jnp.zeros((B, nlev_mem, mem_lev), x_lev.dtype)
-        params = self.model.init(key, x_lev, x_sfc, mem)
+        if getattr(self.model, "add_stochastic_layer", False):
+            params = self.model.init({"params": key,
+                                      "noise": jax.random.fold_in(key, 1)},
+                                     x_lev, x_sfc, mem, deterministic=False)
+        else:
+            params = self.model.init(key, x_lev, x_sfc, mem)
+        if self.cfg.ensemble_size > 1:
+            mem = jnp.broadcast_to(
+                mem[None], (self.cfg.ensemble_size,) + mem.shape).copy()
         return params, self.tx.init(params), mem
 
     # ------------------------------------------------------------------
@@ -159,6 +172,8 @@ class RolloutTrainer:
 
         def step(carry, inp):
             mem, prev_out, have_prev, x_pred, x_true_prev, y_true_prev = carry
+            step_idx = inp[-1]
+            inp = inp[:-1]
             if cfg.semi_online:
                 x_lev, x_sfc, y_lev, y_sfc, sp, x_raw, y_raw = inp
             else:
@@ -188,9 +203,33 @@ class RolloutTrainer:
                 x_lev = jnp.concatenate(
                     [x_lev[..., :r0], repl, x_lev[..., r1:]], axis=-1)
 
-            out, out_sfc, mem = self.model.apply(params, x_lev, x_sfc, mem)
-            main = L.LOSS_FNS[cfg.loss](out, y_lev) \
-                + L.LOSS_FNS[cfg.loss](out_sfc, y_sfc)
+            if cfg.ensemble_size > 1:
+                # members as a vmapped axis with distinct noise streams;
+                # memory is per-member [M, B, ...]
+                keys = jax.random.split(
+                    jax.random.fold_in(jax.random.PRNGKey(cfg.seed),
+                                       step_idx[0]), cfg.ensemble_size)
+
+                def member(m, k):
+                    return self.model.apply(
+                        params, x_lev, x_sfc, m, deterministic=False,
+                        rngs={"noise": k})
+
+                out_e, out_sfc_e, mem = jax.vmap(member)(mem, keys)
+                from . import probabilistic as P
+                ens_fn = {"crps": P.crps_kernel,
+                          "crps_af": P.crps_almost_fair,
+                          "energy": lambda e, o: P.energy_score(
+                              e.reshape(e.shape[0], -1, e.shape[-1]),
+                              o.reshape(-1, o.shape[-1]))}[cfg.ens_loss]
+                main = ens_fn(out_e, y_lev) + ens_fn(out_sfc_e, y_sfc)
+                out = jnp.mean(out_e, axis=0)
+                out_sfc = jnp.mean(out_sfc_e, axis=0)
+            else:
+                out, out_sfc, mem = self.model.apply(params, x_lev, x_sfc,
+                                                     mem)
+                main = L.LOSS_FNS[cfg.loss](out, y_lev) \
+                    + L.LOSS_FNS[cfg.loss](out_sfc, y_sfc)
 
             extra = 0.0
             if cfg.w_energy > 0 or cfg.w_water > 0:
@@ -224,13 +263,14 @@ class RolloutTrainer:
         prev0 = jnp.zeros_like(window["y_lev"][0])
         zprog = jnp.zeros((B_, Llev, np_), dtp)
         carry0 = (mem, prev0, jnp.zeros(()), zprog, zprog, zprog)
+        steps_idx = jnp.arange(W, dtype=jnp.int32)[:, None]
         if cfg.semi_online:
             xs = (window["x_lev"], window["x_sfc"], window["y_lev"],
                   window["y_sfc"], window["sp"], window["x_lev_raw"],
-                  window["y_lev_raw"])
+                  window["y_lev_raw"], steps_idx)
         else:
             xs = (window["x_lev"], window["x_sfc"], window["y_lev"],
-                  window["y_sfc"], window["sp"])
+                  window["y_sfc"], window["sp"], steps_idx)
         carry_out, (losses, out_sfcs) = jax.lax.scan(step, carry0, xs)
         mem = carry_out[0]
 
@@ -292,12 +332,16 @@ class RolloutTrainer:
         for chunk in chunks:
             T = chunk["x_lev"].shape[0]
             B = chunk["x_lev"].shape[1]
-            if mem is None or mem.shape[0] != B:
+            want_lead = self.cfg.ensemble_size if \
+                self.cfg.ensemble_size > 1 else B
+            if mem is None or mem.shape[0] != want_lead or \
+                    (self.cfg.ensemble_size > 1 and mem.shape[1] != B):
                 nlev_mem = 50 if getattr(self.model, "separate_radiation",
                                          False) else chunk["x_lev"].shape[2]
-                mem = jnp.zeros((B, nlev_mem,
-                                 getattr(self.model, "nh_mem", 16)),
-                                jnp.float32)
+                shape = (B, nlev_mem, getattr(self.model, "nh_mem", 16))
+                if self.cfg.ensemble_size > 1:
+                    shape = (self.cfg.ensemble_size,) + shape
+                mem = jnp.zeros(shape, jnp.float32)
             for s in range(0, T - W + 1, W):
                 window = {k: jnp.asarray(v[s:s + W]) for k, v in
                           chunk.items()}

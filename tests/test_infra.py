@@ -130,3 +130,34 @@ def test_observability(tmp_path):
     lg.log({"loss": 0.5}, step=1)
     rows = lg.read()
     assert len(rows) == 2 and rows[1]["loss"] == 0.5
+
+
+def test_epoch_metrics():
+    from climsim_tpu.train.epoch_metrics import epoch_metrics
+    from climsim_tpu.grid import Grid
+    g = Grid.from_file(
+        "/root/reference/grid_info/ClimSim_low-res_grid-info.nc")
+    rng = np.random.default_rng(0)
+    N, L = 64, 60
+    true_lev = jnp.asarray(rng.normal(0, 1e-5, (N, L, 6)))
+    pred_lev = true_lev + 1e-6 * jnp.asarray(rng.normal(0, 1, (N, L, 6)))
+    true_sfc = jnp.asarray(np.abs(rng.normal(0, 1e-7, (N, 8))))
+    pred_sfc = true_sfc
+    sp = jnp.asarray(rng.uniform(9.6e4, 1.03e5, N))
+    xd = jnp.asarray(np.abs(rng.normal(1e-3, 1e-4, (N, L, 6))))
+    m = epoch_metrics(pred_lev, pred_sfc, true_lev, true_sfc, sp,
+                      g.hyai, g.hybi, x_denorm=xd)
+    assert m["R2_dT"] > 0.98
+    assert m["R2_PRECC"] == 1.0
+    assert m["neg_precip_frac"] == 0.0
+    assert abs(m["precip_p999_ratio"] - 1.0) < 1e-6
+    assert np.isfinite(m["h_conservation"])
+    assert np.isfinite(m["water_conservation"])
+    assert m["neg_qv_frac"] < 0.5
+
+
+def test_global_mesh():
+    from climsim_tpu.parallel.mesh import make_global_mesh
+    mesh = make_global_mesh({"data": 4, "ensemble": 2})
+    assert mesh.devices.shape == (4, 2)
+    assert mesh.axis_names == ("data", "ensemble")

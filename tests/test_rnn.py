@@ -327,3 +327,40 @@ def test_rollout_semi_online():
         losses.append(rec["loss"])
         assert np.isfinite(rec["loss"]), rec
     assert losses[1] < losses[0]
+
+
+def test_rollout_ensemble_crps():
+    """Stochastic ensemble rollout training: members vmapped with distinct
+    noise, CRPS loss over members (rnn/utils.py:940-959, 1064-1072)."""
+    g = Grid.from_file(GRID_PATH)
+    rng = np.random.default_rng(0)
+    T, B, L = 4, 8, 60
+    x_lev = rng.normal(0, 1, (T, B, L, 15)).astype(np.float32)
+    x_sfc = rng.normal(0, 1, (T, B, 24)).astype(np.float32)
+    y_lev = np.tanh(x_lev[..., :6]) * 0.5
+    y_sfc = np.abs(x_sfc[..., :8]) * 0.5
+    sp = rng.uniform(9.6e4, 1.03e5, (T, B)).astype(np.float32)
+    hyam = tuple(float(x) for x in np.asarray(g.hyam))
+    hybm = tuple(float(x) for x in np.asarray(g.hybm))
+    model = RNNAutoreg(nx=15, nx_sfc=24, ny=6, ny_sfc=8,
+                       nneur=(16, 16, 16), nh_mem=4,
+                       add_stochastic_layer=True, hyam=hyam, hybm=hybm,
+                       add_pres=False, output_prune=False)
+    cfg = RolloutConfig(rollout_schedule={0: 2}, lr=1e-3, ensemble_size=3,
+                        ens_loss="crps")
+    tr = RolloutTrainer(model, cfg, np.asarray(g.hyai), np.asarray(g.hybi),
+                        yscale_lev=jnp.ones((1, 1, 6)),
+                        yscale_sca=jnp.ones(8))
+
+    def chunks():
+        return keeplev_chunks(x_lev, x_sfc, y_lev, y_sfc, sp,
+                              chunk_size=4, shuffle=False)
+
+    params, opt, mem = tr.init(K(0), next(iter(chunks())))
+    assert mem.shape[0] == 3                       # member axis
+    losses = []
+    for ep in range(2):
+        params, opt, mem, rec = tr.run_epoch(params, opt, mem, chunks(), ep)
+        losses.append(rec["loss"])
+        assert np.isfinite(rec["loss"])
+    assert losses[1] < losses[0]

@@ -36,8 +36,7 @@ def build_model(name: str, vset, cfg):
                     latent_dim=cfg.get("latent_dim", 5),
                     intermediate_dim=cfg.get("intermediate_dim", 463),
                     policy=policy)
-    raise ValueError(f"unsupported offline model {name} "
-                     "(hsr/rpn/cvae train via their own loss loops)")
+    raise ValueError(f"unknown offline model {name}")
 
 
 def main(argv=None):
@@ -88,8 +87,11 @@ def main(argv=None):
                    log_path=cfg.get("log_path"),
                    var_weights=cfg.get("var_weights", {}))
 
-    model = build_model(cfg.get("model", {}).get("name", "mlp"), vset,
-                        cfg.get("model", {}))
+    name = cfg.get("model", {}).get("name", "mlp")
+    if name in ("hsr", "rpn", "cvae"):
+        return train_stochastic(name, cfg, vset, grid, xn, yn, x, nz, ntr,
+                                fc)
+    model = build_model(name, vset, cfg.get("model", {}))
 
     def tb():
         return flat_batches(xn[:ntr], yn[:ntr], fc.batch_size,
@@ -118,6 +120,109 @@ def main(argv=None):
         out_csv = cfg.get("metrics_csv")
         if out_csv:
             df.to_csv(out_csv)
+        print(df.round(4).to_string())
+    return 0
+
+
+
+
+def train_stochastic(name, cfg, vset, grid, xn, yn, x, nz, ntr, fc):
+    """HSR / RPN / cVAE training paths (their reference trainers each have
+    bespoke losses: NLL with warm phase, ensemble MSE, beta-ELBO) + CRPS
+    scoreboard."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+    from .. import models as M
+    from ..metrics import evaluate
+    from ..data import flat_batches
+
+    mcfg = cfg.get("model", {})
+    ny = vset.target_feature_len
+    key = jax.random.PRNGKey(cfg.get("seed", 0))
+    opt = optax.adam(fc.lr)
+    num_samples = cfg.get("num_crps_samples", 16)
+
+    if name == "hsr":
+        model = M.HSR(out_dim=ny, hidden=mcfg.get("hidden", 512),
+                      layers=mcfg.get("layers", 1))
+        params = model.init(key, jnp.asarray(xn[:2]))
+
+        def loss_fn(p, xb, yb, warm):
+            mean, logprec = model.apply(p, xb)
+            return M.hsr_nll(mean, logprec, yb, warm=warm)
+
+        def sample_fn(p, xb, k):
+            return M.hsr_sample(p, model, xb, k, num_samples)
+
+    elif name == "rpn":
+        ens = M.RPNEnsemble(out_dim=ny,
+                            features=tuple(mcfg.get("features",
+                                                    (768, 640, 512, 640,
+                                                     640))),
+                            num_members=mcfg.get("members", 8))
+        params = ens.init(key, jnp.asarray(xn[:2]))
+
+        def loss_fn(p, xb, yb, warm):
+            return ens.loss(p, xb, yb)
+
+        def sample_fn(p, xb, k):
+            return ens.samples(p, xb)
+
+    else:  # cvae
+        model = M.CVAE(out_dim=ny, latent_dim=mcfg.get("latent_dim", 5),
+                       hidden=mcfg.get("hidden", 512),
+                       layers=mcfg.get("layers", 2))
+        params = model.init(key, jnp.asarray(yn[:2]), jnp.asarray(xn[:2]),
+                            key)
+
+        def loss_fn(p, xb, yb, kb):
+            return M.cvae_loss(model, p, yb, xb, kb,
+                               beta=mcfg.get("beta", 1.0))
+
+        def sample_fn(p, xb, k):
+            return M.cvae_samples(model, p, xb, k, num_samples)
+
+    opt_state = opt.init(params)
+    is_cvae = name == "cvae"
+
+    from functools import partial
+
+    @partial(jax.jit, static_argnums=(4,) if name == "hsr" else ())
+    def step(p, st, xb, yb, k_or_warm):
+        l, g = jax.value_and_grad(loss_fn)(p, xb, yb, k_or_warm)
+        up, st = opt.update(g, st, p)
+        return optax.apply_updates(p, up), st, l
+
+    import json as _json
+    epochs = fc.epochs
+    for ep in range(epochs):
+        tot, n = 0.0, 0
+        key, ke = jax.random.split(key)
+        for xb, yb in flat_batches(xn[:ntr], yn[:ntr], fc.batch_size,
+                                   seed=ep):
+            ke, kb = jax.random.split(ke)
+            extra = kb if is_cvae else (ep < epochs // 3)
+            params, opt_state, l = step(params, opt_state,
+                                        jnp.asarray(xb), jnp.asarray(yb),
+                                        extra)
+            tot += float(l)
+            n += 1
+        print(_json.dumps({"epoch": ep, "train_loss": tot / max(n, 1)}))
+
+    # CRPS scoreboard on validation block
+    nval = (len(xn) - ntr) // 384 * 384
+    if nval > 0:
+        key, ks = jax.random.split(key)
+        sp = sample_fn(params, jnp.asarray(xn[ntr:ntr + nval]), ks)
+        T = nval // 384
+        mean_pred = jnp.mean(sp, -1)
+        df = evaluate(mean_pred.reshape(T, 384, ny),
+                      jnp.asarray(yn[ntr:ntr + nval].reshape(T, 384, ny)),
+                      jnp.asarray(x[ntr:ntr + nval, vset.ps_index]
+                                  .reshape(T, 384)),
+                      vset, grid, scale=nz.scale,
+                      samplepreds=sp.reshape(T, 384, ny, -1))
         print(df.round(4).to_string())
     return 0
 

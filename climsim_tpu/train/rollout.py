@@ -64,6 +64,10 @@ class RolloutConfig:
     # Requires raw-state window entries 'x_lev_raw' [W,B,L,6] and raw true
     # tendencies 'y_lev_raw' [W,B,L,6], plus a state normalizer.
     semi_online: bool = False
+    # pass the raw (denormalized) level state to the model each step — the
+    # physics-constrained emulator consumes it (models/phys_rnn.py);
+    # requires window entry 'x_lev_raw'
+    pass_x_raw: bool = False
     n_prog: int = 6                  # prognostic channels (T,qv,qc,qi,u,v)
     # stochastic/ensemble training: replicate each batch ensemble_size
     # times (the reference's repeat_interleave, rnn/utils.py:1064-1072),
@@ -112,8 +116,15 @@ class RolloutTrainer:
 
     def __init__(self, model, cfg: RolloutConfig, hyai, hybi,
                  yscale_lev=None, yscale_sca=None,
-                 xmean_prog=None, xdiv_prog=None, lbd_qc=None, lbd_qi=None):
+                 xmean_prog=None, xdiv_prog=None, lbd_qc=None, lbd_qi=None,
+                 apply_fn=None):
         self.model = model
+        # apply_fn(params, x_lev, x_sfc, mem, x_raw) -> (out, out_sfc, mem);
+        # default ignores x_raw (standard RNNAutoreg); the physics model
+        # passes it through (e.g. lambda p,xl,xs,m,xr:
+        # model.apply(p, xl, xs, m, xr)[:3])
+        self._apply = apply_fn or (
+            lambda p, xl, xs, m, xr: self.model.apply(p, xl, xs, m))
         self.cfg = cfg
         self.hyai = jnp.asarray(hyai)
         self.hybi = jnp.asarray(hybi)
@@ -136,6 +147,14 @@ class RolloutTrainer:
         nlev_mem = 50 if getattr(self.model, "separate_radiation", False) \
             else Llev
         mem = jnp.zeros((B, nlev_mem, mem_lev), x_lev.dtype)
+        if self.cfg.pass_x_raw:
+            params = self.model.init(key, x_lev, x_sfc, mem,
+                                     sample_window["x_lev_raw"][0])
+            if self.cfg.ensemble_size > 1:
+                mem = jnp.broadcast_to(
+                    mem[None],
+                    (self.cfg.ensemble_size,) + mem.shape).copy()
+            return params, self.tx.init(params), mem
         if getattr(self.model, "add_stochastic_layer", False):
             params = self.model.init({"params": key,
                                       "noise": jax.random.fold_in(key, 1)},
@@ -176,6 +195,9 @@ class RolloutTrainer:
             inp = inp[:-1]
             if cfg.semi_online:
                 x_lev, x_sfc, y_lev, y_sfc, sp, x_raw, y_raw = inp
+            elif cfg.pass_x_raw:
+                x_lev, x_sfc, y_lev, y_sfc, sp, x_raw = inp
+                y_raw = None
             else:
                 x_lev, x_sfc, y_lev, y_sfc, sp = inp
                 x_raw = y_raw = None
@@ -226,8 +248,8 @@ class RolloutTrainer:
                 out = jnp.mean(out_e, axis=0)
                 out_sfc = jnp.mean(out_sfc_e, axis=0)
             else:
-                out, out_sfc, mem = self.model.apply(params, x_lev, x_sfc,
-                                                     mem)
+                out, out_sfc, mem = self._apply(params, x_lev, x_sfc, mem,
+                                                x_raw)
                 main = L.LOSS_FNS[cfg.loss](out, y_lev) \
                     + L.LOSS_FNS[cfg.loss](out_sfc, y_sfc)
 
@@ -268,6 +290,10 @@ class RolloutTrainer:
             xs = (window["x_lev"], window["x_sfc"], window["y_lev"],
                   window["y_sfc"], window["sp"], window["x_lev_raw"],
                   window["y_lev_raw"], steps_idx)
+        elif cfg.pass_x_raw:
+            xs = (window["x_lev"], window["x_sfc"], window["y_lev"],
+                  window["y_sfc"], window["sp"], window["x_lev_raw"],
+                  steps_idx)
         else:
             xs = (window["x_lev"], window["x_sfc"], window["y_lev"],
                   window["y_sfc"], window["sp"], steps_idx)

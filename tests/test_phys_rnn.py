@@ -171,3 +171,58 @@ def test_radiation_module_differentiable():
     leaves = jax.tree_util.tree_leaves(g)
     assert all(np.isfinite(np.asarray(a)).all() for a in leaves)
     assert sum(float(jnp.abs(a).sum()) for a in leaves) > 0
+
+
+def test_phys_rnn_rollout_training():
+    """The physics-constrained emulator trains through the rollout engine
+    via pass_x_raw (the reference drives it from the same epoch engine,
+    rnn/utils.py:1130 inp_list with x_raw)."""
+    from climsim_tpu.train.rollout import RolloutTrainer, RolloutConfig
+    from climsim_tpu.data import keeplev_chunks
+    g = Grid.from_file(GRID_PATH)
+    tt = lambda a: tuple(float(x) for x in np.asarray(a))
+    model = PhysicalRNNAutoreg(
+        nx=15, nx_sfc=24, ny=5, ny_sfc=8, nneur=(16, 16), nh_mem=4,
+        nreg=4, hyai=tt(g.hyai), hybi=tt(g.hybi), hyam=tt(g.hyam),
+        hybm=tt(g.hybm), sp_mean=9.8e4, sp_div=1.0,
+        yscale_t=YS_T, yscale_qv=YS_QV, yscale_qn=YS_QN,
+        yscale_precc=YS_PREC)
+    rng = np.random.default_rng(0)
+    T, B, L = 4, 8, 60
+    x_lev = rng.normal(0, 1, (T, B, L, 15)).astype(np.float32)
+    x_sfc = rng.normal(0, 1, (T, B, 24)).astype(np.float32)
+    y_lev = (np.tanh(x_lev[..., :5]) * 0.1).astype(np.float32)
+    y_sfc = np.abs(x_sfc[..., :8]).astype(np.float32) * 0.1
+    sp = rng.uniform(9.6e4, 1.03e5, (T, B)).astype(np.float32)
+    x_raw = np.zeros((T, B, L, 6), np.float32)
+    x_raw[..., 0] = rng.uniform(220, 300, (T, B, L))
+    x_raw[..., 2] = np.abs(rng.normal(0, 1e-5, (T, B, L)))
+    x_raw[..., 3] = np.abs(rng.normal(0, 1e-5, (T, B, L)))
+    x_raw[..., -1] = np.abs(rng.normal(1e-3, 3e-4, (T, B, L)))
+
+    cfg = RolloutConfig(rollout_schedule={0: 2}, lr=1e-3, pass_x_raw=True)
+    tr = RolloutTrainer(
+        model, cfg, np.asarray(g.hyai), np.asarray(g.hybi),
+        yscale_lev=jnp.ones((1, 1, 5)), yscale_sca=jnp.ones(8),
+        apply_fn=lambda p, xl, xs, m, xr: model.apply(p, xl, xs, m, xr)[:3])
+
+    def chunks():
+        for i, c in enumerate(keeplev_chunks(x_lev, x_sfc, y_lev, y_sfc,
+                                             sp, chunk_size=4,
+                                             shuffle=False)):
+            c["x_lev_raw"] = x_raw[i * 4:(i + 1) * 4]
+            yield c
+
+    # physics model memory carries the precip slot: nh_mem+1
+    first = next(iter(chunks()))
+    mem = jnp.zeros((B, 50, 5), jnp.float32)
+    params = model.init(K(0), jnp.asarray(first["x_lev"][0]),
+                        jnp.asarray(first["x_sfc"][0]), mem,
+                        jnp.asarray(first["x_lev_raw"][0]))
+    opt = tr.tx.init(params)
+    losses = []
+    for ep in range(2):
+        params, opt, mem, rec = tr.run_epoch(params, opt, mem, chunks(), ep)
+        losses.append(rec["loss"])
+        assert np.isfinite(rec["loss"])
+    assert losses[1] < losses[0]

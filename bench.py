@@ -28,12 +28,13 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 BASELINE_VALUE = None
 
 
-def build(use_pallas: bool):
+def build(use_pallas: bool, bf16: bool = False):
     import jax
     import jax.numpy as jnp
     import numpy as np
     from climsim_tpu.grid import Grid
     from climsim_tpu.models.rnn import RNNAutoreg
+    from climsim_tpu.models import BF16, F32
 
     g = Grid.from_file(
         "/root/reference/grid_info/ClimSim_low-res_grid-info.nc")
@@ -41,7 +42,8 @@ def build(use_pallas: bool):
     hybm = tuple(float(x) for x in np.asarray(g.hybm))
     model = RNNAutoreg(nx=15, nx_sfc=24, ny=6, ny_sfc=8, nneur=(192, 192),
                        nh_mem=16, use_pallas=use_pallas, hyam=hyam,
-                       hybm=hybm, sp_mean=9.8e4, sp_div=1e4)
+                       hybm=hybm, sp_mean=9.8e4, sp_div=1e4,
+                       policy=BF16 if bf16 else F32)
     B, L = 6144, 60     # 16 timesteps x 384 columns
     xm = jnp.ones((B, L, 15), jnp.float32) * 0.1
     xs = jnp.ones((B, 24), jnp.float32) * 0.1
@@ -83,9 +85,12 @@ def measure(model, params, xm, xs, mem, B, N=20):
 
 def main():
     best, variant = None, "scan"
-    for use_pallas, name in ((True, "pallas"), (False, "scan")):
+    for use_pallas, bf16, name in ((False, True, "scan-bf16"),
+                                   (True, True, "pallas-bf16"),
+                                   (False, False, "scan-f32")):
         try:
-            cols = measure(*build(use_pallas))
+            cols = measure(*build(use_pallas, bf16))
+            print(f"# {name}: {cols:,.0f} cols/s", file=sys.stderr)
             if best is None or cols > best:
                 best, variant = cols, name
         except Exception as e:

@@ -24,11 +24,13 @@ import jax.numpy as jnp
 
 class GRUCell(nn.Module):
     hidden: int
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, h, x_proj):
         """x_proj: precomputed input projection [B, 3*hidden] (+bias)."""
-        hh = nn.Dense(3 * self.hidden, use_bias=True, name="hh")(h)
+        hh = nn.Dense(3 * self.hidden, use_bias=True, dtype=self.dtype,
+                      name="hh")(h)
         xr, xz, xn = jnp.split(x_proj, 3, axis=-1)
         hr, hz, hn = jnp.split(hh, 3, axis=-1)
         r = jax.nn.sigmoid(xr + hr)
@@ -44,11 +46,13 @@ class GRUCell(nn.Module):
 
 class LSTMCell(nn.Module):
     hidden: int
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, carry, x_proj):
         h, c = carry
-        hh = nn.Dense(4 * self.hidden, use_bias=True, name="hh")(h)
+        hh = nn.Dense(4 * self.hidden, use_bias=True, dtype=self.dtype,
+                      name="hh")(h)
         g = x_proj + hh
         i, f, gg, o = jnp.split(g, 4, axis=-1)
         i, f, o = jax.nn.sigmoid(i), jax.nn.sigmoid(f), jax.nn.sigmoid(o)
@@ -65,11 +69,13 @@ class LayerNormLSTMCell(nn.Module):
     """LSTM with layer-normalized gates (models_torch_kernels.py:718)."""
 
     hidden: int
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, carry, x_proj):
         h, c = carry
-        hh = nn.Dense(4 * self.hidden, use_bias=False, name="hh")(h)
+        hh = nn.Dense(4 * self.hidden, use_bias=False, dtype=self.dtype,
+                      name="hh")(h)
         g = nn.LayerNorm(name="ln_g")(x_proj + hh)
         i, f, gg, o = jnp.split(g, 4, axis=-1)
         i, f, o = jax.nn.sigmoid(i), jax.nn.sigmoid(f), jax.nn.sigmoid(o)
@@ -87,6 +93,7 @@ class SRUCell(nn.Module):
     recurrence, all matmuls hoisted — the fastest cell on TPU."""
 
     hidden: int
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, c, x_proj):
@@ -113,13 +120,15 @@ class StochasticGRUCell(nn.Module):
 
     hidden: int
     noise_scale: float = 1.0
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, h, inp):
         x_proj, eps = inp     # eps: [B, hidden] standard normal
-        hh = nn.Dense(3 * self.hidden, use_bias=True, name="hh")(h)
-        mu = nn.Dense(self.hidden, name="mu")(h)
-        logsig = nn.Dense(self.hidden, name="logsig")(h)
+        hh = nn.Dense(3 * self.hidden, use_bias=True, dtype=self.dtype,
+                      name="hh")(h)
+        mu = nn.Dense(self.hidden, dtype=self.dtype, name="mu")(h)
+        logsig = nn.Dense(self.hidden, dtype=self.dtype, name="logsig")(h)
         z = mu + jnp.exp(0.5 * jnp.clip(logsig, -10.0, 2.0)) * eps
         xr, xz, xn = jnp.split(x_proj, 3, axis=-1)
         hr, hz, hn = jnp.split(hh, 3, axis=-1)
@@ -140,14 +149,16 @@ class StochasticLSTMCell(nn.Module):
 
     hidden: int
     noise_scale: float = 1.0
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, carry, inp):
         h, c = carry
         x_proj, eps = inp
-        hh = nn.Dense(4 * self.hidden, use_bias=True, name="hh")(h)
-        mu = nn.Dense(self.hidden, name="mu")(h)
-        logsig = nn.Dense(self.hidden, name="logsig")(h)
+        hh = nn.Dense(4 * self.hidden, use_bias=True, dtype=self.dtype,
+                      name="hh")(h)
+        mu = nn.Dense(self.hidden, dtype=self.dtype, name="mu")(h)
+        logsig = nn.Dense(self.hidden, dtype=self.dtype, name="logsig")(h)
         z = mu + jnp.exp(0.5 * jnp.clip(logsig, -10.0, 2.0)) * eps
         g = x_proj + hh
         i, f, gg, o = jnp.split(g, 4, axis=-1)
@@ -182,11 +193,13 @@ class RNNLayer(nn.Module):
     kind: str = "gru"
     reverse: bool = False
     noise: bool = False    # feed per-level noise (stochastic cells)
+    dtype: Any = None      # compute dtype (bf16 for MXU-native matmuls)
 
     @nn.compact
     def __call__(self, xs, h0, eps=None):
         cell_cls = CELL_TYPES[self.kind]
-        proj = nn.Dense(cell_cls.proj_width(self.hidden), name="input_proj")
+        proj = nn.Dense(cell_cls.proj_width(self.hidden), dtype=self.dtype,
+                        name="input_proj")
         xs_proj = proj(xs)                       # [B, L, k*hidden]
         # lax.scan requires carry dtype stability; unify on the projection's
         # dtype (guards x64 test mode and mixed-precision policies)
@@ -203,7 +216,8 @@ class RNNLayer(nn.Module):
         scan = nn.scan(cell_cls, variable_broadcast="params",
                        split_rngs={"params": False}, in_axes=0, out_axes=0,
                        reverse=self.reverse)
-        carry, ys = scan(self.hidden, name="cell")(h0, stream)
+        carry, ys = scan(self.hidden, dtype=self.dtype,
+                         name="cell")(h0, stream)
         return jnp.swapaxes(ys, 0, 1), carry     # [B, L, hidden], final carry
 
 

@@ -121,6 +121,7 @@ class RNNAutoreg(nn.Module):
             else:
                 carry1 = hx1
             up_out, _ = RNNLayer(nh1, self.cell, reverse=True,
+                                 dtype=pol.compute_dtype,
                                  name="rnn_up")(h, carry1)
             if needs_cell_state(self.cell):
                 cx2 = nn.Dense(nh2, dtype=pol.compute_dtype,
@@ -130,6 +131,7 @@ class RNNAutoreg(nn.Module):
             else:
                 carry2 = hx2
             down_out, carry_dn = RNNLayer(nh2, self.cell, reverse=False,
+                                          dtype=pol.compute_dtype,
                                           name="rnn_down")(up_out, carry2)
             last_h = carry_dn[0] if needs_cell_state(self.cell) \
                 else carry_dn
@@ -144,7 +146,8 @@ class RNNAutoreg(nn.Module):
             carry3 = (hx3, jnp.zeros_like(hx3)) \
                 if needs_cell_state(self.stochastic_cell) else hx3
             down_out, _ = RNNLayer(nh3, self.stochastic_cell, reverse=False,
-                                   noise=True, name="rnn_stoch")(
+                                   noise=True, dtype=pol.compute_dtype,
+                                   name="rnn_stoch")(
                 down_out, carry3, eps)
 
         # ---- latent convective memory + output heads

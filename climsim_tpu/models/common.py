@@ -41,3 +41,14 @@ def split_scalar_head(y: jnp.ndarray, n_scalars: int = 8) -> jnp.ndarray:
     surface-flux scalars (ReLU on last ``n_scalars`` features)."""
     lev, sfc = y[..., :-n_scalars], y[..., -n_scalars:]
     return jnp.concatenate([lev, jnp.maximum(sfc, 0.0)], axis=-1)
+
+
+class PositiveLinear:
+    """Weight-clamped linear layer (rnn/layers.py:23-37 PositiveLinear):
+    functional form — clamp the kernel at use, not at init, so gradient
+    updates stay unconstrained while the forward map is non-negative."""
+
+    @staticmethod
+    def apply(kernel, bias, x):
+        import jax.numpy as jnp
+        return x @ jnp.maximum(kernel, 0.0) + bias

@@ -92,3 +92,31 @@ def relative_to_specific_humidity(rh: jnp.ndarray, T: jnp.ndarray,
     """RH -> q [kg/kg], inverse transform used at the online boundary
     (rnn/utils.py:674-814)."""
     return rh * qsat(T, p)
+
+
+# ---- Clausius-Clapeyron variant (rnn/metrics.py:318-476) ----
+
+_ES0 = 611.2       # Pa, saturation vapor pressure at the triple point
+_RV_CC = 461.5     # J/(kg K)
+_LV0 = 2.501e6     # J/kg
+_LV_SLOPE = -2370.0  # J/(kg K), linear T-dependence of Lv
+_EPSILON = 0.622   # Rd/Rv mass ratio
+
+
+def esat_cc(T: jnp.ndarray) -> jnp.ndarray:
+    """Clausius-Clapeyron saturation vapor pressure with linearly
+    T-dependent latent heat (rnn/metrics.py:341-360)."""
+    Lv = _LV0 + _LV_SLOPE * (T - C.T0_FREEZE)
+    return _ES0 * jnp.exp((Lv / _RV_CC) * (1.0 / C.T0_FREEZE - 1.0 / T))
+
+
+def specific_to_relative_humidity_cc(q, T, p, return_excess: bool = False):
+    """q -> RH via Clausius-Clapeyron with proper vapor-pressure algebra
+    (rnn/metrics.py:318-380): e = q p / (eps + q (1-eps)).
+    return_excess=True gives the supersaturation excess in kg/kg."""
+    e_sat = esat_cc(T)
+    if return_excess:
+        q_sat = (_EPSILON * e_sat) / (p - e_sat * (1.0 - _EPSILON))
+        return jnp.maximum(q - q_sat, 0.0)
+    e_actual = (q * p) / (_EPSILON + q * (1.0 - _EPSILON))
+    return e_actual / e_sat

@@ -56,3 +56,19 @@ def weighted_loss(pred, target, feature_w, kind: str = "huber",
         quad = jnp.minimum(a, delta)
         per = 0.5 * quad ** 2 + delta * (a - quad)
     return jnp.mean(per * feature_w)
+
+
+def rh_consistency_loss(dqv_raw, dT_raw, qv_old, T_old, pmid,
+                        dt: float = 1200.0, rh_max: float = 1.05):
+    """Penalize predicted states that become supersaturated: the
+    Clausius-Clapeyron RH-consistency term of the rollout loss
+    (rnn/metrics.py:318-476; weight w_rh in the trainer config).
+
+    All args raw units: tendencies [B, L], state [B, L], pmid [B, L] Pa.
+    """
+    from ..physics import thermo
+
+    qv_new = jnp.maximum(qv_old + dt * dqv_raw, 0.0)
+    T_new = jnp.maximum(T_old + dt * dT_raw, 100.0)
+    rh = thermo.specific_to_relative_humidity_cc(qv_new, T_new, pmid)
+    return jnp.mean(jnp.square(jnp.maximum(rh - rh_max, 0.0)))

@@ -23,9 +23,9 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-# Recorded round-1 value (columns/s/chip, RNN emulator forward). None until
-# first measured on hardware -> vs_baseline reports 1.0.
-BASELINE_VALUE = None
+# Recorded round-1 value (columns/s/chip, memory-BiGRU forward, scan-bf16
+# on one v5e chip). vs_baseline = value / BASELINE_VALUE.
+BASELINE_VALUE = 1.632e6
 
 
 def build(use_pallas: bool, bf16: bool = False):

@@ -85,8 +85,9 @@ def measure(model, params, xm, xs, mem, B, N=20):
 
 def main():
     best, variant = None, "scan"
+    # the pallas variant currently loses to the XLA scan at these shapes
+    # (and bf16 tiling fails Mosaic) — excluded to keep bench wall-time low
     for use_pallas, bf16, name in ((False, True, "scan-bf16"),
-                                   (True, True, "pallas-bf16"),
                                    (False, False, "scan-f32")):
         try:
             cols = measure(*build(use_pallas, bf16))

@@ -385,3 +385,64 @@ class RolloutTrainer:
                "loss": tot / max(n, 1), "updates": n,
                "seconds": time.time() - t0}
         return params, opt_state, mem, rec
+
+
+# ---------------------------------------------------------------- checkpoint
+
+def save_rollout_checkpoint(path: str, params, opt_state, mem, epoch: int,
+                            val_loss: float | None = None,
+                            keep_top_k: int = 3):
+    """Best-K checkpoint retention for rollout training (the Modulus
+    top-K .mdlus scheme, train_mlp_h5loader.py:482-506, and the RNN
+    driver's best-val torch.save, driver :986-1007). The autoregressive
+    memory is saved with the state so resumed simulations continue
+    seamlessly."""
+    import json
+    import os
+    import shutil
+    import orbax.checkpoint as ocp
+
+    os.makedirs(path, exist_ok=True)
+    name = f"ep{epoch}"
+    c = ocp.StandardCheckpointer()
+    c.save(os.path.abspath(os.path.join(path, name)),
+           {"params": params, "opt_state": opt_state, "mem": mem},
+           force=True)
+    c.wait_until_finished()
+
+    index_path = os.path.join(path, "index.json")
+    index = []
+    if os.path.exists(index_path):
+        with open(index_path) as f:
+            index = json.load(f)
+    index = [e for e in index if e["name"] != name]
+    index.append({"name": name, "epoch": epoch,
+                  "val_loss": val_loss if val_loss is not None else 1e30})
+    index.sort(key=lambda e: e["val_loss"])
+    for stale in index[keep_top_k:]:
+        shutil.rmtree(os.path.join(path, stale["name"]),
+                      ignore_errors=True)
+    index = index[:keep_top_k]
+    with open(index_path, "w") as f:
+        json.dump(index, f)
+    return name
+
+
+def restore_rollout_checkpoint(path: str, params, opt_state, mem,
+                               name: str | None = None):
+    """Restore the best (or named) checkpoint; returns
+    (params, opt_state, mem, epoch)."""
+    import json
+    import os
+    import orbax.checkpoint as ocp
+
+    with open(os.path.join(path, "index.json")) as f:
+        index = json.load(f)
+    entry = index[0] if name is None else \
+        next(e for e in index if e["name"] == name)
+    c = ocp.StandardCheckpointer()
+    ref = {"params": params, "opt_state": opt_state, "mem": mem}
+    restored = c.restore(os.path.abspath(os.path.join(path, entry["name"])),
+                         ref)
+    return (restored["params"], restored["opt_state"], restored["mem"],
+            entry["epoch"])

@@ -364,3 +364,27 @@ def test_rollout_ensemble_crps():
         losses.append(rec["loss"])
         assert np.isfinite(rec["loss"])
     assert losses[1] < losses[0]
+
+
+def test_rollout_checkpoint_topk(tmp_path):
+    """Top-K retention + resume incl. the autoregressive memory."""
+    from climsim_tpu.train.rollout import (save_rollout_checkpoint,
+                                           restore_rollout_checkpoint)
+    import os
+    tr, data = _make_training_setup()
+    params, opt, mem = tr.init(K(0), next(iter(_chunks(data))))
+    p = str(tmp_path / "ck")
+    save_rollout_checkpoint(p, params, opt, mem, 0, val_loss=1.0,
+                            keep_top_k=2)
+    save_rollout_checkpoint(p, params, opt, mem, 1, val_loss=0.5,
+                            keep_top_k=2)
+    save_rollout_checkpoint(p, params, opt, mem, 2, val_loss=2.0,
+                            keep_top_k=2)
+    # worst (ep2) evicted; best is ep1
+    names = {d for d in os.listdir(p) if d.startswith("ep")}
+    assert names == {"ep0", "ep1"}
+    p2, o2, m2, ep = restore_rollout_checkpoint(p, params, opt, mem)
+    assert ep == 1
+    for a, b in zip(jax.tree_util.tree_leaves(p2),
+                    jax.tree_util.tree_leaves(params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

@@ -161,3 +161,37 @@ def test_global_mesh():
     mesh = make_global_mesh({"data": 4, "ensemble": 2})
     assert mesh.devices.shape == (4, 2)
     assert mesh.axis_names == ("data", "ensemble")
+
+
+def test_tensorstore_keeplev_roundtrip(tmp_path):
+    from climsim_tpu.data.tsstore import TsKeeplevStore, from_h5
+    from climsim_tpu.data.h5store import KeeplevWriter
+    rng = np.random.default_rng(0)
+    n = 768
+    arrays = {"input_lev": rng.normal(0, 1, (n, 60, 5)).astype(np.float32),
+              "input_sca": rng.normal(0, 1, (n, 7)).astype(np.float32),
+              "output_lev": rng.normal(0, 1, (n, 60, 6)).astype(np.float32),
+              "output_sca": rng.normal(0, 1, (n, 8)).astype(np.float32)}
+    st = TsKeeplevStore(str(tmp_path / "store")).create(
+        n, {k: v.shape[1:] for k, v in arrays.items()},
+        {"input_lev": ["a", "b", "c", "d", "e"]})
+    st.write_rows(0, **{k: v[:400] for k, v in arrays.items()})
+    st.write_rows(400, **{k: v[400:] for k, v in arrays.items()})
+
+    rd = TsKeeplevStore(str(tmp_path / "store")).open()
+    assert rd.n == n
+    got = rd.read_rows(100, 500)
+    np.testing.assert_allclose(got["input_lev"],
+                               arrays["input_lev"][100:500], rtol=1e-6)
+    assert rd.varnames["input_lev"] == ["a", "b", "c", "d", "e"]
+    chunks = list(rd.iter_chunks(384))
+    assert len(chunks) == 2
+    # h5 -> tensorstore conversion
+    h5p = str(tmp_path / "x.h5")
+    with KeeplevWriter(h5p) as w:
+        w.append(*[arrays[k] for k in ("input_lev", "input_sca",
+                                       "output_lev", "output_sca")])
+    st2 = from_h5(h5p, str(tmp_path / "store2"))
+    got2 = TsKeeplevStore(str(tmp_path / "store2")).open().read_rows(0, n)
+    np.testing.assert_allclose(got2["output_lev"], arrays["output_lev"],
+                               rtol=1e-6)

@@ -190,3 +190,43 @@ def fv_advect_2d_halo(q_ext: jnp.ndarray, u_ext: jnp.ndarray,
         jnp.where(is_north, 0.0, 1.0))
     interior = q_ext[halo:halo + n]
     return interior - dt_dy * (faces[1:] - faces[:-1])
+
+
+def vertical_advect_column(q: jnp.ndarray, w: jnp.ndarray,
+                           dp: jnp.ndarray, dt: float) -> jnp.ndarray:
+    """Conservative vertical transport in pressure coordinates per column:
+    first-order upwind flux-form with zero flux at TOA and surface.
+
+    q [B, L] tracer, w [B, L+1] pressure velocity (omega, Pa/s) at
+    interfaces (positive = downward/increasing p), dp [B, L] layer
+    thickness. The first-order donor scheme is monotone and, with the zero
+    boundary fluxes, exactly mass-conserving per column.
+    """
+    w_in = w[:, 1:-1]                     # interior interfaces [B, L-1]
+    q_up = q[:, :-1]                      # cell above the interface
+    q_dn = q[:, 1:]
+    flux = jnp.where(w_in >= 0.0, w_in * q_up, w_in * q_dn)  # [B, L-1]
+    zero = jnp.zeros_like(flux[:, :1])
+    flux_full = jnp.concatenate([zero, flux, zero], axis=1)  # [B, L+1]
+    return q - dt * (flux_full[:, 1:] - flux_full[:, :-1]) / dp
+
+
+def diagnose_omega(u, v, dt_dx, dt_dy, dp, gather_idx, scatter_idx,
+                   nlat: int, nlon: int):
+    """Diagnostic pressure velocity from horizontal divergence (continuity
+    in pressure coordinates): omega(l+1/2) = -sum_{k<=l} div_k * dp_k.
+
+    u/v [ncol, L] winds in CFL units per step; returns omega at interfaces
+    [ncol, L+1] in (Pa per step) units compatible with
+    :func:`vertical_advect_column` at dt=1."""
+    ug = to_grid(u, gather_idx, nlat, nlon)
+    vg = to_grid(v, gather_idx, nlat, nlon)
+    # centered divergence on the proxy grid (periodic lon, clamped lat)
+    dudx = (jnp.roll(ug, -1, axis=1) - jnp.roll(ug, 1, axis=1)) * 0.5 * dt_dx
+    # clamped (one-sided at poles) centered meridional difference
+    dvdy = (jnp.concatenate([vg[1:], vg[-1:]], axis=0)
+            - jnp.concatenate([vg[:1], vg[:-1]], axis=0)) * 0.5 * dt_dy
+    div = to_columns(dudx + dvdy, scatter_idx)            # [ncol, L]
+    col_int = jnp.cumsum(div * dp, axis=1)                # [ncol, L]
+    zero = jnp.zeros_like(col_int[:, :1])
+    return -jnp.concatenate([zero, col_int], axis=1)      # [ncol, L+1]

@@ -34,6 +34,7 @@ class HostLoopConfig:
     nlon: int = 24
     dt: float = C.DT_STEP
     scheme: str = "fv"          # fv | semi_lagrangian | none
+    vertical_advection: bool = False  # omega-diagnosed vertical transport
     fix_water: bool = True      # multiplicative tracer mass fixer
     # winds -> CFL conversion: proxy-grid cell sizes (m). ne4 low-res cells
     # are ~O(1000 km); the advecting CFL stays < 1 for |u| < dx/dt.
@@ -119,6 +120,17 @@ class HybridLoop:
         qi = jnp.maximum(state["qi"] + dt * ptend[:, :, 3], 0.0)
         u = state["u"] + dt * ptend[:, :, 4]
         v = state["v"] + dt * ptend[:, :, 5]
+
+        if cfg.vertical_advection and cfg.scheme != "none":
+            # continuity-diagnosed omega -> conservative vertical transport
+            dp = self.grid.layer_thickness(x_sfc[:, 0])
+            omega = adv.diagnose_omega(
+                u * (dt / cfg.dx), v * (dt / cfg.dy), 1.0, 1.0, dp,
+                self.gather_idx, self.scatter_idx, cfg.nlat, cfg.nlon)
+            T = adv.vertical_advect_column(T, omega, dp, 1.0)
+            qv = adv.vertical_advect_column(qv, omega, dp, 1.0)
+            qc = adv.vertical_advect_column(qc, omega, dp, 1.0)
+            qi = adv.vertical_advect_column(qi, omega, dp, 1.0)
 
         # horizontal transport by the updated winds
         T_a = self.advect(T, u, v)

@@ -1,3 +1,4 @@
 from .pallas_rnn import fused_bigru, PallasBiGRU
+from .pallas_stencil import fv_advect_levels
 
-__all__ = ["fused_bigru", "PallasBiGRU"]
+__all__ = ["fused_bigru", "PallasBiGRU", "fv_advect_levels"]

@@ -1,0 +1,92 @@
+"""Pallas finite-volume advection stencil kernel.
+
+The online host loop's transport operator (online/advection.py) as a TPU
+kernel: one program per level performs the full dimensionally-split
+MC-limited FV update for a [nlat, nlon] field entirely in VMEM — zonal
+sweep, meridional sweep, flux assembly — so the intermediate post-zonal
+field never touches HBM. Semantics match ``fv_advect_2d`` exactly (pinned
+by parity tests).
+
+For the ClimSim grids a whole level field is tiny (low-res 16x24, high-res
+~120x180 per shard), so the kernel is HBM-bandwidth bound on the (q, u, v)
+loads per level; fusing both sweeps halves the traffic vs a two-pass
+elementwise implementation.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _mc_slope(qm, q0, qp):
+    dqc = 0.5 * (qp - qm)
+    dqp = qp - q0
+    dqm = q0 - qm
+    s = jnp.sign(dqc)
+    mag = jnp.minimum(jnp.abs(dqc),
+                      2.0 * jnp.minimum(jnp.abs(dqp), jnp.abs(dqm)))
+    return jnp.where(dqp * dqm > 0.0, s * mag, 0.0)
+
+
+def _fv_level_kernel(q_ref, u_ref, v_ref, out_ref, *, dt_dx: float,
+                     dt_dy: float):
+    """One [1, nlat, nlon] level block: zonal (periodic) then meridional
+    (clamped poles, zero pole flux) sweep, all in VMEM."""
+    q = q_ref[0]
+    u = u_ref[0]
+    v = v_ref[0]
+
+    # ---- zonal sweep (periodic in the lon axis)
+    qm = pltpu.roll(q, 1, 1)
+    qmm = pltpu.roll(q, 2, 1)
+    nlon = q.shape[1]
+    qp = pltpu.roll(q, nlon - 1, 1)
+    slope_m = _mc_slope(qmm, qm, q)
+    slope_0 = _mc_slope(qm, q, qp)
+    c = u * dt_dx
+    f_pos = qm + 0.5 * (1.0 - c) * slope_m
+    f_neg = q - 0.5 * (1.0 + c) * slope_0
+    F = jnp.where(u >= 0.0, u * f_pos, u * f_neg)
+    q = q - dt_dx * (pltpu.roll(F, nlon - 1, 1) - F)
+
+    # ---- meridional sweep (clamped ghost rows; zero pole-face fluxes)
+    nlat = q.shape[0]
+    ext = jnp.concatenate([q[:1], q[:1], q, q[-1:], q[-1:]], axis=0)
+    v_ext = jnp.concatenate([v[:1], v[:1], v, v[-1:], v[-1:]], axis=0)
+    qmm = ext[:-3]          # rows j-2 for faces j = 0..nlat
+    qm = ext[1:-2]
+    q0 = ext[2:-1]
+    qp = ext[3:]
+    vf = v_ext[2:-1]        # face velocity from the cell below the face
+    slope_m = _mc_slope(qmm, qm, q0)
+    slope_0 = _mc_slope(qm, q0, qp)
+    c = vf * dt_dy
+    f_pos = qm + 0.5 * (1.0 - c) * slope_m
+    f_neg = q0 - 0.5 * (1.0 + c) * slope_0
+    faces = jnp.where(vf >= 0.0, vf * f_pos, vf * f_neg)  # [nlat+1, nlon]
+    row = jax.lax.broadcasted_iota(jnp.int32, faces.shape, 0)
+    faces = jnp.where((row == 0) | (row == nlat), 0.0, faces)
+    out_ref[0] = q - dt_dy * (faces[1:] - faces[:-1])
+
+
+def fv_advect_levels(q: jnp.ndarray, u: jnp.ndarray, v: jnp.ndarray,
+                     dt_dx: float, dt_dy: float,
+                     interpret: bool = False) -> jnp.ndarray:
+    """Batched FV transport: q/u/v [nlev, nlat, nlon] -> advected q.
+    One pallas program per level, whole level field resident in VMEM."""
+    nlev, nlat, nlon = q.shape
+    spec = pl.BlockSpec((1, nlat, nlon), lambda i: (i, 0, 0),
+                        memory_space=pltpu.VMEM)
+    kern = functools.partial(_fv_level_kernel, dt_dx=dt_dx, dt_dy=dt_dy)
+    return pl.pallas_call(
+        kern,
+        grid=(nlev,),
+        in_specs=[spec, spec, spec],
+        out_specs=spec,
+        out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
+        interpret=interpret,
+    )(q, u, v)

@@ -58,3 +58,21 @@ def test_fused_bigru_gradients():
     for a, b in zip(gk, gr):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-4, atol=1e-5)
+
+
+def test_fv_stencil_kernel_matches_reference():
+    """Pallas FV kernel (interpret mode) == the jnp fv_advect_2d per level,
+    incl. mass conservation."""
+    from climsim_tpu.ops.pallas_stencil import fv_advect_levels
+    from climsim_tpu.online.advection import fv_advect_2d
+    rng = np.random.default_rng(0)
+    nlev, nlat, nlon = 5, 16, 24
+    q = jnp.asarray(np.abs(rng.normal(1, 0.3, (nlev, nlat, nlon))))
+    u = jnp.asarray(rng.normal(0, 0.3, (nlev, nlat, nlon)))
+    v = jnp.asarray(rng.normal(0, 0.3, (nlev, nlat, nlon)))
+    got = fv_advect_levels(q, u, v, 0.4, 0.4, interpret=True)
+    exp = jax.vmap(lambda a, b, c: fv_advect_2d(a, b, c, 0.4, 0.4))(q, u, v)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(exp),
+                               rtol=1e-6, atol=1e-8)
+    np.testing.assert_allclose(np.asarray(got.sum((1, 2))),
+                               np.asarray(q.sum((1, 2))), rtol=1e-10)

@@ -68,8 +68,24 @@ def _coeffs(g):
     }
 
 
+def _load_ref_models_module():
+    """Load /root/reference/rnn/models/models.py under a unique name —
+    a bare `import models` is order-dependent across the test session
+    (the reference also has a `models` PACKAGE at rnn/models/)."""
+    import importlib.util
+
+    if "ref_rnn_models" in sys.modules:
+        return sys.modules["ref_rnn_models"]
+    spec = importlib.util.spec_from_file_location(
+        "ref_rnn_models", "/root/reference/rnn/models/models.py")
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules["ref_rnn_models"] = mod
+    spec.loader.exec_module(mod)
+    return mod
+
+
 def _ref_model(g):
-    from models import RNN_autoreg  # reference rnn/models/models.py
+    RNN_autoreg = _load_ref_models_module().RNN_autoreg
 
     cfg = _DictConfig(
         ny=NY, nlev=L, nx=NX, nx_sfc=NX_SFC, ny_sfc=NY_SFC,

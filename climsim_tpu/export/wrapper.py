@@ -36,6 +36,13 @@ class WrapperConfig:
     qinput_prune: bool = False
     qinput_prune_lev: int = 15
     rh_prune: bool = True
+    # normalized-input clipping of the online trainers
+    # (climsim_datapip.py:11-160): dyn forcings to +-clip_dyn, previous
+    # physics tendencies to +-clip_phy; channel ranges in the level layout
+    clip_dyn: float | None = None
+    dyn_slice: tuple = (6, 12)
+    clip_phy: float | None = None
+    phy_slice: tuple = (12, 20)
     mp_constraint: bool = True
 
 
@@ -79,6 +86,14 @@ class OnlineWrapper:
         if cfg.rh_prune:
             x_main = x_main.at[:, :, 1].set(
                 jnp.clip(x_main[:, :, 1], 0.0, 1.2))
+        if cfg.clip_dyn is not None:
+            a, b = cfg.dyn_slice
+            x_main = x_main.at[:, :, a:b].set(
+                jnp.clip(x_main[:, :, a:b], -cfg.clip_dyn, cfg.clip_dyn))
+        if cfg.clip_phy is not None:
+            a, b = cfg.phy_slice
+            x_main = x_main.at[:, :, a:b].set(
+                jnp.clip(x_main[:, :, a:b], -cfg.clip_phy, cfg.clip_phy))
         x_main = jnp.where(jnp.isfinite(x_main), x_main, 0.0)
         return x_main, x_sfc
 

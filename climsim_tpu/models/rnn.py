@@ -53,6 +53,11 @@ class RNNAutoreg(nn.Module):
     add_stochastic_layer: bool = False
     stochastic_cell: str = "sgru"
     use_pallas: bool = False     # fused BiGRU kernel (gru cell only)
+    # AR(1) noise threading (rnn/utils.py:940-959 noise modes; the wrapper
+    # signature's eps_prev, save_wrapper_mem_prevtend_ftorch.py:333-360):
+    # eps_new = rho*eps_prev + sqrt(1-rho^2)*N(0,1) drives the stochastic
+    # layer with temporally-correlated noise
+    ar_noise_rho: float = 0.0
     # static hybrid coefficients + ps normalization for the pressure feature
     hyam: tuple = ()
     hybm: tuple = ()
@@ -61,7 +66,8 @@ class RNNAutoreg(nn.Module):
     policy: Policy = F32
 
     @nn.compact
-    def __call__(self, x_main, x_sfc, mem, deterministic: bool = True):
+    def __call__(self, x_main, x_sfc, mem, deterministic: bool = True,
+                 eps_prev=None):
         B, L, _ = x_main.shape
         nh1, nh2 = self.nneur[0], self.nneur[1]
         pol = self.policy
@@ -137,11 +143,21 @@ class RNNAutoreg(nn.Module):
                 else carry_dn
 
         # ---- optional stochastic third layer (models.py:405-412,521-534)
+        eps_out = eps_prev
         if self.add_stochastic_layer:
             nh3 = self.nneur[-1]
-            eps = jax.random.normal(self.make_rng("noise"), (L, B, nh3),
-                                    down_out.dtype) if not deterministic \
-                else jnp.zeros((L, B, nh3), down_out.dtype)
+            if deterministic:
+                eps = jnp.zeros((L, B, nh3), down_out.dtype)
+            else:
+                fresh = jax.random.normal(self.make_rng("noise"),
+                                          (L, B, nh3), down_out.dtype)
+                if self.ar_noise_rho > 0.0 and eps_prev is not None:
+                    rho = self.ar_noise_rho
+                    eps = rho * eps_prev.astype(down_out.dtype) \
+                        + (1.0 - rho * rho) ** 0.5 * fresh
+                else:
+                    eps = fresh
+                eps_out = eps
             hx3 = jnp.zeros((B, nh3), down_out.dtype)
             carry3 = (hx3, jnp.zeros_like(hx3)) \
                 if needs_cell_state(self.stochastic_cell) else hx3
@@ -173,6 +189,9 @@ class RNNAutoreg(nn.Module):
             out, out_sfc = self._radiation(x_sfc, gases, new_mem, out,
                                            out_sfc, pol)
 
+        if self.ar_noise_rho > 0.0 and self.add_stochastic_layer:
+            return (pol.cast_out(out), pol.cast_out(out_sfc),
+                    pol.cast_out(new_mem), eps_out)
         return pol.cast_out(out), pol.cast_out(out_sfc), pol.cast_out(new_mem)
 
     def _radiation(self, x_sfc, gases, mem, out_crm, out_sfc_crm, pol):

@@ -388,3 +388,64 @@ def test_rollout_checkpoint_topk(tmp_path):
     for a, b in zip(jax.tree_util.tree_leaves(p2),
                     jax.tree_util.tree_leaves(params)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_ar_noise_threading():
+    """AR(1) eps threading: the model returns eps and reuses it with
+    correlation rho (the wrapper's eps_prev contract)."""
+    hyam, hybm, _ = _grid_tuples()
+    m = RNNAutoreg(nx=15, nx_sfc=24, ny=6, ny_sfc=8, nneur=(16, 16, 16),
+                   nh_mem=4, add_stochastic_layer=True, ar_noise_rho=0.9,
+                   hyam=hyam, hybm=hybm)
+    B, L = 4, 60
+    xm = jax.random.normal(K(0), (B, L, 15))
+    xs = jax.random.normal(K(1), (B, 24))
+    mem = jnp.zeros((B, L, 4))
+    eps0 = jnp.zeros((L, B, 16))
+    p = m.init({"params": K(2), "noise": K(3)}, xm, xs, mem,
+               deterministic=False, eps_prev=eps0)
+    out1, _, _, eps1 = m.apply(p, xm, xs, mem, deterministic=False,
+                               eps_prev=eps0, rngs={"noise": K(4)})
+    out2, _, _, eps2 = m.apply(p, xm, xs, mem, deterministic=False,
+                               eps_prev=eps1, rngs={"noise": K(5)})
+    # eps2 correlated with eps1 (rho=0.9)
+    # cold start from eps0=0: corr = rho*std(eps1)/std(eps2) ~= 0.67
+    c = np.corrcoef(np.asarray(eps1).ravel(), np.asarray(eps2).ravel())[0, 1]
+    assert c > 0.6, c
+    assert eps1.shape == eps0.shape
+
+
+def test_freeze_and_partial_load():
+    from climsim_tpu.train.finetune import partial_load, freeze
+    import optax
+    hyam, hybm, _ = _grid_tuples()
+    m = RNNAutoreg(nx=15, nx_sfc=24, ny=6, ny_sfc=8, nneur=(16, 16),
+                   nh_mem=4, hyam=hyam, hybm=hybm)
+    B, L = 4, 60
+    xm = jax.random.normal(K(0), (B, L, 15))
+    xs = jax.random.normal(K(1), (B, 24))
+    mem = jnp.zeros((B, L, 4))
+    p1 = m.init(K(2), xm, xs, mem)
+    p2 = m.init(K(3), xm, xs, mem)
+    merged, loaded, skipped = partial_load(p1, p2)
+    assert loaded > 0 and skipped == 0
+    np.testing.assert_array_equal(
+        np.asarray(jax.tree_util.tree_leaves(merged)[0]),
+        np.asarray(jax.tree_util.tree_leaves(p2)[0]))
+
+    tx = freeze(optax.adam(1e-3), p1, ["*rnn_up*"])
+    st = tx.init(p1)
+
+    def loss(p):
+        out, _, _ = m.apply(p, xm, xs, mem)
+        return jnp.sum(jnp.square(out))
+
+    g = jax.grad(loss)(p1)
+    up, _ = tx.update(g, st, p1)
+    froz = sum(float(jnp.abs(a).sum()) for kp, a in
+               jax.tree_util.tree_flatten_with_path(up)[0]
+               if "rnn_up" in jax.tree_util.keystr(kp))
+    live = sum(float(jnp.abs(a).sum()) for kp, a in
+               jax.tree_util.tree_flatten_with_path(up)[0]
+               if "rnn_up" not in jax.tree_util.keystr(kp))
+    assert froz == 0.0 and live > 0.0

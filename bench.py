@@ -23,6 +23,23 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+# persistent compile cache (shared with the test suite's tests/.jax_cache
+# sibling): big programs through the remote-compile tunnel take minutes;
+# warm runs skip that entirely
+def _enable_compile_cache():
+    try:
+        import jax
+        cache = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "tests", ".jax_cache")
+        os.makedirs(cache, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    except Exception:
+        pass
+
+_enable_compile_cache()
+
 # Recorded round-1 value (columns/s/chip, memory-BiGRU forward, scan-bf16
 # on one v5e chip). vs_baseline = value / BASELINE_VALUE.
 BASELINE_VALUE = 1.632e6

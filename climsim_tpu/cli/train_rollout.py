@@ -68,19 +68,40 @@ def main(argv=None):
     y_sfc_n = y_sfc * ysc_sfc
 
     mcfg = cfg.get("model", {})
-    model = RNNAutoreg(
-        nx=x_lev.shape[-1], nx_sfc=x_sfc.shape[-1],
-        ny=y_lev.shape[-1], ny_sfc=y_sfc.shape[-1],
-        nneur=tuple(mcfg.get("nneur", (192, 192))),
-        nh_mem=mcfg.get("nh_mem", 16),
-        cell=mcfg.get("cell", "gru"),
-        add_stochastic_layer=mcfg.get("add_stochastic_layer", False),
-        separate_radiation=mcfg.get("separate_radiation", False),
-        use_pallas=mcfg.get("use_pallas", False),
-        output_prune=mcfg.get("output_prune", True),
-        add_pres=mcfg.get("add_pres", True),
-        hyam=tt(grid.hyam), hybm=tt(grid.hybm),
-        sp_mean=float(xms[0]), sp_div=float(xss[0]))
+    model_type = mcfg.get("type", "rnn")      # rnn | physrnn
+    if model_type == "physrnn":
+        from ..models.phys_rnn import PhysicalRNNAutoreg
+        ysl = np.asarray(ysc_lev, np.float32).reshape(-1, ysc_lev.shape[-1]).mean(0)
+        model = PhysicalRNNAutoreg(
+            nx=x_lev.shape[-1], nx_sfc=x_sfc.shape[-1],
+            ny=y_lev.shape[-1], ny_sfc=y_sfc.shape[-1],
+            nneur=tuple(mcfg.get("nneur", (128, 128))),
+            nh_mem=mcfg.get("nh_mem", 16),
+            nreg=mcfg.get("nreg", 8),
+            store_precip=mcfg.get("store_precip", True),
+            ice_sedimentation=mcfg.get("ice_sedimentation", True),
+            hyai=tt(grid.hyai), hybi=tt(grid.hybi),
+            hyam=tt(grid.hyam), hybm=tt(grid.hybm),
+            sp_mean=float(xms[0]), sp_div=float(xss[0]),
+            yscale_t=float(ysl[0]), yscale_qv=float(ysl[1]),
+            yscale_qn=float(ysl[2]),
+            yscale_precc=float(np.asarray(ysc_sfc)[3]))
+    else:
+        model = None
+    if model is None:
+        model = RNNAutoreg(
+            nx=x_lev.shape[-1], nx_sfc=x_sfc.shape[-1],
+            ny=y_lev.shape[-1], ny_sfc=y_sfc.shape[-1],
+            nneur=tuple(mcfg.get("nneur", (192, 192))),
+            nh_mem=mcfg.get("nh_mem", 16),
+            cell=mcfg.get("cell", "gru"),
+            add_stochastic_layer=mcfg.get("add_stochastic_layer", False),
+            separate_radiation=mcfg.get("separate_radiation", False),
+            use_pallas=mcfg.get("use_pallas", False),
+            output_prune=mcfg.get("output_prune", True),
+            add_pres=mcfg.get("add_pres", True),
+            hyam=tt(grid.hyam), hybm=tt(grid.hybm),
+            sp_mean=float(xms[0]), sp_div=float(xss[0]))
 
     rcfg = cfg.get("rollout", {})
     ocfg = cfg.get("optimizer", {})
@@ -100,25 +121,57 @@ def main(argv=None):
         replay_slice=tuple(rcfg.get("replay_slice", (9, 14))),
         pred_slice=tuple(rcfg.get("pred_slice", (0, 5))),
         gradual_mixing_end_epoch=rcfg.get("gradual_mixing_end_epoch", 10),
+        pass_x_raw=(model_type == "physrnn"),
     )
+    apply_fn = None
+    if model_type == "physrnn":
+        apply_fn = lambda p, xl, xs_, m, xr: model.apply(p, xl, xs_, m,
+                                                         xr)[:3]
+    mem_shape = None
+    if model_type == "physrnn":
+        mem_shape = lambda B, nlev: (B, 50, mcfg.get("nh_mem", 16) + 1)
     trainer = RolloutTrainer(model, rc, np.asarray(grid.hyai),
                              np.asarray(grid.hybi),
                              yscale_lev=jnp.asarray(ysc_lev)[None, None],
-                             yscale_sca=jnp.asarray(ysc_sfc))
+                             yscale_sca=jnp.asarray(ysc_sfc),
+                             apply_fn=apply_fn, mem_shape=mem_shape)
 
     chunk = dcfg.get("chunk_size", 8)
     ntr = int(x_lev.shape[0] * (1 - dcfg.get("val_frac", 0.2)))
 
     def chunks(lo, hi, shuffle):
         n = (hi if hi is not None else x_lev.shape[0]) - lo
-        return keeplev_chunks(x_lev_n[lo:hi], x_sfc_n[lo:hi],
-                              y_lev_n[lo:hi], y_sfc_n[lo:hi], sp[lo:hi],
-                              chunk_size=max(1, min(chunk, n)),
-                              shuffle=shuffle)
+        it = keeplev_chunks(x_lev_n[lo:hi], x_sfc_n[lo:hi],
+                            y_lev_n[lo:hi], y_sfc_n[lo:hi], sp[lo:hi],
+                            chunk_size=max(1, min(chunk, n)),
+                            shuffle=shuffle)
+        if model_type != "physrnn":
+            yield from it
+            return
+        # the physics model needs the raw state per step; chunk indices are
+        # shuffled so recover them by matching sp blocks is fragile — use
+        # unshuffled contiguous chunks for physrnn instead
+        cs = max(1, min(chunk, n))
+        for i, c in enumerate(keeplev_chunks(
+                x_lev_n[lo:hi], x_sfc_n[lo:hi], y_lev_n[lo:hi],
+                y_sfc_n[lo:hi], sp[lo:hi], chunk_size=cs, shuffle=False)):
+            c["x_lev_raw"] = x_lev[lo:hi][i * cs:(i + 1) * cs]
+            yield c
 
-    params, opt_state, mem = trainer.init(
-        jax.random.PRNGKey(cfg.get("seed", 0)),
-        next(iter(chunks(0, ntr, False))))
+    if model_type == "physrnn":
+        first = next(iter(chunks(0, ntr, False)))
+        memc = jnp.zeros((first["x_lev"].shape[1], 50,
+                          mcfg.get("nh_mem", 16) + 1), jnp.float32)
+        params = model.init(jax.random.PRNGKey(cfg.get("seed", 0)),
+                            jnp.asarray(first["x_lev"][0]),
+                            jnp.asarray(first["x_sfc"][0]), memc,
+                            jnp.asarray(first["x_lev_raw"][0]))
+        opt_state = trainer.tx.init(params)
+        mem = memc
+    else:
+        params, opt_state, mem = trainer.init(
+            jax.random.PRNGKey(cfg.get("seed", 0)),
+            next(iter(chunks(0, ntr, False))))
 
     log_path = cfg.get("log_path")
     for epoch in range(cfg.get("epochs", 10)):

@@ -117,7 +117,7 @@ class RolloutTrainer:
     def __init__(self, model, cfg: RolloutConfig, hyai, hybi,
                  yscale_lev=None, yscale_sca=None,
                  xmean_prog=None, xdiv_prog=None, lbd_qc=None, lbd_qi=None,
-                 apply_fn=None):
+                 apply_fn=None, mem_shape=None):
         self.model = model
         # apply_fn(params, x_lev, x_sfc, mem, x_raw) -> (out, out_sfc, mem);
         # default ignores x_raw (standard RNNAutoreg); the physics model
@@ -125,6 +125,13 @@ class RolloutTrainer:
         # model.apply(p, xl, xs, m, xr)[:3])
         self._apply = apply_fn or (
             lambda p, xl, xs, m, xr: self.model.apply(p, xl, xs, m))
+        # mem_shape(B, nlev) -> per-sample memory shape; default follows the
+        # standard RNNAutoreg layout
+        self._mem_shape = mem_shape or (
+            lambda B, nlev: (B, 50 if getattr(self.model,
+                                              "separate_radiation", False)
+                             else nlev,
+                             getattr(self.model, "nh_mem", 16)))
         self.cfg = cfg
         self.hyai = jnp.asarray(hyai)
         self.hybi = jnp.asarray(hybi)
@@ -362,9 +369,7 @@ class RolloutTrainer:
                 self.cfg.ensemble_size > 1 else B
             if mem is None or mem.shape[0] != want_lead or \
                     (self.cfg.ensemble_size > 1 and mem.shape[1] != B):
-                nlev_mem = 50 if getattr(self.model, "separate_radiation",
-                                         False) else chunk["x_lev"].shape[2]
-                shape = (B, nlev_mem, getattr(self.model, "nh_mem", 16))
+                shape = self._mem_shape(B, chunk["x_lev"].shape[2])
                 if self.cfg.ensemble_size > 1:
                     shape = (self.cfg.ensemble_size,) + shape
                 mem = jnp.zeros(shape, jnp.float32)

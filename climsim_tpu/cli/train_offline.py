@@ -36,6 +36,20 @@ def build_model(name: str, vset, cfg):
                     latent_dim=cfg.get("latent_dim", 5),
                     intermediate_dim=cfg.get("intermediate_dim", 463),
                     policy=policy)
+    if name == "unet":
+        # flat v4/v5 contract + trailing loc index column appended by the
+        # wrapper below
+        return M.ClimsimUNet(
+            num_vars_profile=vset.inputs.n_lev_vars,
+            num_vars_scalar=vset.inputs.n_sfc_vars,
+            num_vars_profile_out=vset.outputs.n_lev_vars,
+            num_vars_scalar_out=vset.outputs.n_sfc_vars,
+            model_channels=cfg.get("model_channels", 128),
+            channel_mult=tuple(cfg.get("channel_mult", (1, 2, 2, 2))),
+            num_blocks=cfg.get("num_blocks", 4),
+            output_prune=cfg.get("output_prune", True),
+            loc_embedding=cfg.get("loc_embedding", False),
+            policy=policy)
     raise ValueError(f"unknown offline model {name}")
 
 
@@ -92,6 +106,24 @@ def main(argv=None):
         return train_stochastic(name, cfg, vset, grid, xn, yn, x, nz, ntr,
                                 fc)
     model = build_model(name, vset, cfg.get("model", {}))
+    if name == "unet":
+        # the UNet input layout is [profiles-flat, scalars, loc_idx]; the
+        # registry flat layout interleaves variables, so remap + append idx
+        inl = vset.inputs
+        lev_idx = np.concatenate([np.arange(inl.slices[n].start,
+                                            inl.slices[n].stop)
+                                  for n in inl.lev_names])
+        sfc_idx = np.asarray([inl.slices[n].start for n in inl.sfc_names])
+        loc = np.tile(np.arange(1, 385, dtype=np.float32),
+                      len(xn) // 384 + 1)[:len(xn), None]
+        xn = np.concatenate([xn[:, lev_idx], xn[:, sfc_idx], loc], axis=1)
+        outl = vset.outputs
+        ylev_idx = np.concatenate([np.arange(outl.slices[n].start,
+                                             outl.slices[n].stop)
+                                   for n in outl.lev_names])
+        ysfc_idx = np.asarray([outl.slices[n].start
+                               for n in outl.sfc_names])
+        yn = np.concatenate([yn[:, ylev_idx], yn[:, ysfc_idx]], axis=1)
 
     def tb():
         return flat_batches(xn[:ntr], yn[:ntr], fc.batch_size,

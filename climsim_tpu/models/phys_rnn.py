@@ -60,6 +60,13 @@ class PhysicalRNNAutoreg(nn.Module):
     store_precip: bool = True
     allow_extra_heating: bool = False
     condense_supersaturated: bool = False
+    # full physical radiation (models_phys.py:709-1446 rad_optical_props +
+    # radiative_transfer): the RadiationModule computes heating on all 60
+    # levels from the CRM-updated state + sub-grid condensate, and predicts
+    # the 6 radiative surface scalars physically
+    use_physrad: bool = False
+    ng_lw: int = 8
+    ng_sw: int = 8
     ilev_crm: int = 10
     qv_channel: int = -1         # channel of qv in x_denorm
     # static coefficients
@@ -289,6 +296,52 @@ class PhysicalRNNAutoreg(nn.Module):
         sfc_ml = nn.Dense(self.ny_sfc, name="mlp_surface_output")(last_h)
         out_sfc = sfc_ml.at[:, 2].set(precsc * self.yscale_precc)
         out_sfc = out_sfc.at[:, 3].set(precc * self.yscale_precc)
+
+        if self.use_physrad:
+            from .phys_rad import RadiationModule
+
+            # CRM-updated temperature (grid mean) on all levels
+            T_new_crm = T_gcm[..., 0] + DT * (dT[..., 0] / ys_t)
+            T_full = x_denorm[:, :, 0].at[:, ic:].set(T_new_crm)
+            # sub-grid condensate -> grid-mean water paths [g/m2] with the
+            # area-weighted liquid fraction split
+            qn_mean = jnp.sum(area_frac * qn_crm, -1)           # [B, Lc]
+            lf_mean = jnp.sum(area_frac * liq_frac_crm
+                              * jnp.ones_like(qn_crm), -1) \
+                / jnp.maximum(jnp.sum(area_frac, -1), 1e-9)
+            dp_full = plev[:, 1:] - plev[:, :-1]
+            lwp = jnp.zeros((B, L), x_main.dtype).at[:, ic:].set(
+                1000.0 * qn_mean * lf_mean * dp[:, :] / C.GRAV)
+            iwp = jnp.zeros((B, L), x_main.dtype).at[:, ic:].set(
+                1000.0 * qn_mean * (1.0 - lf_mean) * dp[:, :] / C.GRAV)
+            # gases from the normalized inputs are not raw; use
+            # climatological constants (the reference feeds RRTMGP-normed
+            # gas inputs; ours are trainable so constants suffice as base)
+            gases = {"o3": jnp.full((B, L), 2e-6, x_main.dtype),
+                     "ch4": jnp.full((B, L), 9.7e-7, x_main.dtype),
+                     "n2o": jnp.full((B, L), 4.8e-7, x_main.dtype)}
+            clouds = {"lwp": lwp, "iwp": iwp,
+                      "landfrac": x_sfc[:, 13], "icefrac": x_sfc[:, 12],
+                      "snowh": nn.relu(x_sfc[:, 16])}
+            sfc_rad = {"coszrs": nn.relu(x_sfc[:, 6]),
+                       "solin": nn.relu(x_sfc[:, 1]) * 1360.0,
+                       "lwup": 5.67e-8 * jnp.clip(x_denorm[:, -1, 0],
+                                                  150.0, 350.0) ** 4,
+                       "aldif": jax.nn.sigmoid(x_sfc[:, 7]),
+                       "aldir": jax.nn.sigmoid(x_sfc[:, 8]),
+                       "asdif": jax.nn.sigmoid(x_sfc[:, 9]),
+                       "asdir": jax.nn.sigmoid(x_sfc[:, 10])}
+            heating, scalars = RadiationModule(
+                ng_lw=self.ng_lw, ng_sw=self.ng_sw,
+                name="radiation")(T_full, play, plev, gases, clouds,
+                                  sfc_rad)
+            out = out.at[:, :, 0].add(heating * ys_t)
+            out_sfc = out_sfc.at[:, 0].set(scalars["NETSW"])
+            out_sfc = out_sfc.at[:, 1].set(scalars["FLWDS"])
+            out_sfc = out_sfc.at[:, 4].set(scalars["SOLS"])
+            out_sfc = out_sfc.at[:, 5].set(scalars["SOLL"])
+            out_sfc = out_sfc.at[:, 6].set(scalars["SOLSD"])
+            out_sfc = out_sfc.at[:, 7].set(scalars["SOLLD"])
 
         new_mem = jnp.concatenate(
             [new_mem_lat,

@@ -226,3 +226,25 @@ def test_phys_rnn_rollout_training():
         losses.append(rec["loss"])
         assert np.isfinite(rec["loss"])
     assert losses[1] < losses[0]
+
+
+def test_physrad_integration():
+    """use_physrad: radiation heating added on all 60 levels, the 6
+    radiative surface scalars predicted physically (FLWDS/OLR positive),
+    gradients flow through solvers + gas-optics MLPs."""
+    m, p, xm, xs, mem, xd = _setup(use_physrad=True, ng_lw=4, ng_sw=4,
+                                   nreg=4)
+    out, osfc, nm, aux = m.apply(p, xm, xs, mem, xd)
+    assert np.isfinite(np.asarray(out)).all()
+    assert np.isfinite(np.asarray(osfc)).all()
+    # FLWDS physically positive; NETSW non-negative
+    assert np.all(np.asarray(osfc[:, 1]) > 0)
+    assert np.all(np.asarray(osfc[:, 0]) >= 0)
+    # heating reaches the top 10 (non-CRM) levels through radiation
+    assert float(jnp.abs(out[:, :10, 0]).max()) > 0
+    g = jax.grad(lambda p: jnp.sum(jnp.square(
+        m.apply(p, xm, xs, mem, xd)[1])))(p)
+    rad_grads = sum(float(jnp.abs(a).sum()) for kp, a in
+                    jax.tree_util.tree_flatten_with_path(g)[0]
+                    if "radiation" in jax.tree_util.keystr(kp))
+    assert np.isfinite(rad_grads) and rad_grads > 0

@@ -146,6 +146,7 @@ class RolloutTrainer:
         self.tx = make_optimizer(cfg)
         self._step_cache: dict = {}
         self._eval_cache: dict = {}
+        self._fused_cache: dict = {}
 
     def init(self, key, sample_window):
         x_lev, x_sfc = sample_window["x_lev"][0], sample_window["x_sfc"][0]
@@ -451,3 +452,76 @@ def restore_rollout_checkpoint(path: str, params, opt_state, mem,
                          ref)
     return (restored["params"], restored["opt_state"], restored["mem"],
             entry["epoch"])
+
+
+# ------------------------------------------------------------- fused epochs
+
+def make_fused_chunk_step(trainer: RolloutTrainer, W: int):
+    """One jitted update for an ENTIRE chunk: lax.scan over its rollout
+    windows with (params, opt_state, mem) carried and the optimizer update
+    applied inside the scan. Removes the per-window host dispatch — on the
+    TPU tunnel each dispatch costs ~0.1-0.5 s of latency, so a fused epoch
+    is dominated by device time instead.
+
+    Window-boundary semantics are identical to the per-window path: the
+    loss is per-window, gradients stop at window edges (the memory is
+    stop_gradient'ed in the carry).
+    Chunk arrays must be [n_windows, W, B, ...].
+    """
+    import functools
+
+    @functools.partial(jax.jit, donate_argnums=(0, 1, 2))
+    def chunk_step(params, opt_state, mem, windows, mix_mask):
+        def body(carry, window):
+            params, opt_state, mem = carry
+
+            def loss_fn(p):
+                return trainer._window_loss(p, window, mem, mix_mask)
+
+            (loss, new_mem), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(params)
+            updates, opt_state = trainer.tx.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return (params, opt_state,
+                    jax.lax.stop_gradient(new_mem)), loss
+
+        (params, opt_state, mem), losses = jax.lax.scan(
+            body, (params, opt_state, mem), windows)
+        return params, opt_state, mem, jnp.mean(losses)
+
+    return chunk_step
+
+
+def run_epoch_fused(trainer: RolloutTrainer, params, opt_state, mem,
+                    chunks, epoch: int, key=None):
+    """Epoch driver using one dispatch per chunk."""
+    cfg = trainer.cfg
+    W = cfg.window_for_epoch(epoch)
+    frac = cfg.mix_fraction(epoch)
+    key = key if key is not None else jax.random.PRNGKey(cfg.seed + epoch)
+    step = trainer._fused_cache.setdefault(
+        W, make_fused_chunk_step(trainer, W))
+
+    tot, n = 0.0, 0
+    t0 = time.time()
+    for chunk in chunks:
+        T = chunk["x_lev"].shape[0]
+        B = chunk["x_lev"].shape[1]
+        nw = T // W
+        if nw == 0:
+            continue
+        if mem is None or mem.shape[0] != B:
+            mem = jnp.zeros(trainer._mem_shape(B, chunk["x_lev"].shape[2]),
+                            jnp.float32)
+        windows = {k: jnp.asarray(v[:nw * W]).reshape(
+            (nw, W) + v.shape[1:]) for k, v in chunk.items()}
+        key, km = jax.random.split(key)
+        mix_mask = (jax.random.uniform(km, (B,)) < frac).astype(jnp.float32)
+        params, opt_state, mem, loss = step(params, opt_state, mem,
+                                            windows, mix_mask)
+        tot += float(loss)
+        n += 1
+    rec = {"epoch": epoch, "window": W, "mix_frac": frac,
+           "loss": tot / max(n, 1), "updates": n * max(nw, 1),
+           "dispatches": n, "seconds": time.time() - t0}
+    return params, opt_state, mem, rec

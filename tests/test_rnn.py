@@ -449,3 +449,25 @@ def test_freeze_and_partial_load():
                jax.tree_util.tree_flatten_with_path(up)[0]
                if "rnn_up" not in jax.tree_util.keystr(kp))
     assert froz == 0.0 and live > 0.0
+
+
+def test_fused_epoch_matches_per_window():
+    """The one-dispatch-per-chunk fused epoch produces the same parameters
+    as the per-window path (identical update order and detach semantics)."""
+    from climsim_tpu.train.rollout import run_epoch_fused
+    tr, data = _make_training_setup()
+    params, opt, mem = tr.init(K(0), next(iter(_chunks(data))))
+    p2 = jax.tree_util.tree_map(lambda a: a.copy(), params)
+    o2 = jax.tree_util.tree_map(lambda a: a.copy(), opt)
+    m2 = mem.copy()
+
+    params, opt, mem, rec1 = tr.run_epoch(params, opt, mem,
+                                          _chunks(data), 0)
+    p2, o2, m2, rec2 = run_epoch_fused(tr, p2, o2, m2, _chunks(data), 0)
+    np.testing.assert_allclose(rec1["loss"], rec2["loss"], rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(params),
+                    jax.tree_util.tree_leaves(p2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-4,
+                                   atol=1e-6)
+    np.testing.assert_allclose(np.asarray(mem), np.asarray(m2), rtol=2e-3,
+                               atol=1e-5)

@@ -38,6 +38,19 @@ def annotate(name: str):
     return jax.profiler.TraceAnnotation(name)
 
 
+def host_memory_stats() -> dict:
+    """Host RAM usage (the reference's psutil prints, driver :80-82)."""
+    try:
+        import psutil
+        vm = psutil.virtual_memory()
+        return {"total_gb": vm.total / 2**30, "used_gb": vm.used / 2**30,
+                "percent": vm.percent}
+    except ImportError:
+        import resource
+        ru = resource.getrusage(resource.RUSAGE_SELF)
+        return {"maxrss_gb": ru.ru_maxrss / 2**20}
+
+
 def device_memory_stats() -> list[dict]:
     import jax
     out = []

@@ -174,9 +174,16 @@ def main(argv=None):
             next(iter(chunks(0, ntr, False))))
 
     log_path = cfg.get("log_path")
+    fused = cfg.get("fused", True)
+    from ..train.rollout import run_epoch_fused
     for epoch in range(cfg.get("epochs", 10)):
-        params, opt_state, mem, rec = trainer.run_epoch(
-            params, opt_state, mem, chunks(0, ntr, True), epoch)
+        if fused:
+            params, opt_state, mem, rec = run_epoch_fused(
+                trainer, params, opt_state, mem, chunks(0, ntr, True),
+                epoch)
+        else:
+            params, opt_state, mem, rec = trainer.run_epoch(
+                params, opt_state, mem, chunks(0, ntr, True), epoch)
         _, _, _, vrec = trainer.run_epoch(
             params, opt_state, None, chunks(ntr, None, False), epoch,
             train=False)

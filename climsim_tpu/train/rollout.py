@@ -456,7 +456,8 @@ def restore_rollout_checkpoint(path: str, params, opt_state, mem,
 
 # ------------------------------------------------------------- fused epochs
 
-def make_fused_chunk_step(trainer: RolloutTrainer, W: int):
+def make_fused_chunk_step(trainer: RolloutTrainer, W: int, mesh=None,
+                          axis: str = "data"):
     """One jitted update for an ENTIRE chunk: lax.scan over its rollout
     windows with (params, opt_state, mem) carried and the optimizer update
     applied inside the scan. Removes the per-window host dispatch — on the
@@ -470,7 +471,28 @@ def make_fused_chunk_step(trainer: RolloutTrainer, W: int):
     """
     import functools
 
-    @functools.partial(jax.jit, donate_argnums=(0, 1, 2))
+    if mesh is not None:
+        # data-parallel over the column batch: params/opt replicated,
+        # windows sharded on the batch axis (dim 2 of [nw, W, B, ...]),
+        # memory on its leading batch dim. XLA inserts the gradient psum
+        # over ICI automatically (the DDP/NCCL role).
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        rep = NamedSharding(mesh, P())
+        win_shard = NamedSharding(mesh, P(None, None, axis))
+        mem_shard = NamedSharding(mesh, P(axis))
+        jit_kwargs = dict(
+            in_shardings=(rep, rep, mem_shard,
+                          jax.tree_util.tree_map(lambda _: win_shard,
+                                                 {"x_lev": 0, "x_sfc": 0,
+                                                  "y_lev": 0, "y_sfc": 0,
+                                                  "sp": 0}),
+                          NamedSharding(mesh, P(axis))),
+            out_shardings=(rep, rep, mem_shard, rep),
+            donate_argnums=(0, 1, 2))
+    else:
+        jit_kwargs = dict(donate_argnums=(0, 1, 2))
+
+    @functools.partial(jax.jit, **jit_kwargs)
     def chunk_step(params, opt_state, mem, windows, mix_mask):
         def body(carry, window):
             params, opt_state, mem = carry
@@ -493,14 +515,15 @@ def make_fused_chunk_step(trainer: RolloutTrainer, W: int):
 
 
 def run_epoch_fused(trainer: RolloutTrainer, params, opt_state, mem,
-                    chunks, epoch: int, key=None):
-    """Epoch driver using one dispatch per chunk."""
+                    chunks, epoch: int, key=None, mesh=None):
+    """Epoch driver using one dispatch per chunk; pass a Mesh for
+    data-parallel training over the column batch."""
     cfg = trainer.cfg
     W = cfg.window_for_epoch(epoch)
     frac = cfg.mix_fraction(epoch)
     key = key if key is not None else jax.random.PRNGKey(cfg.seed + epoch)
     step = trainer._fused_cache.setdefault(
-        W, make_fused_chunk_step(trainer, W))
+        (W, id(mesh)), make_fused_chunk_step(trainer, W, mesh))
 
     tot, n = 0.0, 0
     t0 = time.time()

@@ -471,3 +471,24 @@ def test_fused_epoch_matches_per_window():
                                    atol=1e-6)
     np.testing.assert_allclose(np.asarray(mem), np.asarray(m2), rtol=2e-3,
                                atol=1e-5)
+
+
+def test_fused_epoch_data_parallel_mesh():
+    """Fused rollout training sharded over the 8-device mesh matches the
+    single-device run (params replicated, batch sharded, grads psum'd)."""
+    from climsim_tpu.train.rollout import run_epoch_fused
+    from climsim_tpu.parallel import make_mesh
+    tr, data = _make_training_setup()
+    params, opt, mem = tr.init(K(0), next(iter(_chunks(data))))
+    p1 = jax.tree_util.tree_map(lambda a: a.copy(), params)
+    o1 = jax.tree_util.tree_map(lambda a: a.copy(), opt)
+    mesh = make_mesh(8, axis="data")
+    p2, o2, m2, rec2 = run_epoch_fused(tr, params, opt, mem,
+                                       _chunks(data), 0, mesh=mesh)
+    p1, o1, m1, rec1 = run_epoch_fused(tr, p1, o1, mem.copy(),
+                                       _chunks(data), 0)
+    np.testing.assert_allclose(rec1["loss"], rec2["loss"], rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(p1),
+                    jax.tree_util.tree_leaves(p2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=3e-4,
+                                   atol=1e-6)

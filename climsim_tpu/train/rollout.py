@@ -135,7 +135,19 @@ class RolloutTrainer:
         self.cfg = cfg
         self.hyai = jnp.asarray(hyai)
         self.hybi = jnp.asarray(hybi)
-        self.yscale_lev = yscale_lev   # [1(or L), ny] or None
+        # canonicalize to broadcast against out [B, L, ny]: accept [ny],
+        # [L, ny], or already-leading-1 shapes
+        if yscale_lev is not None:
+            yscale_lev = jnp.asarray(yscale_lev)
+            yscale_lev = yscale_lev.reshape(
+                (1,) * (3 - yscale_lev.ndim) + yscale_lev.shape) \
+                if yscale_lev.ndim < 3 else yscale_lev.reshape(
+                    yscale_lev.shape[-3:])
+            assert yscale_lev.ndim == 3 and yscale_lev.shape[0] == 1, \
+                f"yscale_lev shape {yscale_lev.shape}"
+        self.yscale_lev = yscale_lev   # [1, L or 1, ny] or None
+        if yscale_sca is not None:
+            yscale_sca = jnp.asarray(yscale_sca).reshape(-1)
         self.yscale_sca = yscale_sca
         # semi-online state normalization: [L or 1, n_prog] mean/div for the
         # prognostic input channels + exp-transform lambdas for qc/qi

@@ -74,6 +74,13 @@ class RadiationModule(nn.Module):
         gases: dict with 'o3', 'ch4', 'n2o' [B, L] (mixing ratios).
         cloud_fields: dict with 'lwp', 'iwp' [B, L] (g/m2), 'landfrac',
             'icefrac', 'snowh' [B] surface fields for effective radii.
+            Optional McICA keys 'lwp_sw_g'/'iwp_sw_g' [B, L, ng_sw] and
+            'lwp_lw_g'/'iwp_lw_g' [B, L, ng_lw]: per-g-point water paths
+            from stratified subgrid-region sampling
+            (:func:`climsim_tpu.physics.radiation.stratified_sample`);
+            when present each spectral point sees its sampled region's
+            cloud instead of the grid mean (reference use_mcica path,
+            models_phys.py:862-886).
         sfc: dict with 'coszrs', 'solin', 'lwup', 'aldif', 'aldir',
             'asdif', 'asdir' [B].
         Returns (heating [B, L] K/s, scalars dict).
@@ -91,8 +98,14 @@ class RadiationModule(nn.Module):
         od_lw, pfrac = GasOpticsMLP(self.ng_lw, self.hidden, lw=True,
                                     name="gas_lw")(feats, col_dry)
         # grey cloud LW absorption ~ 0.07*LWP + 0.07*IWP per band share
-        od_cld_lw = (0.07 * cloud_fields["lwp"]
-                     + 0.07 * cloud_fields["iwp"])[..., None] / self.ng_lw
+        if "lwp_lw_g" in cloud_fields:
+            # McICA: each g-point absorbs its sampled region's full cloud
+            od_cld_lw = 0.07 * (cloud_fields["lwp_lw_g"]
+                                + cloud_fields["iwp_lw_g"])
+        else:
+            od_cld_lw = (0.07 * cloud_fields["lwp"]
+                         + 0.07 * cloud_fields["iwp"])[..., None] \
+                / self.ng_lw
         od_lw = od_lw + od_cld_lw
 
         tlev = R.interpolate_tlev(T_lay, play, plev)
@@ -113,11 +126,18 @@ class RadiationModule(nn.Module):
                              name="gas_sw")(feats, col_dry * 0.2)
         ssa_gas = jax.nn.sigmoid(self.param(
             "ssa_gas", nn.initializers.constant(2.0), (self.ng_sw,)))
-        tau_c, ssa_c, g_c = CO.cloud_optics_sw(
-            cloud_fields["lwp"], cloud_fields["iwp"], T_lay,
-            cloud_fields["landfrac"][:, None],
-            cloud_fields["icefrac"][:, None],
-            cloud_fields["snowh"][:, None], self.ng_sw)
+        if "lwp_sw_g" in cloud_fields:
+            tau_c, ssa_c, g_c = CO.cloud_optics_sw_mcica(
+                cloud_fields["lwp_sw_g"], cloud_fields["iwp_sw_g"], T_lay,
+                cloud_fields["landfrac"][:, None],
+                cloud_fields["icefrac"][:, None],
+                cloud_fields["snowh"][:, None])
+        else:
+            tau_c, ssa_c, g_c = CO.cloud_optics_sw(
+                cloud_fields["lwp"], cloud_fields["iwp"], T_lay,
+                cloud_fields["landfrac"][:, None],
+                cloud_fields["icefrac"][:, None],
+                cloud_fields["snowh"][:, None], self.ng_sw)
         tau, ssa, g = CO.combine_optics(
             od_sw, jnp.broadcast_to(ssa_gas, od_sw.shape),
             jnp.zeros_like(od_sw), tau_c, ssa_c, g_c)

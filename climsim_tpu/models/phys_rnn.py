@@ -65,6 +65,11 @@ class PhysicalRNNAutoreg(nn.Module):
     # levels from the CRM-updated state + sub-grid condensate, and predicts
     # the 6 radiative surface scalars physically
     use_physrad: bool = False
+    # McICA subgrid-cloud radiation: stratified-sample g-points among the
+    # predicted subgrid regions proportional to area_frac so radiation
+    # sees subgrid cloud variability instead of grid means (reference
+    # use_mcica, models_phys.py:862-886).
+    use_mcica: bool = False
     ng_lw: int = 8
     ng_sw: int = 8
     ilev_crm: int = 10
@@ -314,13 +319,32 @@ class PhysicalRNNAutoreg(nn.Module):
                 1000.0 * qn_mean * lf_mean * dp[:, :] / C.GRAV)
             iwp = jnp.zeros((B, L), x_main.dtype).at[:, ic:].set(
                 1000.0 * qn_mean * (1.0 - lf_mean) * dp[:, :] / C.GRAV)
+            mcica_fields = {}
+            if self.use_mcica:
+                from ..physics import radiation as RAD
+
+                Lc = L - ic
+                qn_r = qn_crm                          # [B, Lc, nreg]
+                lf_r = liq_frac_crm * jnp.ones_like(qn_crm)
+                p_flat = area_frac.reshape(B * Lc, nreg)
+                for tag, ng in (("sw", self.ng_sw), ("lw", self.ng_lw)):
+                    idx = RAD.stratified_sample(p_flat, ng) \
+                        .reshape(B, Lc, ng)
+                    qn_g = jnp.take_along_axis(qn_r, idx, axis=-1)
+                    lf_g = jnp.take_along_axis(lf_r, idx, axis=-1)
+                    path = 1000.0 * qn_g * dp[..., None] / C.GRAV
+                    zer = jnp.zeros((B, L, ng), x_main.dtype)
+                    mcica_fields[f"lwp_{tag}_g"] = \
+                        zer.at[:, ic:].set(path * lf_g)
+                    mcica_fields[f"iwp_{tag}_g"] = \
+                        zer.at[:, ic:].set(path * (1.0 - lf_g))
             # gases from the normalized inputs are not raw; use
             # climatological constants (the reference feeds RRTMGP-normed
             # gas inputs; ours are trainable so constants suffice as base)
             gases = {"o3": jnp.full((B, L), 2e-6, x_main.dtype),
                      "ch4": jnp.full((B, L), 9.7e-7, x_main.dtype),
                      "n2o": jnp.full((B, L), 4.8e-7, x_main.dtype)}
-            clouds = {"lwp": lwp, "iwp": iwp,
+            clouds = {"lwp": lwp, "iwp": iwp, **mcica_fields,
                       "landfrac": x_sfc[:, 13], "icefrac": x_sfc[:, 12],
                       "snowh": nn.relu(x_sfc[:, 16])}
             sfc_rad = {"coszrs": nn.relu(x_sfc[:, 6]),

@@ -141,3 +141,17 @@ def cloud_optics_sw(qliq_path: jnp.ndarray, qice_path: jnp.ndarray,
     tau_l = k_l * qliq_path[..., None]
     tau_i = k_i * qice_path[..., None]
     return combine_optics(tau_l, ssa_l, g_l, tau_i, ssa_i, g_i)
+
+
+def cloud_optics_sw_mcica(qliq_path_g: jnp.ndarray, qice_path_g: jnp.ndarray,
+                          T: jnp.ndarray, landfrac, icefrac, snowh):
+    """E3SM SW cloud optics with per-g-point (McICA-sampled) water paths
+    [..., ng]: each spectral point sees the cloud of its sampled subgrid
+    region (reference use_mcica path, rnn/models/models_phys.py:862-886)."""
+    ng = qliq_path_g.shape[-1]
+    rel = reltab(T, landfrac, icefrac, snowh)
+    rei = reitab(T)
+    k_l, ssa_l, g_l = slingo_liq_optics_sw(rel, ng)
+    k_i, ssa_i, g_i = ec_ice_optics_sw(rei, ng)
+    return combine_optics(k_l * qliq_path_g, ssa_l, g_l,
+                          k_i * qice_path_g, ssa_i, g_i)

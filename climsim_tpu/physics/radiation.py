@@ -213,6 +213,167 @@ def adding_sw(incoming_toa, albedo_surf_diffuse, albedo_surf_direct,
             jnp.swapaxes(flux_dn_direct, 0, 1))
 
 
+def calc_overlap_matrices(region_fracs: jnp.ndarray,
+                          overlap_param: jnp.ndarray,
+                          cloud_fraction_threshold: float = 1.0e-20
+                          ) -> jnp.ndarray:
+    """Directional TripleClouds overlap matrices (Shonk et al. 2010).
+
+    Re-implements the reference's ``calc_overlap_matrices``
+    (rnn/models/physics_rad.py:688-872) without its Python loop over
+    interfaces: each interface only needs the region fractions of the two
+    adjacent layers, so the whole construction vectorizes over levels —
+    one fused elementwise pass on the VPU instead of nlev+1 sequential
+    kernel launches.
+
+    Args:
+      region_fracs: [B, nlev, nreg] area fraction of each subgrid region
+        per layer (region 0 = clear sky), TOA first.
+      overlap_param: [B, nlev-1] beta overlap parameter per interior
+        interface.
+
+    Returns:
+      v_matrix [B, nlev+1, nreg, nreg] with ``v[..., jlower, jupper]`` =
+      fraction of downwelling flux leaving region ``jupper`` of the layer
+      above interface ``jlev`` that enters region ``jlower`` below it.
+      Interface 0 = TOA, interface nlev = surface (single clear region on
+      the far side of both).
+    """
+    th = cloud_fraction_threshold
+    B, nlev, nreg = region_fracs.shape
+    dt = region_fracs.dtype
+
+    # single clear-sky region outside the atmosphere (TOA above / sfc below)
+    clear = jnp.zeros((B, 1, nreg), dt).at[:, :, 0].set(1.0)
+    frac_upper = jnp.concatenate([clear, region_fracs], axis=1)  # [B,L+1,R]
+    frac_lower = jnp.concatenate([region_fracs, clear], axis=1)
+
+    # overlap parameter per interface: TOA and surface get op=1 (single
+    # upper region makes it irrelevant); cloudy regions use op0^2 when
+    # op0>=0 else op0 (physics_rad.py:768-773).
+    op0 = jnp.pad(overlap_param, ((0, 0), (1, 1)), constant_values=1.0)
+    op_cld = jnp.where(op0 >= 0.0, op0 * op0, op0)
+    op = jnp.concatenate(
+        [op0[..., None], jnp.repeat(op_cld[..., None], nreg - 1, -1)],
+        axis=-1)                                                # [B,L+1,R]
+
+    oxm = op * jnp.minimum(frac_upper, frac_lower)
+    denom = 1.0 - oxm.sum(-1)
+    factor = jnp.where(denom >= th, 1.0 / jnp.maximum(denom, th), 0.0)
+    ru = frac_upper - oxm
+    rl = frac_lower - oxm
+    # overlap[jupper, jlower] = factor*ru[jupper]*rl[jlower] + diag(oxm)
+    overlap = factor[..., None, None] * ru[..., :, None] * rl[..., None, :] \
+        + oxm[..., :, None] * jnp.eye(nreg, dtype=dt)
+    # v[jlower, jupper] = overlap[jupper, jlower] / max(frac_upper, th)
+    inv_fu = 1.0 / jnp.maximum(frac_upper, th)
+    return jnp.swapaxes(overlap, -1, -2) * inv_fu[..., None, :]
+
+
+def adding_sw_tc(incoming_toa, albedo_surf_diffuse, albedo_surf_direct,
+                 R, T, ref_dir, T_dir_diff, T_dir_dir, V):
+    """TripleClouds SW adding solver with inter-region overlap mixing
+    (rnn/models/physics_rad.py:421-532 ``adding_tc_sw_batchlast_opt``).
+
+    Region-resolved fluxes are mixed through the directional overlap
+    matrix ``V`` at the interface above every layer: the up sweep maps
+    below-interface albedos into the regions of the layer above
+    (energy-weighted adjoint, ``a·V``), the down sweep redistributes the
+    downwelling direct/diffuse fluxes into the regions of the layer below
+    (``V·f``). With ``V = I`` per region this reduces exactly to the ICA
+    solver.
+
+    Args:
+      incoming_toa, albedo_surf_*: [B, nreg] (fold g-points into B).
+      R, T, ref_dir, T_dir_diff, T_dir_dir: [B, nlev, nreg], TOA first.
+      V: [B, nlev+1, nreg, nreg] from :func:`calc_overlap_matrices`
+         (interface ``nlev`` is unused, matching the reference).
+
+    Returns (flux_up, flux_dn_diffuse, flux_dn_direct), each
+    [B, nlev+1, nreg].
+    """
+    dtc = jnp.result_type(incoming_toa, albedo_surf_diffuse,
+                          albedo_surf_direct, R, T)
+    (incoming_toa, albedo_surf_diffuse, albedo_surf_direct, R, T, ref_dir,
+     T_dir_diff, T_dir_dir, V) = (
+        a.astype(dtc) for a in (incoming_toa, albedo_surf_diffuse,
+                                albedo_surf_direct, R, T, ref_dir,
+                                T_dir_diff, T_dir_dir, V))
+    Rl = jnp.swapaxes(R, 0, 1)          # [nlev, B, nreg]
+    Tl = jnp.swapaxes(T, 0, 1)
+    rdir = jnp.swapaxes(ref_dir, 0, 1)
+    tdd = jnp.swapaxes(T_dir_diff, 0, 1)
+    tdir = jnp.swapaxes(T_dir_dir, 0, 1)
+    Vl = jnp.swapaxes(V[:, :-1], 0, 1)  # [nlev, B, nreg, nreg]
+
+    def up(carry, inp):
+        alb, albdir = carry
+        Rj, Tj, rdj, tddj, tdj, Vj = inp
+        inv = 1.0 / (1.0 - alb * Rj)
+        albdir_new = rdj + (tdj * albdir + tddj * alb) * Tj * inv
+        alb_new = Rj + Tj * Tj * alb * inv
+        # map "albedo of everything below" across the interface above this
+        # layer: new[jupper] = sum_jlower a[jlower] * V[jlower, jupper]
+        albdir_new = jnp.einsum('bl,blu->bu', albdir_new, Vj)
+        alb_new = jnp.einsum('bl,blu->bu', alb_new, Vj)
+        return (alb_new, albdir_new), (alb_new, albdir_new)
+
+    carry0 = (albedo_surf_diffuse, albedo_surf_direct)
+    _, (albs, albdirs) = jax.lax.scan(
+        up, carry0, (Rl, Tl, rdir, tdd, tdir, Vl), reverse=True)
+    albs = jnp.concatenate([albs, albedo_surf_diffuse[None]], axis=0)
+    albdirs = jnp.concatenate([albdirs, albedo_surf_direct[None]], axis=0)
+
+    def down(carry, inp):
+        fdndir, fdndiff = carry
+        Rj, Tj, rdj, tddj, tdj, Vj, alb1, adir1 = inp
+        fdndiff = (Tj * fdndiff + fdndir * (Tj * adir1 * Rj + tddj)) \
+            / (1.0 - Rj * alb1)
+        fdndir = fdndir * tdj
+        # redistribute into the regions of the layer below:
+        # new[jlower] = sum_jupper V[jlower, jupper] * f[jupper]
+        fdndir = jnp.einsum('blu,bu->bl', Vj, fdndir)
+        fdndiff = jnp.einsum('blu,bu->bl', Vj, fdndiff)
+        fup = fdndir * adir1 + fdndiff * alb1
+        return (fdndir, fdndiff), (fup, fdndiff, fdndir)
+
+    zeros = jnp.zeros_like(incoming_toa)
+    _, (fups, fdiffs, fdirs) = jax.lax.scan(
+        down, (incoming_toa, zeros),
+        (Rl, Tl, rdir, tdd, tdir, Vl, albs[1:], albdirs[1:]))
+
+    flux_up = jnp.concatenate([(incoming_toa * albdirs[0])[None], fups],
+                              axis=0)
+    flux_dn_diffuse = jnp.concatenate([zeros[None], fdiffs], axis=0)
+    flux_dn_direct = jnp.concatenate([incoming_toa[None], fdirs], axis=0)
+    return (jnp.swapaxes(flux_up, 0, 1),
+            jnp.swapaxes(flux_dn_diffuse, 0, 1),
+            jnp.swapaxes(flux_dn_direct, 0, 1))
+
+
+def stratified_sample(p: jnp.ndarray, G: int) -> jnp.ndarray:
+    """Deterministically assign ``G`` spectral points among N subgrid
+    states proportional to area fractions ``p`` [B, N] (largest-remainder
+    apportionment) — the McICA-with-zero-bias trick of the reference
+    (rnn/models/physics_rad.py:533-589, used at models_phys.py:868).
+
+    Returns int32 indices [B, G]: gather ``x[B, N] -> x[B, G]``. Static
+    shapes and sort-based ranking keep it jit/TPU friendly.
+    """
+    B, N = p.shape
+    exact = p * G
+    floors = jnp.floor(exact).astype(jnp.int32)
+    remainders = exact - floors
+    deficit = G - floors.sum(-1, keepdims=True)
+    order = jnp.argsort(-remainders, axis=-1)          # descending
+    rank = jnp.argsort(order, axis=-1)
+    counts = floors + (rank < deficit).astype(jnp.int32)
+    # state index of spectral point g = #states whose cumulative count <= g
+    ends = jnp.cumsum(counts, axis=-1)                 # [B, N]
+    g = jnp.arange(G, dtype=ends.dtype)
+    return (g[None, :, None] >= ends[:, None, :]).sum(-1).astype(jnp.int32)
+
+
 def heating_rate(flux_net: jnp.ndarray, dp: jnp.ndarray,
                  grav: float = 9.80616,
                  cp: float = 1.00464e3) -> jnp.ndarray:

@@ -248,3 +248,26 @@ def test_physrad_integration():
                     jax.tree_util.tree_flatten_with_path(g)[0]
                     if "radiation" in jax.tree_util.keystr(kp))
     assert np.isfinite(rad_grads) and rad_grads > 0
+
+
+def test_physrad_mcica():
+    """use_mcica: per-g-point subgrid-sampled cloud paths flow through
+    radiation; forward finite, grads flow, and the sampled paths differ
+    from the grid-mean path (subgrid variability visible to radiation)."""
+    m, p, xm, xs, mem, xd = _setup(use_physrad=True, use_mcica=True,
+                                   ng_lw=4, ng_sw=4, nreg=4)
+    out, osfc, nm, aux = m.apply(p, xm, xs, mem, xd)
+    assert np.isfinite(np.asarray(out)).all()
+    assert np.isfinite(np.asarray(osfc)).all()
+    assert np.all(np.asarray(osfc[:, 1]) > 0)
+    g = jax.grad(lambda p: jnp.sum(jnp.square(
+        m.apply(p, xm, xs, mem, xd)[1])))(p)
+    rad_grads = sum(float(jnp.abs(a).sum()) for kp, a in
+                    jax.tree_util.tree_flatten_with_path(g)[0]
+                    if "radiation" in jax.tree_util.keystr(kp))
+    assert np.isfinite(rad_grads) and rad_grads > 0
+    # mcica output differs from the grid-mean-cloud variant
+    m2, *_ = _setup(use_physrad=True, use_mcica=False, ng_lw=4, ng_sw=4,
+                    nreg=4)
+    out2, osfc2, *_ = m2.apply(p, xm, xs, mem, xd)
+    assert not np.allclose(np.asarray(osfc), np.asarray(osfc2))

@@ -207,3 +207,168 @@ def test_cloud_optics_shapes_and_ranges():
         assert np.all(np.asarray(tau) >= 0)
         assert np.all((np.asarray(ssa) > 0) & (np.asarray(ssa) < 1))
         assert np.all((np.asarray(g) > 0) & (np.asarray(g) < 1))
+
+
+def _random_region_fracs(rng, B, L, nreg=3):
+    f = rng.uniform(0.01, 1.0, (B, L, nreg))
+    return f / f.sum(-1, keepdims=True)
+
+
+def test_overlap_matrices_parity_vs_reference():
+    """Vectorized calc_overlap_matrices == the reference's per-interface
+    torch loop (rnn/models/physics_rad.py:688-872)."""
+    import sys
+    import torch
+    sys.path.insert(0, "/root/reference/rnn/models")
+    import physics_rad as ref_rad
+
+    rng = np.random.default_rng(11)
+    B, L = 6, 12
+    fr = _random_region_fracs(rng, B, L).astype(np.float64)
+    op = rng.uniform(-0.2, 1.0, (B, L - 1)).astype(np.float64)
+
+    # reference wants (nlev, nreg, nbatch) and (nlev-1, nbatch);
+    # torch.compile falls back to eager on this CPU image.
+    ref_fn = getattr(ref_rad.calc_overlap_matrices, "_torchdynamo_orig_callable",
+                     ref_rad.calc_overlap_matrices)
+    v_ref = ref_fn(torch.from_numpy(fr.transpose(1, 2, 0)),
+                   torch.from_numpy(op.T))          # (3,3,L+1,B)
+    v_ours = np.asarray(R.calc_overlap_matrices(jnp.asarray(fr),
+                                                jnp.asarray(op)))
+    np.testing.assert_allclose(v_ours, v_ref.numpy().transpose(3, 2, 0, 1),
+                               rtol=1e-12, atol=1e-12)
+
+
+def test_overlap_matrices_limits():
+    """op=1 with identical adjacent fractions -> identity (maximum
+    overlap); op=0 -> columns of V equal the lower-layer fractions
+    (random overlap)."""
+    B, L, nreg = 2, 5, 3
+    fr = np.tile(np.array([0.6, 0.3, 0.1]), (B, L, 1))
+    v_max = np.asarray(R.calc_overlap_matrices(
+        jnp.asarray(fr), jnp.ones((B, L - 1))))
+    eye = np.eye(nreg)
+    for j in range(1, L):   # interior interfaces
+        np.testing.assert_allclose(v_max[:, j], np.tile(eye, (B, 1, 1)),
+                                   atol=1e-12)
+    v_rand = np.asarray(R.calc_overlap_matrices(
+        jnp.asarray(fr), jnp.zeros((B, L - 1))))
+    for j in range(1, L):
+        # v[jlower, jupper] = frac_lower[jlower] for every jupper
+        np.testing.assert_allclose(
+            v_rand[:, j], np.tile(fr[:, 0][:, :, None], (1, 1, nreg)),
+            atol=1e-12)
+    # interior interfaces: columns sum to 1 (flux conservation across V;
+    # at TOA/surface the empty upper regions have all-zero columns)
+    np.testing.assert_allclose(v_max[:, 1:L].sum(-2), 1.0, atol=1e-10)
+    np.testing.assert_allclose(v_rand[:, 1:L].sum(-2), 1.0, atol=1e-10)
+
+
+def test_adding_sw_tc_parity_vs_reference():
+    """Our region-axis TripleClouds solver == the reference's flattened
+    adding_tc_sw_batchlast_opt (physics_rad.py:421-532) on identical
+    random optics + overlap matrices."""
+    import sys
+    import torch
+    sys.path.insert(0, "/root/reference/rnn/models")
+    import physics_rad as ref_rad
+
+    rng = np.random.default_rng(3)
+    B, L, nreg = 5, 10, 3
+    mu0 = rng.uniform(0.2, 1.0, (B, 1, 1))
+    od = rng.uniform(0.01, 2.0, (B, L, nreg))
+    ssa = rng.uniform(0.3, 0.999, (B, L, nreg))
+    g = rng.uniform(0.0, 0.8, (B, L, nreg))
+    rd, td, rdir, tdd, tdir = (np.asarray(a, np.float64) for a in
+                               R.calc_ref_trans_sw(mu0, od, ssa, g))
+    fr = _random_region_fracs(rng, B, L)
+    op = rng.uniform(0.0, 1.0, (B, L - 1))
+    V = np.asarray(R.calc_overlap_matrices(jnp.asarray(fr),
+                                           jnp.asarray(op)), np.float64)
+    toa = np.zeros((B, nreg)); toa[:, 0] = 1360.0 * mu0[:, 0, 0]
+    alb_diff = np.tile(rng.uniform(0.05, 0.8, (B, 1)), (1, nreg))
+    alb_dir = np.tile(rng.uniform(0.05, 0.8, (B, 1)), (1, nreg))
+
+    fup_o, fdiff_o, fdir_o = (np.asarray(a) for a in R.adding_sw_tc(
+        jnp.asarray(toa), jnp.asarray(alb_diff), jnp.asarray(alb_dir),
+        jnp.asarray(rd), jnp.asarray(td), jnp.asarray(rdir),
+        jnp.asarray(tdd), jnp.asarray(tdir), jnp.asarray(V)))
+
+    # reference layout: layer arrays [nlev, B*nreg] (region innermost),
+    # V [nlev(+1), B, nreg*nreg] viewed as (-1, nreg, nreg)
+    def flat(a):  # [B, L, R] -> [L, B*R]
+        return torch.from_numpy(a.transpose(1, 0, 2).reshape(L, B * nreg))
+    ref_fn = getattr(ref_rad.adding_tc_sw_batchlast_opt,
+                     "_torchdynamo_orig_callable",
+                     ref_rad.adding_tc_sw_batchlast_opt)
+    fup_r, fdiff_r, fdir_r = ref_fn(
+        torch.from_numpy(toa.reshape(-1)),
+        torch.from_numpy(alb_diff.reshape(-1)),
+        torch.from_numpy(alb_dir.reshape(-1)),
+        flat(rd), flat(td), flat(rdir), flat(tdd), flat(tdir),
+        torch.from_numpy(V[:, :-1].transpose(1, 0, 2, 3).reshape(L, -1)),
+        nreg)
+    for ours, theirs in ((fup_o, fup_r), (fdiff_o, fdiff_r),
+                         (fdir_o, fdir_r)):
+        np.testing.assert_allclose(
+            ours, theirs.numpy().reshape(L + 1, B, nreg).transpose(1, 0, 2),
+            rtol=1e-10, atol=1e-10)
+
+
+def test_adding_sw_tc_identity_reduces_to_ica():
+    """V = I at every interface makes the TC solver equal nreg
+    independent ICA columns."""
+    rng = np.random.default_rng(9)
+    B, L, nreg = 4, 8, 3
+    mu0 = rng.uniform(0.2, 1.0, (B, 1, 1))
+    od = rng.uniform(0.01, 2.0, (B, L, nreg))
+    ssa = rng.uniform(0.3, 0.999, (B, L, nreg))
+    g = rng.uniform(0.0, 0.8, (B, L, nreg))
+    rd, td, rdir, tdd, tdir = R.calc_ref_trans_sw(mu0, od, ssa, g)
+    toa = jnp.asarray(rng.uniform(100, 1300, (B, nreg)))
+    ad = jnp.asarray(rng.uniform(0.05, 0.8, (B, nreg)))
+    adir = jnp.asarray(rng.uniform(0.05, 0.8, (B, nreg)))
+    V = jnp.tile(jnp.eye(nreg), (B, L + 1, 1, 1))
+    fup_tc, fdiff_tc, fdir_tc = R.adding_sw_tc(
+        toa, ad, adir, rd, td, rdir, tdd, tdir, V)
+    # ICA path treats the region axis as a trailing batch axis, but uses
+    # the conservative direct-reflection form; rebuild the reference form
+    # by passing V=I through the TC solver vs per-region ICA via the TC
+    # solver with nreg=1 per slice.
+    for r in range(nreg):
+        Vr = jnp.ones((B, L + 1, 1, 1))
+        fup_r, fdiff_r, fdir_r = R.adding_sw_tc(
+            toa[:, r:r + 1], ad[:, r:r + 1], adir[:, r:r + 1],
+            rd[:, :, r:r + 1], td[:, :, r:r + 1], rdir[:, :, r:r + 1],
+            tdd[:, :, r:r + 1], tdir[:, :, r:r + 1], Vr)
+        np.testing.assert_allclose(np.asarray(fup_tc[:, :, r]),
+                                   np.asarray(fup_r[:, :, 0]), rtol=1e-10)
+        np.testing.assert_allclose(np.asarray(fdir_tc[:, :, r]),
+                                   np.asarray(fdir_r[:, :, 0]), rtol=1e-10)
+
+
+def test_stratified_sample_parity_and_properties():
+    """Largest-remainder g-point assignment matches the reference torch
+    implementation and is exactly proportional for exact multiples."""
+    import sys
+    import torch
+    sys.path.insert(0, "/root/reference/rnn/models")
+    import physics_rad as ref_rad
+
+    rng = np.random.default_rng(5)
+    B, N, G = 64, 3, 16
+    p = rng.uniform(0.01, 1.0, (B, N))
+    p = p / p.sum(-1, keepdims=True)
+    ours = np.asarray(R.stratified_sample(jnp.asarray(p), G))
+    ref = ref_rad.stratified_sample(torch.from_numpy(p), G).numpy()
+    np.testing.assert_array_equal(ours, ref)
+    # counts proportional within 1 of p*G
+    for b in range(B):
+        counts = np.bincount(ours[b], minlength=N)
+        assert counts.sum() == G
+        assert np.all(np.abs(counts - p[b] * G) <= 1.0 + 1e-9)
+    # exact multiples: deterministic exact split
+    p_exact = np.tile(np.array([[0.5, 0.25, 0.25]]), (2, 1))
+    idx = np.asarray(R.stratified_sample(jnp.asarray(p_exact), 8))
+    np.testing.assert_array_equal(np.bincount(idx[0], minlength=3),
+                                  [4, 2, 2])

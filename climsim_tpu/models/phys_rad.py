@@ -66,6 +66,13 @@ class RadiationModule(nn.Module):
     ng_lw: int = 16
     ng_sw: int = 16
     hidden: Sequence[int] = (64, 64, 64)
+    # TripleClouds SW: region-resolved cloud optics + inter-region overlap
+    # mixing through calc_overlap_matrices/adding_sw_tc. The reference
+    # carries this machinery but leaves it commented out in the forward
+    # (models_phys.py:1352-1397 "experimental_rad"); here it is a working
+    # option. Requires cloud_fields keys 'region_frac' [B, L, nreg],
+    # 'overlap_param' [B, L-1], 'lwp_r'/'iwp_r' [B, L, nreg].
+    use_tc: bool = False
 
     @nn.compact
     def __call__(self, T_lay, play, plev, gases, cloud_fields, sfc):
@@ -126,24 +133,39 @@ class RadiationModule(nn.Module):
                              name="gas_sw")(feats, col_dry * 0.2)
         ssa_gas = jax.nn.sigmoid(self.param(
             "ssa_gas", nn.initializers.constant(2.0), (self.ng_sw,)))
-        if "lwp_sw_g" in cloud_fields:
+        if self.use_tc:
+            # region-resolved cloud optics [B, L, nreg, ng]: the extra
+            # (region) axis rides the batch dims of the band-coefficient
+            # broadcast
+            tau_c, ssa_c, g_c = CO.cloud_optics_sw(
+                cloud_fields["lwp_r"], cloud_fields["iwp_r"],
+                T_lay[..., None],
+                cloud_fields["landfrac"][:, None, None],
+                cloud_fields["icefrac"][:, None, None],
+                cloud_fields["snowh"][:, None, None], self.ng_sw)
+            od_g = od_sw[:, :, None, :]             # gas same in all regions
+            tau, ssa, g = CO.combine_optics(
+                od_g, jnp.broadcast_to(ssa_gas, od_g.shape),
+                jnp.zeros_like(od_g), tau_c, ssa_c, g_c)
+        elif "lwp_sw_g" in cloud_fields:
             tau_c, ssa_c, g_c = CO.cloud_optics_sw_mcica(
                 cloud_fields["lwp_sw_g"], cloud_fields["iwp_sw_g"], T_lay,
                 cloud_fields["landfrac"][:, None],
                 cloud_fields["icefrac"][:, None],
                 cloud_fields["snowh"][:, None])
+            tau, ssa, g = CO.combine_optics(
+                od_sw, jnp.broadcast_to(ssa_gas, od_sw.shape),
+                jnp.zeros_like(od_sw), tau_c, ssa_c, g_c)
         else:
             tau_c, ssa_c, g_c = CO.cloud_optics_sw(
                 cloud_fields["lwp"], cloud_fields["iwp"], T_lay,
                 cloud_fields["landfrac"][:, None],
                 cloud_fields["icefrac"][:, None],
                 cloud_fields["snowh"][:, None], self.ng_sw)
-        tau, ssa, g = CO.combine_optics(
-            od_sw, jnp.broadcast_to(ssa_gas, od_sw.shape),
-            jnp.zeros_like(od_sw), tau_c, ssa_c, g_c)
+            tau, ssa, g = CO.combine_optics(
+                od_sw, jnp.broadcast_to(ssa_gas, od_sw.shape),
+                jnp.zeros_like(od_sw), tau_c, ssa_c, g_c)
         ssa = jnp.clip(ssa, 1e-6, 0.999999)
-
-        rd, td, rdir, tdd, tdir = R.calc_ref_trans_sw(mu0, tau, ssa, g)
 
         # spectral solar weights (learnable softmax ~ solar source fn)
         w_solar = jax.nn.softmax(self.param(
@@ -153,8 +175,38 @@ class RadiationModule(nn.Module):
             * jnp.ones((1, self.ng_sw))
         alb_dir = 0.5 * (sfc["aldir"] + sfc["asdir"])[:, None] \
             * jnp.ones((1, self.ng_sw))
-        fup_sw, fdiff_sw, fdir_sw = R.adding_sw(
-            toa, alb_diff, alb_dir, rd, td, rdir, tdd, tdir)
+
+        if self.use_tc:
+            rd, td, rdir, tdd, tdir = R.calc_ref_trans_sw(
+                mu0[..., None], tau, ssa, g)        # [B, L, nreg, ng]
+            nreg = tau.shape[2]
+            ng = self.ng_sw
+
+            def fold(a):   # [B, L, nreg, ng] -> [B*ng, L, nreg]
+                return a.transpose(0, 3, 1, 2).reshape(B * ng, L, nreg)
+
+            V = R.calc_overlap_matrices(cloud_fields["region_frac"],
+                                        cloud_fields["overlap_param"])
+            V_g = jnp.repeat(V, ng, axis=0)          # [B*ng, L+1, r, r]
+            # all TOA flux enters the (clear) region 0, whose top fraction
+            # is 1; per-region fluxes are area-integrated W/m2
+            toa_r = jnp.zeros((B * ng, nreg), toa.dtype) \
+                .at[:, 0].set(toa.reshape(-1))
+            ad_r = jnp.repeat(alb_diff.reshape(-1)[:, None], nreg, -1)
+            adir_r = jnp.repeat(alb_dir.reshape(-1)[:, None], nreg, -1)
+            fup_r, fdiff_r, fdir_r = R.adding_sw_tc(
+                toa_r, ad_r, adir_r, fold(rd), fold(td), fold(rdir),
+                fold(tdd), fold(tdir), V_g)
+            # sum regions -> [B, L+1, ng]
+            fup_sw = fup_r.sum(-1).reshape(B, ng, L + 1).transpose(0, 2, 1)
+            fdiff_sw = fdiff_r.sum(-1).reshape(B, ng, L + 1) \
+                .transpose(0, 2, 1)
+            fdir_sw = fdir_r.sum(-1).reshape(B, ng, L + 1) \
+                .transpose(0, 2, 1)
+        else:
+            rd, td, rdir, tdd, tdir = R.calc_ref_trans_sw(mu0, tau, ssa, g)
+            fup_sw, fdiff_sw, fdir_sw = R.adding_sw(
+                toa, alb_diff, alb_dir, rd, td, rdir, tdd, tdir)
 
         # visible/near-IR split weights (make_sw_visible_weights analog)
         vis_w = jax.nn.sigmoid(self.param(

@@ -70,6 +70,12 @@ class PhysicalRNNAutoreg(nn.Module):
     # sees subgrid cloud variability instead of grid means (reference
     # use_mcica, models_phys.py:862-886).
     use_mcica: bool = False
+    # TripleClouds SW radiation: region-resolved cloud optics with
+    # inter-region overlap matrices built from a latent-memory-predicted
+    # overlap parameter (the reference's commented experimental_rad path,
+    # models_phys.py:326,1352-1397, made operational). Takes precedence
+    # over use_mcica for shortwave.
+    use_tc: bool = False
     ng_lw: int = 8
     ng_sw: int = 8
     ilev_crm: int = 10
@@ -320,6 +326,26 @@ class PhysicalRNNAutoreg(nn.Module):
             iwp = jnp.zeros((B, L), x_main.dtype).at[:, ic:].set(
                 1000.0 * qn_mean * (1.0 - lf_mean) * dp[:, :] / C.GRAV)
             mcica_fields = {}
+            if self.use_tc:
+                Lc = L - ic
+                lf_r = liq_frac_crm * jnp.ones_like(qn_crm)
+                path_r = 1000.0 * qn_crm * dp[..., None] / C.GRAV
+                zer_r = jnp.zeros((B, L, nreg), x_main.dtype)
+                mcica_fields["lwp_r"] = zer_r.at[:, ic:].set(path_r * lf_r)
+                mcica_fields["iwp_r"] = \
+                    zer_r.at[:, ic:].set(path_r * (1.0 - lf_r))
+                # above the CRM everything is the clear region 0
+                region_frac = zer_r.at[:, :ic, 0].set(1.0) \
+                    .at[:, ic:].set(area_frac)
+                mcica_fields["region_frac"] = region_frac
+                # overlap parameter per interior interface, predicted from
+                # the latent memory (reference mlp_overlap); clear-clear
+                # interfaces above the CRM get op=1 (irrelevant there)
+                op_crm = jax.nn.sigmoid(nn.Dense(
+                    1, name="mlp_overlap")(new_mem_lat[:, :-1, :]))[..., 0]
+                mcica_fields["overlap_param"] = \
+                    jnp.ones((B, L - 1), x_main.dtype).at[:, ic:] \
+                    .set(op_crm)
             if self.use_mcica:
                 from ..physics import radiation as RAD
 
@@ -356,7 +382,7 @@ class PhysicalRNNAutoreg(nn.Module):
                        "asdif": jax.nn.sigmoid(x_sfc[:, 9]),
                        "asdir": jax.nn.sigmoid(x_sfc[:, 10])}
             heating, scalars = RadiationModule(
-                ng_lw=self.ng_lw, ng_sw=self.ng_sw,
+                ng_lw=self.ng_lw, ng_sw=self.ng_sw, use_tc=self.use_tc,
                 name="radiation")(T_full, play, plev, gases, clouds,
                                   sfc_rad)
             out = out.at[:, :, 0].add(heating * ys_t)

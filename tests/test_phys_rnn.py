@@ -271,3 +271,27 @@ def test_physrad_mcica():
                     nreg=4)
     out2, osfc2, *_ = m2.apply(p, xm, xs, mem, xd)
     assert not np.allclose(np.asarray(osfc), np.asarray(osfc2))
+
+
+def test_physrad_tripleclouds():
+    """use_tc: region-resolved SW with overlap-matrix mixing runs forward
+    + backward; fluxes finite; TC output differs from grid-mean clouds;
+    the overlap-predictor parameters receive gradient."""
+    m, p, xm, xs, mem, xd = _setup(use_physrad=True, use_tc=True,
+                                   ng_lw=4, ng_sw=4, nreg=3)
+    out, osfc, nm, aux = m.apply(p, xm, xs, mem, xd)
+    assert np.isfinite(np.asarray(out)).all()
+    assert np.isfinite(np.asarray(osfc)).all()
+    assert np.all(np.asarray(osfc[:, 0]) >= 0)   # NETSW
+    g = jax.grad(lambda p: jnp.sum(jnp.square(
+        m.apply(p, xm, xs, mem, xd)[1])))(p)
+    ov_grads = sum(float(jnp.abs(a).sum()) for kp, a in
+                   jax.tree_util.tree_flatten_with_path(g)[0]
+                   if "mlp_overlap" in jax.tree_util.keystr(kp))
+    assert np.isfinite(ov_grads) and ov_grads > 0
+    m2, *_ = _setup(use_physrad=True, use_tc=False, ng_lw=4, ng_sw=4,
+                    nreg=3)
+    p2 = {"params": {k: v for k, v in p["params"].items()
+                     if k != "mlp_overlap"}}
+    out2, osfc2, *_ = m2.apply(p2, xm, xs, mem, xd)
+    assert not np.allclose(np.asarray(osfc), np.asarray(osfc2))

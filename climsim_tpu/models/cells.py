@@ -194,6 +194,10 @@ class RNNLayer(nn.Module):
     reverse: bool = False
     noise: bool = False    # feed per-level noise (stochastic cells)
     dtype: Any = None      # compute dtype (bf16 for MXU-native matmuls)
+    # lax.scan unroll factor for the level loop: >1 fuses consecutive
+    # levels into one loop body (fewer while-loop iterations, better MXU
+    # scheduling for the small [B,H]x[H,kH] recurrent matmuls)
+    unroll: int = 1
 
     @nn.compact
     def __call__(self, xs, h0, eps=None):
@@ -215,7 +219,7 @@ class RNNLayer(nn.Module):
 
         scan = nn.scan(cell_cls, variable_broadcast="params",
                        split_rngs={"params": False}, in_axes=0, out_axes=0,
-                       reverse=self.reverse)
+                       reverse=self.reverse, unroll=self.unroll)
         carry, ys = scan(self.hidden, dtype=self.dtype,
                          name="cell")(h0, stream)
         return jnp.swapaxes(ys, 0, 1), carry     # [B, L, hidden], final carry

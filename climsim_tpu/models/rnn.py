@@ -63,6 +63,8 @@ class RNNAutoreg(nn.Module):
     hybm: tuple = ()
     sp_mean: float = 0.0
     sp_div: float = 1.0
+    # level-scan unroll factor (see cells.RNNLayer.unroll)
+    scan_unroll: int = 1
     policy: Policy = F32
 
     @nn.compact
@@ -128,6 +130,7 @@ class RNNAutoreg(nn.Module):
                 carry1 = hx1
             up_out, _ = RNNLayer(nh1, self.cell, reverse=True,
                                  dtype=pol.compute_dtype,
+                                 unroll=self.scan_unroll,
                                  name="rnn_up")(h, carry1)
             if needs_cell_state(self.cell):
                 cx2 = nn.Dense(nh2, dtype=pol.compute_dtype,
@@ -138,6 +141,7 @@ class RNNAutoreg(nn.Module):
                 carry2 = hx2
             down_out, carry_dn = RNNLayer(nh2, self.cell, reverse=False,
                                           dtype=pol.compute_dtype,
+                                          unroll=self.scan_unroll,
                                           name="rnn_down")(up_out, carry2)
             last_h = carry_dn[0] if needs_cell_state(self.cell) \
                 else carry_dn

@@ -10,6 +10,7 @@ All functions take flat [B, ny] scaled outputs.
 """
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -72,3 +73,44 @@ def rh_consistency_loss(dqv_raw, dT_raw, qv_old, T_old, pmid,
     T_new = jnp.maximum(T_old + dt * dT_raw, 100.0)
     rh = thermo.specific_to_relative_humidity_cc(qv_new, T_new, pmid)
     return jnp.mean(jnp.square(jnp.maximum(rh - rh_max, 0.0)))
+
+
+def gel_loss(pred, target, lam: float = 1.0, fac: float = 1e-5):
+    """Gamma-exponentiated loss (GEL) over layer outputs
+    (rnn/metrics.py:1068-1105 ``get_GEL``): a gamma-NLL-style ratio loss
+    exponentiated to base 2, |2^(1/lambda) - clamp(2^E, 100)| with
+    E = mean(beta - alpha*log(beta)), alpha = p/t, beta = p^2/t on
+    eps-shifted, fac-scaled values. Useful for strictly-positive heavy
+    -tailed targets (precip-like)."""
+    eps = jnp.finfo(jnp.float32).eps
+    p = fac * pred + eps
+    t = fac * target + eps
+    beta = jnp.maximum(jnp.square(p) / t, eps)
+    alpha = p / t
+    logterm = alpha * jnp.log(beta)
+    diff = beta - logterm
+    # reference uses nansum / ntot (NaNs count toward the denominator)
+    expterm = jnp.nansum(diff) / (lam * diff.size)
+    loss = jnp.minimum(jnp.power(2.0, expterm), 100.0)
+    return jnp.abs(2.0 ** (1.0 / lam) - loss)
+
+
+def gel_precip_loss(true_sfc, pred_sfc, timesteps: int, lam: float = 1.0,
+                    precc_index: int = 3, fac: float = 10000.0):
+    """GEL on window-accumulated precipitation
+    (rnn/metrics.py:1035-1066 ``get_GEL_precip``): average the PRECC
+    channel over the rollout window per column, then apply the GEL ratio
+    form 2^E. Args are [T*B, ny_sfc] stacked over the window."""
+    eps = jnp.finfo(jnp.float32).eps
+    pt = jnp.mean(true_sfc[:, precc_index].reshape(timesteps, -1), axis=0)
+    pp = jnp.mean(pred_sfc[:, precc_index].reshape(timesteps, -1), axis=0)
+    beta = jnp.maximum(jnp.square(fac * pp + eps) / (fac * pt + eps), eps)
+    alpha = (fac * pp + eps) / (fac * pt + eps)
+    expterm = jnp.mean(beta - alpha * jnp.log(beta)) / lam
+    # the reference leaves 2^E unclamped (it only ever sees precip-scale
+    # values); above E=30 grow linearly instead of exponentially so
+    # early-training garbage predictions yield a large finite penalty
+    # that still carries gradient
+    expterm = jnp.minimum(expterm, 1e6)
+    return jnp.exp2(jnp.minimum(expterm, 30.0)) \
+        * (1.0 + jax.nn.relu(expterm - 30.0))

@@ -51,6 +51,10 @@ class RolloutConfig:
     w_energy: float = 0.0
     w_water: float = 0.0
     w_precip: float = 0.0
+    # GEL (gamma-exponentiated) loss on window-accumulated precipitation
+    # (rnn/metrics.py:1035-1066; losses.gel_loss is the per-output form)
+    w_gel_precip: float = 0.0
+    gel_lambda: float = 1.0
     # replay: None | 'full' | 'mixed'
     replay: str | None = None
     replay_slice: tuple = (15, 20)   # input channels holding prev tendencies
@@ -321,6 +325,11 @@ class RolloutTrainer:
         mem = carry_out[0]
 
         loss = jnp.mean(losses)
+        if cfg.w_gel_precip > 0:
+            from .losses import gel_precip_loss
+            loss = loss + cfg.w_gel_precip * gel_precip_loss(
+                window["y_sfc"].reshape(W * B_, -1),
+                out_sfcs.reshape(W * B_, -1), W, lam=cfg.gel_lambda)
         if cfg.w_precip > 0:
             # accumulated-precipitation MSE over the window
             # (rnn/metrics.py:184-190)

@@ -68,3 +68,46 @@ def test_filelist_management(tmp_path):
     assert ".mlo." in out
     rx = official_split_regexps()
     assert "train" in rx and len(rx["train"]) == 8
+
+
+def test_gel_losses_parity_vs_reference():
+    """gel_loss / gel_precip_loss == the reference get_GEL/get_GEL_precip
+    closures (rnn/metrics.py:1035-1105) on positive random data."""
+    import sys
+    import torch
+    sys.path.insert(0, "/root/reference/rnn")
+    import metrics as ref_metrics
+
+    from climsim_tpu.train.losses import gel_loss, gel_precip_loss
+
+    rng = np.random.default_rng(0)
+    y_t = np.abs(rng.normal(1.0, 0.5, (96, 60))).astype(np.float32) * 1e5
+    y_p = np.abs(rng.normal(1.0, 0.5, (96, 60))).astype(np.float32) * 1e5
+    for lam in (0.5, 1.0, 2.0):
+        ref = ref_metrics.get_GEL(lam)(torch.from_numpy(y_t),
+                                       torch.from_numpy(y_p))
+        ours = gel_loss(jnp.asarray(y_p), jnp.asarray(y_t), lam=lam)
+        np.testing.assert_allclose(float(ours), float(ref), rtol=1e-4)
+
+    T, B = 4, 24
+    sfc_t = np.abs(rng.normal(1e-5, 5e-6, (T * B, 8))).astype(np.float32)
+    sfc_p = np.abs(rng.normal(1e-5, 5e-6, (T * B, 8))).astype(np.float32)
+    for lam in (0.5, 1.0):
+        ref = ref_metrics.get_GEL_precip(lam)(
+            torch.from_numpy(sfc_t), torch.from_numpy(sfc_p), T)
+        ours = gel_precip_loss(jnp.asarray(sfc_t), jnp.asarray(sfc_p), T,
+                               lam=lam)
+        np.testing.assert_allclose(float(ours), float(ref), rtol=1e-4)
+
+
+def test_gel_loss_zero_at_unit_scaled_match():
+    """GEL is ~0 when pred == target and the fac-scaled values are 1
+    (alpha=beta=1 -> diff=1 -> E=1/lam -> |2^(1/lam) - 2^(1/lam)| = 0);
+    finite and non-negative elsewhere."""
+    from climsim_tpu.train.losses import gel_loss
+    t = jnp.full((32, 60), 1e5)        # fac=1e-5 -> scaled exactly 1
+    assert float(gel_loss(t, t)) < 1e-5
+    rng = np.random.default_rng(1)
+    r = jnp.asarray(np.abs(rng.normal(1, 0.3, (32, 60))) * 1e5)
+    v = float(gel_loss(r * 1.5, r))
+    assert np.isfinite(v) and v >= 0.0

@@ -492,3 +492,18 @@ def test_fused_epoch_data_parallel_mesh():
                     jax.tree_util.tree_leaves(p2)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=3e-4,
                                    atol=1e-6)
+
+
+def test_rollout_gel_precip_term():
+    """w_gel_precip adds a finite term and changes the loss value vs the
+    plain config on identical data/params."""
+    tr0, data = _make_training_setup()
+    tr1, _ = _make_training_setup()
+    tr1.cfg.w_gel_precip = 0.1
+    params, opt, mem = tr0.init(K(0), next(iter(_chunks(data))))
+    _, _, _, rec0 = tr0.run_epoch(params, opt, mem, _chunks(data), 0,
+                                  train=False)
+    _, _, _, rec1 = tr1.run_epoch(params, opt, mem, _chunks(data), 0,
+                                  train=False)
+    assert np.isfinite(rec1["loss"])
+    assert rec1["loss"] != rec0["loss"]

@@ -66,6 +66,11 @@ class RadiationModule(nn.Module):
     ng_lw: int = 16
     ng_sw: int = 16
     hidden: Sequence[int] = (64, 64, 64)
+    # learned cloud optics instead of the E3SM Slingo/Ebert-Curry tables:
+    # small MLPs map (T, effective radii[, latent]) -> per-g-point LW
+    # absorption and SW k/ssa/g, scaled by the water path (the reference's
+    # use_e3sm_cloud_optics=False path, models_phys.py:296-319,931,1060+)
+    learned_cloud_optics: bool = False
     # TripleClouds SW: region-resolved cloud optics + inter-region overlap
     # mixing through calc_overlap_matrices/adding_sw_tc. The reference
     # carries this machinery but leaves it commented out in the forward
@@ -96,16 +101,48 @@ class RadiationModule(nn.Module):
         dp = plev[:, 1:] - plev[:, :-1]
         col_dry = dp / (C.GRAV * 0.02896) / 6.02214e26 * 1e26  # ~mol/cm2
 
-        feats = jnp.stack([
-            T_lay / 300.0, jnp.log(jnp.maximum(play, 1.0)) / 12.0,
-            gases["o3"] * 1e6, gases["ch4"] * 1e6, gases["n2o"] * 1e6,
-        ], axis=-1)
+        def gas_feats(h2o):
+            cols = [T_lay / 300.0,
+                    jnp.log(jnp.maximum(play, 1.0)) / 12.0,
+                    gases["o3"] * 1e6, gases["ch4"] * 1e6,
+                    gases["n2o"] * 1e6]
+            if h2o is not None:
+                # quarter-root compression of the vmr, as the RRTMGP-NN
+                # inputs (models_phys.py:961,965)
+                cols.insert(2, jnp.sqrt(jnp.sqrt(jnp.maximum(h2o, 0.0))))
+            return jnp.stack(cols, axis=-1)
+
+        feats = gas_feats(gases.get("h2o"))
+
+        if self.learned_cloud_optics:
+            # predictor features: normalized T + effective radii from the
+            # E3SM lookup tables (+ optional latent memory), the
+            # reference's x_cld (models_phys.py:1095-1099)
+            rel = CO.reltab(T_lay, cloud_fields["landfrac"][:, None],
+                            cloud_fields["icefrac"][:, None],
+                            cloud_fields["snowh"][:, None])
+            rei = CO.reitab(T_lay)
+            cld_feats = [(T_lay - 160.0) / 180.0, rei / 125.0, rel / 13.5]
+            if "latent" in cloud_fields:
+                x_cld = jnp.concatenate(
+                    [jnp.stack(cld_feats, -1), cloud_fields["latent"]], -1)
+            else:
+                x_cld = jnp.stack(cld_feats, -1)
 
         # ---------------- longwave ----------------
         od_lw, pfrac = GasOpticsMLP(self.ng_lw, self.hidden, lw=True,
                                     name="gas_lw")(feats, col_dry)
         # grey cloud LW absorption ~ 0.07*LWP + 0.07*IWP per band share
-        if "lwp_lw_g" in cloud_fields:
+        if self.learned_cloud_optics:
+            k_lw = nn.relu(nn.Dense(self.ng_lw, name="cld_lw")(x_cld))
+            if "lwp_lw_g" in cloud_fields:
+                cldpath_lw = cloud_fields["lwp_lw_g"] \
+                    + cloud_fields["iwp_lw_g"]
+            else:
+                cldpath_lw = (cloud_fields["lwp"]
+                              + cloud_fields["iwp"])[..., None]
+            od_cld_lw = cldpath_lw * k_lw
+        elif "lwp_lw_g" in cloud_fields:
             # McICA: each g-point absorbs its sampled region's full cloud
             od_cld_lw = 0.07 * (cloud_fields["lwp_lw_g"]
                                 + cloud_fields["iwp_lw_g"])
@@ -129,11 +166,44 @@ class RadiationModule(nn.Module):
 
         # ---------------- shortwave ----------------
         mu0 = jnp.clip(sfc["coszrs"], 1e-3, 1.0)[:, None, None]
-        od_sw = GasOpticsMLP(self.ng_sw, self.hidden,
-                             name="gas_sw")(feats, col_dry * 0.2)
+        gas_sw = GasOpticsMLP(self.ng_sw, self.hidden, name="gas_sw")
+        if "h2o_a" in gases:
+            # sub-grid water-vapor variability: two SW gas-optics passes
+            # on the two most-likely subgrid vapor states, merged per
+            # g-point — randomly when a 'qvvar' rng stream is provided,
+            # else 50/50 (models_phys.py:943-983 include_qv_variability)
+            od_a = gas_sw(gas_feats(gases["h2o_a"]), col_dry * 0.2)
+            od_b = gas_sw(gas_feats(gases["h2o_b"]), col_dry * 0.2)
+            if self.has_rng("qvvar"):
+                mask = jax.random.bernoulli(self.make_rng("qvvar"),
+                                            0.5, od_a.shape)
+                od_sw = jnp.where(mask, od_a, od_b)
+            else:
+                od_sw = 0.5 * (od_a + od_b)
+        else:
+            od_sw = gas_sw(feats, col_dry * 0.2)
         ssa_gas = jax.nn.sigmoid(self.param(
             "ssa_gas", nn.initializers.constant(2.0), (self.ng_sw,)))
-        if self.use_tc:
+        if self.learned_cloud_optics and not self.use_tc:
+            # two stacked linears -> (tau_k, ssa, g) per g-point
+            # (models_phys.py:1101-1107): tau scales with the water path,
+            # ssa/g predicted directly through sigmoids
+            h_cld = nn.Dense(2 * self.ng_sw, name="cld_sw1")(x_cld)
+            y_cld = nn.Dense(3 * self.ng_sw, name="cld_sw2")(h_cld)
+            k_c, s_c, a_c = jnp.split(y_cld, 3, axis=-1)
+            if "lwp_sw_g" in cloud_fields:
+                cldpath_sw = cloud_fields["lwp_sw_g"] \
+                    + cloud_fields["iwp_sw_g"]
+            else:
+                cldpath_sw = (cloud_fields["lwp"]
+                              + cloud_fields["iwp"])[..., None]
+            tau_c = cldpath_sw * nn.relu(k_c)
+            ssa_c = jax.nn.sigmoid(s_c)
+            g_c = jax.nn.sigmoid(a_c)
+            tau, ssa, g = CO.combine_optics(
+                od_sw, jnp.broadcast_to(ssa_gas, od_sw.shape),
+                jnp.zeros_like(od_sw), tau_c, ssa_c, g_c)
+        elif self.use_tc:
             # region-resolved cloud optics [B, L, nreg, ng]: the extra
             # (region) axis rides the batch dims of the band-coefficient
             # broadcast

@@ -76,6 +76,12 @@ class PhysicalRNNAutoreg(nn.Module):
     # models_phys.py:326,1352-1397, made operational). Takes precedence
     # over use_mcica for shortwave.
     use_tc: bool = False
+    # sub-grid water-vapor variability for SW gas optics: two passes on
+    # the two most-likely subgrid vapor states (models_phys.py:943-983)
+    use_qv_variability: bool = False
+    # learned cloud optics MLPs (T/radii/latent -> per-g-point optics)
+    # instead of the E3SM tables (models_phys.py use_e3sm_cloud_optics=False)
+    learned_cloud_optics: bool = False
     ng_lw: int = 8
     ng_sw: int = 8
     ilev_crm: int = 10
@@ -367,12 +373,30 @@ class PhysicalRNNAutoreg(nn.Module):
             # gases from the normalized inputs are not raw; use
             # climatological constants (the reference feeds RRTMGP-normed
             # gas inputs; ours are trainable so constants suffice as base)
+            # grid-mean water vapor as vmr (the reference feeds vmr_h2o =
+            # q/(1-q)*1.608 to the gas-optics nets, models_phys.py:946)
+            qv_col = jnp.clip(
+                x_denorm[:, :, self.qv_channel] if self.qv_channel >= 0
+                else x_denorm[:, :, -1], 0.0, 0.05)
+            vmr_col = qv_col / (1.0 - qv_col) * 1.608079364
             gases = {"o3": jnp.full((B, L), 2e-6, x_main.dtype),
                      "ch4": jnp.full((B, L), 9.7e-7, x_main.dtype),
-                     "n2o": jnp.full((B, L), 4.8e-7, x_main.dtype)}
+                     "n2o": jnp.full((B, L), 4.8e-7, x_main.dtype),
+                     "h2o": vmr_col}
+            if self.use_qv_variability:
+                top2 = jax.lax.top_k(area_frac, 2)[1]        # [B, Lc, 2]
+                qv2 = jnp.clip(jnp.take_along_axis(qv_crm, top2, axis=-1),
+                               0.0, 0.05)
+                vmr2 = qv2 / (1.0 - qv2) * 1.608079364
+                for key, idx in (("h2o_a", 0), ("h2o_b", 1)):
+                    gases[key] = vmr_col.at[:, ic:].set(vmr2[..., idx])
             clouds = {"lwp": lwp, "iwp": iwp, **mcica_fields,
                       "landfrac": x_sfc[:, 13], "icefrac": x_sfc[:, 12],
                       "snowh": nn.relu(x_sfc[:, 16])}
+            if self.learned_cloud_optics:
+                clouds["latent"] = jnp.zeros(
+                    (B, L, self.nh_mem), x_main.dtype) \
+                    .at[:, ic:].set(new_mem_lat)
             sfc_rad = {"coszrs": nn.relu(x_sfc[:, 6]),
                        "solin": nn.relu(x_sfc[:, 1]) * 1360.0,
                        "lwup": 5.67e-8 * jnp.clip(x_denorm[:, -1, 0],
@@ -383,6 +407,7 @@ class PhysicalRNNAutoreg(nn.Module):
                        "asdir": jax.nn.sigmoid(x_sfc[:, 10])}
             heating, scalars = RadiationModule(
                 ng_lw=self.ng_lw, ng_sw=self.ng_sw, use_tc=self.use_tc,
+                learned_cloud_optics=self.learned_cloud_optics,
                 name="radiation")(T_full, play, plev, gases, clouds,
                                   sfc_rad)
             out = out.at[:, :, 0].add(heating * ys_t)

@@ -295,3 +295,49 @@ def test_physrad_tripleclouds():
                      if k != "mlp_overlap"}}
     out2, osfc2, *_ = m2.apply(p2, xm, xs, mem, xd)
     assert not np.allclose(np.asarray(osfc), np.asarray(osfc2))
+
+
+def test_physrad_qv_variability():
+    """use_qv_variability: two-pass SW gas optics on top-2 subgrid vapor
+    states; finite fwd/bwd; differs from the single-pass model with the
+    same params; random per-g-point merge differs from the 50/50 mean
+    when a qvvar rng is supplied."""
+    m, p, xm, xs, mem, xd = _setup(use_physrad=True,
+                                   use_qv_variability=True,
+                                   ng_lw=4, ng_sw=4, nreg=4)
+    out, osfc, nm, aux = m.apply(p, xm, xs, mem, xd)
+    assert np.isfinite(np.asarray(out)).all()
+    assert np.isfinite(np.asarray(osfc)).all()
+    m2, *_ = _setup(use_physrad=True, use_qv_variability=False,
+                    ng_lw=4, ng_sw=4, nreg=4)
+    out2, osfc2, *_ = m2.apply(p, xm, xs, mem, xd)
+    assert not np.allclose(np.asarray(osfc), np.asarray(osfc2))
+    # stochastic merge path
+    outr, osfcr, *_ = m.apply(p, xm, xs, mem, xd,
+                              rngs={"qvvar": K(3)})
+    assert np.isfinite(np.asarray(osfcr)).all()
+    assert not np.allclose(np.asarray(osfcr), np.asarray(osfc))
+    g = jax.grad(lambda p: jnp.sum(jnp.square(
+        m.apply(p, xm, xs, mem, xd)[1])))(p)
+    assert all(np.isfinite(np.asarray(a)).all()
+               for a in jax.tree_util.tree_leaves(g))
+
+
+def test_physrad_learned_cloud_optics():
+    """learned_cloud_optics: MLP cloud optics replace the E3SM tables;
+    finite fwd/bwd; cld_sw/cld_lw parameters exist and receive gradient;
+    output differs from the table-based model."""
+    m, p, xm, xs, mem, xd = _setup(use_physrad=True,
+                                   learned_cloud_optics=True,
+                                   ng_lw=4, ng_sw=4, nreg=4)
+    out, osfc, nm, aux = m.apply(p, xm, xs, mem, xd)
+    assert np.isfinite(np.asarray(out)).all()
+    assert np.isfinite(np.asarray(osfc)).all()
+    rad_p = p["params"]["radiation"]
+    assert "cld_sw1" in rad_p and "cld_sw2" in rad_p and "cld_lw" in rad_p
+    g = jax.grad(lambda p: jnp.sum(jnp.square(
+        m.apply(p, xm, xs, mem, xd)[1])))(p)
+    cld_g = sum(float(jnp.abs(a).sum()) for kp, a in
+                jax.tree_util.tree_flatten_with_path(g)[0]
+                if "cld_" in jax.tree_util.keystr(kp))
+    assert np.isfinite(cld_g) and cld_g > 0

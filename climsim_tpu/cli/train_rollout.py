@@ -80,6 +80,12 @@ def main(argv=None):
             nreg=mcfg.get("nreg", 8),
             store_precip=mcfg.get("store_precip", True),
             ice_sedimentation=mcfg.get("ice_sedimentation", True),
+            use_physrad=mcfg.get("use_physrad", False),
+            use_mcica=mcfg.get("use_mcica", False),
+            use_tc=mcfg.get("use_tc", False),
+            use_qv_variability=mcfg.get("use_qv_variability", False),
+            learned_cloud_optics=mcfg.get("learned_cloud_optics", False),
+            ng_lw=mcfg.get("ng_lw", 8), ng_sw=mcfg.get("ng_sw", 8),
             hyai=tt(grid.hyai), hybi=tt(grid.hybi),
             hyam=tt(grid.hyam), hybm=tt(grid.hybm),
             sp_mean=float(xms[0]), sp_div=float(xss[0]),
@@ -100,6 +106,7 @@ def main(argv=None):
             use_pallas=mcfg.get("use_pallas", False),
             output_prune=mcfg.get("output_prune", True),
             add_pres=mcfg.get("add_pres", True),
+            scan_unroll=mcfg.get("scan_unroll", 1),
             hyam=tt(grid.hyam), hybm=tt(grid.hybm),
             sp_mean=float(xms[0]), sp_div=float(xss[0]))
 
@@ -117,6 +124,8 @@ def main(argv=None):
         w_energy=lcfg.get("w_hcon", 0.0),
         w_water=lcfg.get("w_wcon", 0.0),
         w_precip=lcfg.get("w_precip", 0.0),
+        w_gel_precip=lcfg.get("w_gel_precip", 0.0),
+        gel_lambda=lcfg.get("gel_lambda", 1.0),
         replay=rcfg.get("replay"),
         replay_slice=tuple(rcfg.get("replay_slice", (9, 14))),
         pred_slice=tuple(rcfg.get("pred_slice", (0, 5))),

@@ -56,6 +56,10 @@ class PhysicalRNNAutoreg(nn.Module):
     nreg: int = 8                # sub-grid regions
     use_clear_sky_region: bool = True
     pred_subgrid_temp: bool = True
+    # predict the subgrid liquid fraction with an MLP instead of
+    # diagnosing it from temperature — used for the radiation cloud-path
+    # split (models_phys.py:189-191,579-580 pred_subgrid_liq_frac)
+    pred_subgrid_liq_frac: bool = False
     ice_sedimentation: bool = True
     store_precip: bool = True
     allow_extra_heating: bool = False
@@ -256,6 +260,11 @@ class PhysicalRNNAutoreg(nn.Module):
             liq_frac_crm = liq_frac
         net_cond = (net_cond / ys_qv) * ys_t
         dT_crm = dT_crm + net_cond
+        if self.pred_subgrid_liq_frac:
+            # radiation sees the learned partition; latent-heat bookkeeping
+            # above stays on the T-diagnosed ramp (as the reference)
+            liq_frac_crm = jax.nn.sigmoid(
+                nn.Dense(nreg, name="mlp_liq_frac_crm")(rnn2out))
 
         dT = jnp.sum(area_frac * dT_crm, 2, keepdims=True)
         dqv = jnp.sum(area_frac * dqv_crm, 2, keepdims=True)

@@ -341,3 +341,22 @@ def test_physrad_learned_cloud_optics():
                 jax.tree_util.tree_flatten_with_path(g)[0]
                 if "cld_" in jax.tree_util.keystr(kp))
     assert np.isfinite(cld_g) and cld_g > 0
+
+
+def test_pred_subgrid_liq_frac():
+    """MLP-predicted subgrid liquid fraction feeds the radiation cloud
+    split; params exist, grads flow, output differs from T-diagnosed."""
+    m, p, xm, xs, mem, xd = _setup(use_physrad=True,
+                                   pred_subgrid_liq_frac=True,
+                                   ng_lw=4, ng_sw=4, nreg=4)
+    out, osfc, nm, aux = m.apply(p, xm, xs, mem, xd)
+    assert np.isfinite(np.asarray(osfc)).all()
+    lf = np.asarray(aux["liq_frac_crm"])
+    assert lf.shape[-1] == 4 and np.all((lf >= 0) & (lf <= 1))
+    assert "mlp_liq_frac_crm" in p["params"]
+    g = jax.grad(lambda p: jnp.sum(jnp.square(
+        m.apply(p, xm, xs, mem, xd)[1])))(p)
+    lf_g = sum(float(jnp.abs(a).sum()) for kp, a in
+               jax.tree_util.tree_flatten_with_path(g)[0]
+               if "mlp_liq_frac_crm" in jax.tree_util.keystr(kp))
+    assert np.isfinite(lf_g) and lf_g > 0

@@ -23,8 +23,10 @@ from typing import Sequence
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from .. import constants as C
+from .common import PositiveLinear
 from ..physics import radiation as R
 from ..physics import cloud_optics as CO
 
@@ -71,6 +73,10 @@ class RadiationModule(nn.Module):
     # absorption and SW k/ssa/g, scaled by the water path (the reference's
     # use_e3sm_cloud_optics=False path, models_phys.py:296-319,931,1060+)
     learned_cloud_optics: bool = False
+    # trainable PositiveLinear expansion of the 4-band E3SM cloud optics
+    # into the ng_sw g-points, instead of the static band repeat
+    # (the reference's map_e3sm_cloud_optics, models_phys.py:285,1018-1030)
+    map_bands: bool = False
     # TripleClouds SW: region-resolved cloud optics + inter-region overlap
     # mixing through calc_overlap_matrices/adding_sw_tc. The reference
     # carries this machinery but leaves it commented out in the forward
@@ -223,6 +229,38 @@ class RadiationModule(nn.Module):
                 cloud_fields["landfrac"][:, None],
                 cloud_fields["icefrac"][:, None],
                 cloud_fields["snowh"][:, None])
+            tau, ssa, g = CO.combine_optics(
+                od_sw, jnp.broadcast_to(ssa_gas, od_sw.shape),
+                jnp.zeros_like(od_sw), tau_c, ssa_c, g_c)
+        elif self.map_bands:
+            # trainable non-negative 4-band -> ng_sw expansion, shared by
+            # all six optical quantities; initialized to the static band
+            # repeat so training starts at the table optics
+            rel = CO.reltab(T_lay, cloud_fields["landfrac"][:, None],
+                            cloud_fields["icefrac"][:, None],
+                            cloud_fields["snowh"][:, None])
+            rei = CO.reitab(T_lay)
+            k_l, s_l, a_l = CO.slingo_liq_optics_sw(rel, 4)
+            k_i, s_i, a_i = CO.ec_ice_optics_sw(rei, 4)
+            ng = self.ng_sw
+            rep = np.zeros((4, ng), np.float32)
+            i4, i3, i2 = (round(f / 112 * ng) for f in (29, 71, 80))
+            rep[3, :i4] = 1.0
+            rep[2, i4:i3] = 1.0
+            rep[1, i3:i2] = 1.0
+            rep[0, i2:] = 1.0
+            kern = self.param("band_expand_kernel",
+                              lambda *_: jnp.asarray(rep), (4, self.ng_sw))
+            bias = self.param("band_expand_bias", nn.initializers.zeros,
+                              (self.ng_sw,))
+            exp_ = lambda a: PositiveLinear.apply(kern, bias, a)
+            lwp_ = cloud_fields["lwp"][..., None]
+            iwp_ = cloud_fields["iwp"][..., None]
+            tau_c = lwp_ * exp_(k_l) + iwp_ * exp_(k_i)
+            ts = lwp_ * exp_(k_l * s_l) + iwp_ * exp_(k_i * s_i)
+            gt = lwp_ * exp_(k_l * s_l * a_l) + iwp_ * exp_(k_i * s_i * a_i)
+            ssa_c = ts / jnp.maximum(tau_c, 1e-12)
+            g_c = gt / jnp.maximum(ts, 1e-12)
             tau, ssa, g = CO.combine_optics(
                 od_sw, jnp.broadcast_to(ssa_gas, od_sw.shape),
                 jnp.zeros_like(od_sw), tau_c, ssa_c, g_c)

@@ -360,3 +360,42 @@ def test_pred_subgrid_liq_frac():
                jax.tree_util.tree_flatten_with_path(g)[0]
                if "mlp_liq_frac_crm" in jax.tree_util.keystr(kp))
     assert np.isfinite(lf_g) and lf_g > 0
+
+
+def test_radiation_map_bands():
+    """map_bands: trainable PositiveLinear band expansion initialized to
+    the static RRTMGP band allocation — heating matches the table path at
+    init, and the expansion kernel receives gradient."""
+    from climsim_tpu.models.phys_rad import RadiationModule
+    rng = np.random.default_rng(0)
+    B, L = 4, 60
+    T = jnp.asarray(rng.uniform(200, 300, (B, L)).astype(np.float32))
+    play = jnp.asarray(np.tile(np.linspace(1e3, 1e5, L), (B, 1))
+                       .astype(np.float32))
+    plev = jnp.asarray(np.tile(np.linspace(9e2, 1.01e5, L + 1), (B, 1))
+                       .astype(np.float32))
+    gases = {k: jnp.full((B, L), v) for k, v in
+             (("o3", 2e-6), ("ch4", 9.7e-7), ("n2o", 4.8e-7))}
+    clouds = {"lwp": jnp.asarray(np.abs(rng.normal(5, 3, (B, L)))
+                                 .astype(np.float32)),
+              "iwp": jnp.asarray(np.abs(rng.normal(5, 3, (B, L)))
+                                 .astype(np.float32)),
+              "landfrac": jnp.zeros(B), "icefrac": jnp.zeros(B),
+              "snowh": jnp.zeros(B)}
+    sfc = {"coszrs": jnp.full(B, 0.7), "solin": jnp.full(B, 1000.0),
+           "lwup": jnp.full(B, 390.0), "aldif": jnp.full(B, 0.2),
+           "aldir": jnp.full(B, 0.2), "asdif": jnp.full(B, 0.2),
+           "asdir": jnp.full(B, 0.2)}
+    m0 = RadiationModule(ng_lw=4, ng_sw=8)
+    m1 = RadiationModule(ng_lw=4, ng_sw=8, map_bands=True)
+    p1 = m1.init(K(0), T, play, plev, gases, clouds, sfc)
+    h1, _ = m1.apply(p1, T, play, plev, gases, clouds, sfc)
+    p0 = {"params": {k: v for k, v in p1["params"].items()
+                     if not k.startswith("band_expand")}}
+    h0, _ = m0.apply(p0, T, play, plev, gases, clouds, sfc)
+    np.testing.assert_allclose(np.asarray(h1), np.asarray(h0),
+                               rtol=1e-4, atol=1e-8)
+    g = jax.grad(lambda p: jnp.sum(jnp.square(
+        m1.apply(p, T, play, plev, gases, clouds, sfc)[0])))(p1)
+    gk = np.asarray(g["params"]["band_expand_kernel"])
+    assert np.isfinite(gk).all() and np.abs(gk).sum() > 0

@@ -54,6 +54,12 @@ def main(argv=None):
     print(f"trace written to {args.logdir} (view: tensorboard --logdir ...)")
     for rec in device_memory_stats():
         print(rec)
+    from ..utils.observability import achieved_flops
+    res = achieved_flops(model.apply, params, xm, xs, mem,
+                         iters=args.steps)
+    if res:
+        print({k: (f"{v:.3e}" if isinstance(v, float) else v)
+               for k, v in res.items()})
     return 0
 
 

@@ -128,3 +128,56 @@ class JsonlLogger:
         except FileNotFoundError:
             pass
         return out
+
+
+def flop_analysis(fn, *args, **kwargs) -> dict:
+    """Compiler-reported cost analysis of a jittable fn on example args:
+    FLOPs, bytes accessed, and arithmetic intensity (FLOPs/byte) — the
+    roofline coordinates. First-class replacement for the reference's
+    FLOP-calculation notebook (baseline_models/MLP/.../FLOP_calculation).
+
+    Returns {} when the backend does not report cost analysis.
+    """
+    import jax
+
+    compiled = jax.jit(fn).lower(*args, **kwargs).compile()
+    try:
+        cost = compiled.cost_analysis()
+    except Exception:
+        return {}
+    if isinstance(cost, (list, tuple)):
+        cost = cost[0] if cost else {}
+    if not cost:
+        return {}
+    flops = float(cost.get("flops", 0.0))
+    byt = float(cost.get("bytes accessed", 0.0))
+    out = {"flops": flops, "bytes_accessed": byt}
+    if byt > 0:
+        out["arithmetic_intensity"] = flops / byt
+    return out
+
+
+def achieved_flops(fn, *args, peak_flops: float | None = None,
+                   iters: int = 10, **kwargs) -> dict:
+    """Measure achieved FLOP/s of a jitted fn (walltime over ``iters``
+    calls after warmup) against the compiler FLOP count; with
+    ``peak_flops`` also reports the fraction of peak (MFU)."""
+    import time as _time
+
+    import jax
+
+    cost = flop_analysis(fn, *args, **kwargs)
+    jfn = jax.jit(fn)
+    out = jfn(*args, **kwargs)
+    jax.block_until_ready(out)
+    t0 = _time.perf_counter()
+    for _ in range(iters):
+        out = jfn(*args, **kwargs)
+    jax.block_until_ready(out)
+    dt = (_time.perf_counter() - t0) / iters
+    res = {"seconds_per_call": dt, **cost}
+    if cost.get("flops"):
+        res["achieved_flops_per_s"] = cost["flops"] / dt
+        if peak_flops:
+            res["mfu"] = res["achieved_flops_per_s"] / peak_flops
+    return res

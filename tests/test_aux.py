@@ -74,3 +74,23 @@ def test_export_validation_harness():
     assert rep["passed"]
     np.testing.assert_allclose(rep["lev_rmse"], 0.0, atol=1e-7)
     np.testing.assert_allclose(rep["rel_rmse"], 0.0, atol=1e-6)
+
+
+def test_flop_analysis_matmul():
+    """Compiler cost analysis of a matmul reports ~2*M*N*K FLOPs and
+    positive arithmetic intensity."""
+    import jax.numpy as jnp
+    from climsim_tpu.utils.observability import (flop_analysis,
+                                                 achieved_flops)
+
+    M = N = K = 256
+    a = jnp.ones((M, K), jnp.float32)
+    b = jnp.ones((K, N), jnp.float32)
+    cost = flop_analysis(lambda a, b: a @ b, a, b)
+    if not cost:  # backend without cost analysis: nothing to assert
+        return
+    assert abs(cost["flops"] - 2 * M * N * K) / (2 * M * N * K) < 0.5
+    res = achieved_flops(lambda a, b: a @ b, a, b, iters=3)
+    assert res["seconds_per_call"] > 0
+    if "achieved_flops_per_s" in res:
+        assert res["achieved_flops_per_s"] > 0

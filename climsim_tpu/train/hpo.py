@@ -45,14 +45,23 @@ class SearchSpace:
 def random_search(trial_fn: Callable[[dict], float], space: SearchSpace,
                   num_trials: int = 20, seed: int = 0, top_k: int = 5,
                   max_retries: int = 1, log_path: str | None = None,
-                  minimize: bool = True) -> list[dict]:
+                  minimize: bool = True, worker_id: int = 0,
+                  num_workers: int = 1) -> list[dict]:
     """Run trials; returns top-K [{'config', 'score', 'seconds'}] sorted
     best-first. A trial raising is retried up to ``max_retries`` then
-    recorded as inf (KerasTuner max_retries_per_trial=1 semantics)."""
-    rng = np.random.default_rng(seed)
+    recorded as inf (KerasTuner max_retries_per_trial=1 semantics).
+
+    Multi-worker sweeps (the chief/worker-oracle replacement): give each
+    process the same ``seed``/``num_trials`` plus its ``worker_id`` — the
+    trial stream is deterministic, workers take disjoint trials by index,
+    and ``merge_results`` combines their JSONL logs chief-side."""
     results = []
     for i in range(num_trials):
-        cfg = space.sample(rng)
+        # per-trial rng keyed on (seed, i): identical across workers, so
+        # striding by worker never changes which config trial i draws
+        cfg = space.sample(np.random.default_rng((seed, i)))
+        if i % num_workers != worker_id:
+            continue
         score, t0 = np.inf, time.time()
         for attempt in range(max_retries + 1):
             try:
@@ -67,6 +76,20 @@ def random_search(trial_fn: Callable[[dict], float], space: SearchSpace,
         if log_path:
             with open(log_path, "a") as f:
                 f.write(json.dumps(rec, default=str) + "\n")
+    key = (lambda r: r["score"]) if minimize else (lambda r: -r["score"])
+    finite = [r for r in results if np.isfinite(r["score"])]
+    return sorted(finite, key=key)[:top_k]
+
+
+def merge_results(log_paths, top_k: int = 5,
+                  minimize: bool = True) -> list[dict]:
+    """Chief-side merge of per-worker JSONL trial logs -> global top-K."""
+    results = []
+    for p in log_paths:
+        with open(p) as f:
+            for line in f:
+                if line.strip():
+                    results.append(json.loads(line))
     key = (lambda r: r["score"]) if minimize else (lambda r: -r["score"])
     finite = [r for r in results if np.isfinite(r["score"])]
     return sorted(finite, key=key)[:top_k]

@@ -195,3 +195,28 @@ def test_tensorstore_keeplev_roundtrip(tmp_path):
     got2 = TsKeeplevStore(str(tmp_path / "store2")).open().read_rows(0, n)
     np.testing.assert_allclose(got2["output_lev"], arrays["output_lev"],
                                rtol=1e-6)
+
+
+def test_hpo_multi_worker_partition(tmp_path):
+    """Workers with the same seed draw the same deterministic trial
+    stream, take disjoint trials by index, and the chief-side merge of
+    their logs equals a single-worker run over all trials."""
+    from climsim_tpu.train.hpo import merge_results
+
+    space = SearchSpace({"lr": ("loguniform", 1e-4, 1e-1)})
+    trial = lambda cfg: abs(np.log10(cfg["lr"]) + 2)
+
+    solo_log = str(tmp_path / "solo.jsonl")
+    solo = random_search(trial, space, num_trials=12, top_k=12, seed=7,
+                         log_path=solo_log)
+    logs = []
+    for w in range(3):
+        lp = str(tmp_path / f"w{w}.jsonl")
+        logs.append(lp)
+        random_search(trial, space, num_trials=12, top_k=12, seed=7,
+                      worker_id=w, num_workers=3, log_path=lp)
+    merged = merge_results(logs, top_k=12)
+    assert len(merged) == 12
+    for a, b in zip(solo, merged):
+        assert a["trial"] == b["trial"]
+        assert abs(a["score"] - b["score"]) < 1e-12

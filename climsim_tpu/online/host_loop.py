@@ -172,57 +172,102 @@ class HybridLoop:
         return state, mem, diags
 
 
-def sharded_hybrid_step(loop: HybridLoop, mesh, axis: str = "col"):
+def sharded_hybrid_step(loop: HybridLoop, mesh, axis: str = "col",
+                        overlap: bool = True):
     """Multi-chip coupled step: proxy-grid fields latitude-sharded over the
     mesh; the emulator runs column-local inside shard_map while the FV
     stencil pulls its 2 ghost rows via ppermute (parallel.halo). Returns a
     jitted fn over grid-layout state dicts [nlat, nlon, nlev].
+
+    ``overlap=True`` (default) moves the halo exchange OFF the critical
+    path: the ppermutes transfer the *inputs* (state/sfc/memory ghost
+    rows), which have no data dependency on the emulator, so XLA's
+    latency-hiding scheduler runs them concurrently with the bulk
+    emulator compute; the shard then redundantly evaluates the emulator
+    on its 4 ghost rows (2·2/nlat_local extra work) and feeds the stencil
+    a fully updated extended domain with no post-emulator exchange.
+    Bit-identical to ``overlap=False`` (the emulator is column-local and
+    deterministic, so recomputing a neighbor's boundary tendencies equals
+    receiving them).
     """
     from jax import shard_map
     from jax.sharding import PartitionSpec as P
     from ..parallel.halo import exchange_halo
 
     cfg = loop.cfg
+    FIELDS = ("T", "qv", "qc", "qi", "u", "v")
+
+    def _updates(state_like, ptend):
+        dt = cfg.dt
+        return {
+            "T": state_like["T"] + dt * ptend[..., 0],
+            "qv": jnp.maximum(state_like["qv"] + dt * ptend[..., 1], 0.0),
+            "qc": jnp.maximum(state_like["qc"] + dt * ptend[..., 2], 0.0),
+            "qi": jnp.maximum(state_like["qi"] + dt * ptend[..., 3], 0.0),
+            "u": state_like["u"] + dt * ptend[..., 4],
+            "v": state_like["v"] + dt * ptend[..., 5],
+        }
 
     def local_step(state_g, mem, x_sfc_g):
         # state_g: [nlat_local, nlon, nlev] per field
         nlat_l, nlon, nlev = state_g["T"].shape
         flat = lambda a: a.reshape(nlat_l * nlon, *a.shape[2:])
-        unflat = lambda a: a.reshape(nlat_l, nlon, *a.shape[1:])
-
-        x_main = jnp.stack([flat(state_g[k]) for k in
-                            ("T", "qv", "qc", "qi", "u", "v")], axis=-1)
-        ptend, sfc_fluxes, mem = loop.emulator(x_main, flat(x_sfc_g), mem)
-        ptend = ptend.reshape(nlat_l, nlon, nlev, 6)
-
-        dt = cfg.dt
-        upd = {
-            "T": state_g["T"] + dt * ptend[..., 0],
-            "qv": jnp.maximum(state_g["qv"] + dt * ptend[..., 1], 0.0),
-            "qc": jnp.maximum(state_g["qc"] + dt * ptend[..., 2], 0.0),
-            "qi": jnp.maximum(state_g["qi"] + dt * ptend[..., 3], 0.0),
-            "u": state_g["u"] + dt * ptend[..., 4],
-            "v": state_g["v"] + dt * ptend[..., 5],
-        }
 
         idx = jax.lax.axis_index(axis)
         nsh = jax.lax.axis_size(axis)
         is_south = idx == 0
         is_north = idx == nsh - 1
 
-        u_ext = exchange_halo(upd["u"], axis, 2)
-        v_ext = exchange_halo(upd["v"], axis, 2)
+        if overlap:
+            # 1. kick off the input halo exchange — independent of the
+            # emulator, so it overlaps with step 2
+            ext = {k: exchange_halo(state_g[k], axis, 2) for k in FIELDS}
+            sfc_ext = exchange_halo(x_sfc_g, axis, 2)
+            # mem is column-flat [nlat_l*nlon, ...]: lift to rows for the
+            # halo exchange
+            mem_ext = exchange_halo(
+                mem.reshape((nlat_l, nlon) + mem.shape[1:]), axis, 2)
 
-        def advect_field(f):
-            f_ext = exchange_halo(f, axis, 2)
+        # 2. bulk emulator on the local columns
+        x_main = jnp.stack([flat(state_g[k]) for k in FIELDS], axis=-1)
+        ptend, sfc_fluxes, mem_new = loop.emulator(x_main, flat(x_sfc_g),
+                                                   mem)
+        ptend = ptend.reshape(nlat_l, nlon, nlev, 6)
+
+        upd = _updates(state_g, ptend)
+
+        if overlap:
+            # 3. ghost-row emulator (2 rows each side): recompute the
+            # neighbors' boundary tendencies locally instead of waiting
+            # on a post-emulator exchange
+            grows = lambda e: jnp.concatenate([e[:2], e[-2:]], axis=0)
+            gflat = lambda a: a.reshape((4 * nlon,) + a.shape[2:])
+            xg = jnp.stack([gflat(grows(ext[k])) for k in FIELDS],
+                           axis=-1)
+            ptend_g, _, _ = loop.emulator(xg, gflat(grows(sfc_ext)),
+                                          gflat(grows(mem_ext)))
+            ptend_g = ptend_g.reshape(4, nlon, nlev, 6)
+            gstate = {k: grows(ext[k]) for k in FIELDS}
+            gupd = _updates(gstate, ptend_g)
+            upd_ext = {k: jnp.concatenate(
+                [gupd[k][:2], upd[k], gupd[k][2:]], axis=0)
+                for k in FIELDS}
+            u_ext, v_ext = upd_ext["u"], upd_ext["v"]
+            get_ext = lambda k: upd_ext[k]
+        else:
+            u_ext = exchange_halo(upd["u"], axis, 2)
+            v_ext = exchange_halo(upd["v"], axis, 2)
+            get_ext = lambda k: exchange_halo(upd[k], axis, 2)
+
+        def advect_field(f_ext):
             step1 = lambda q, uu, vv: adv.fv_advect_2d_halo(
                 q, uu, vv, cfg.dt_dx, cfg.dt_dy, is_south, is_north)
             return jax.vmap(step1, in_axes=2, out_axes=2)(f_ext, u_ext,
                                                           v_ext)
 
-        out = {k: advect_field(v2) for k, v2 in upd.items()}
+        out = {k: advect_field(get_ext(k)) for k in FIELDS}
         diags = {"mean_T": jax.lax.pmean(jnp.mean(out["T"]), axis)}
-        return out, mem, diags
+        return out, mem_new, diags
 
     from jax.sharding import PartitionSpec as P
     state_spec = {k: P(axis) for k in ("T", "qv", "qc", "qi", "u", "v")}

@@ -266,3 +266,43 @@ def test_hybrid_with_vertical_advection():
         state, mem)
     for k, v in st2.items():
         assert np.isfinite(np.asarray(v)).all(), k
+
+
+def test_sharded_hybrid_step_overlap_matches_exchange():
+    """The halo-compute-overlap variant (input-halo ppermute overlapped
+    with the emulator + redundant ghost-row emulator) is bit-close to the
+    post-update exchange variant and to the single-device step."""
+    from climsim_tpu.online.host_loop import sharded_hybrid_step
+    from climsim_tpu.online import to_grid, to_columns
+    from climsim_tpu.parallel import make_mesh
+
+    g = Grid.from_file(GRID_PATH)
+    cfg = HostLoopConfig(scheme="fv", fix_water=False)
+    loop = HybridLoop(_dummy_emulator, g, cfg)
+    mesh = make_mesh(8, axis="col")
+
+    state = _init_state()
+    mem = jnp.zeros((384, 60, 4))
+    x_sfc = jnp.concatenate([jnp.full((384, 1), 1e5),
+                             jnp.ones((384, 23))], axis=1)
+    ref_state, ref_mem, _ = jax.jit(loop.coupled_step)(state, mem, x_sfc)
+
+    gi, si = loop.gather_idx, loop.scatter_idx
+    tog = lambda a: to_grid(a, gi, cfg.nlat, cfg.nlon)
+    state_g = {k: tog(v) for k, v in state.items()}
+    x_sfc_g = tog(x_sfc)
+    mem_g = mem[gi]
+
+    outs = {}
+    for overlap in (False, True):
+        step = sharded_hybrid_step(loop, mesh, overlap=overlap)
+        out_g, out_mem, diags = step(state_g, mem_g, x_sfc_g)
+        outs[overlap] = out_g
+        for k in state:
+            np.testing.assert_allclose(
+                np.asarray(to_columns(out_g[k], si)),
+                np.asarray(ref_state[k]), rtol=1e-6, atol=1e-8,
+                err_msg=f"{k} overlap={overlap}")
+    for k in state:
+        np.testing.assert_array_equal(np.asarray(outs[True][k]),
+                                      np.asarray(outs[False][k]))

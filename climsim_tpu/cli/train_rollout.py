@@ -182,10 +182,36 @@ def main(argv=None):
             jax.random.PRNGKey(cfg.get("seed", 0)),
             next(iter(chunks(0, ntr, False))))
 
+    from ..train.rollout import (run_epoch_fused, save_rollout_checkpoint,
+                                 restore_rollout_checkpoint)
+    ckpt = cfg.get("checkpoint_dir")
+    start_epoch = 0
+    if ckpt and cfg.get("resume"):
+        # resume from the best retained checkpoint (driver :759-792)
+        params, opt_state, mem, ep0 = restore_rollout_checkpoint(
+            ckpt, params, opt_state, mem)
+        start_epoch = ep0 + 1
+        print(f"resumed from {ckpt} at epoch {ep0}")
+    elif cfg.get("init_from"):
+        # freeze-retrain: partial-load a donor checkpoint, then zero
+        # updates for matching parameter paths (driver freeze mode)
+        from ..train.finetune import partial_load, freeze
+        import orbax.checkpoint as ocp
+        import os as _os
+        # ref-free restore: the donor may differ in structure/shapes —
+        # partial_load copies only path+shape matches
+        donor = ocp.PyTreeCheckpointer().restore(
+            _os.path.abspath(cfg["init_from"]))
+        params, nl, ns = partial_load(params, donor["params"])
+        print(f"init_from: loaded {nl} tensors, kept {ns}")
+        patterns = cfg.get("freeze_patterns")
+        if patterns:
+            trainer.tx = freeze(trainer.tx, params, list(patterns))
+            opt_state = trainer.tx.init(params)
+
     log_path = cfg.get("log_path")
     fused = cfg.get("fused", True)
-    from ..train.rollout import run_epoch_fused
-    for epoch in range(cfg.get("epochs", 10)):
+    for epoch in range(start_epoch, cfg.get("epochs", 10)):
         if fused:
             params, opt_state, mem, rec = run_epoch_fused(
                 trainer, params, opt_state, mem, chunks(0, ntr, True),
@@ -204,15 +230,31 @@ def main(argv=None):
         if not np.isfinite(rec["loss"]):
             print("non-finite loss; aborting (two-strikes policy)")
             return 2
-    ckpt = cfg.get("checkpoint_dir")
-    if ckpt:
-        import orbax.checkpoint as ocp
-        import os
-        os.makedirs(ckpt, exist_ok=True)
-        c = ocp.StandardCheckpointer()
-        c.save(os.path.abspath(os.path.join(ckpt, "final")),
-               {"params": params}, force=True)
-        c.wait_until_finished()
+        if ckpt:
+            # best-K retention by val loss, memory state included
+            save_rollout_checkpoint(ckpt, params, opt_state, mem, epoch,
+                                    val_loss=float(rec["val_loss"]),
+                                    keep_top_k=cfg.get("keep_top_k", 3))
+    export_path = cfg.get("export_path")
+    if export_path:
+        # deployment artifact: jittable forward with baked params,
+        # serialized as StableHLO (the TorchScript-export analog)
+        from ..export.serialize import export_step
+        first = next(iter(chunks(0, ntr, False)))
+        xm0 = jnp.asarray(first["x_lev"][0])
+        xs0 = jnp.asarray(first["x_sfc"][0])
+        m0 = mem if mem is not None else jnp.zeros(
+            (xm0.shape[0], xm0.shape[1],
+             mcfg.get("nh_mem", 16)), jnp.float32)
+        if model_type == "physrnn":
+            xr0 = jnp.asarray(first["x_lev_raw"][0])
+            fn = lambda xm_, xs_, m_, xr_: model.apply(params, xm_, xs_,
+                                                       m_, xr_)[:3]
+            n = export_step(fn, (xm0, xs0, m0, xr0), export_path)
+        else:
+            fn = lambda xm_, xs_, m_: model.apply(params, xm_, xs_, m_)
+            n = export_step(fn, (xm0, xs0, m0), export_path)
+        print(f"exported {n} bytes of StableHLO to {export_path}")
     return 0
 
 

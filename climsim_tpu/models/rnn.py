@@ -58,6 +58,10 @@ class RNNAutoreg(nn.Module):
     # eps_new = rho*eps_prev + sqrt(1-rho^2)*N(0,1) drives the stochastic
     # layer with temporally-correlated noise
     ar_noise_rho: float = 0.0
+    # vertical structure of the stochastic noise (reference ar_noise_mode,
+    # rnn/utils.py:940-959): True = independent per level (mode 1/2),
+    # False = one draw shared by all 60 levels (mode 3)
+    ar_noise_vertical: bool = True
     # static hybrid coefficients + ps normalization for the pressure feature
     hyam: tuple = ()
     hybm: tuple = ()
@@ -150,11 +154,12 @@ class RNNAutoreg(nn.Module):
         eps_out = eps_prev
         if self.add_stochastic_layer:
             nh3 = self.nneur[-1]
+            Le = L if self.ar_noise_vertical else 1
             if deterministic:
-                eps = jnp.zeros((L, B, nh3), down_out.dtype)
+                eps = jnp.zeros((Le, B, nh3), down_out.dtype)
             else:
                 fresh = jax.random.normal(self.make_rng("noise"),
-                                          (L, B, nh3), down_out.dtype)
+                                          (Le, B, nh3), down_out.dtype)
                 if self.ar_noise_rho > 0.0 and eps_prev is not None:
                     rho = self.ar_noise_rho
                     eps = rho * eps_prev.astype(down_out.dtype) \
@@ -165,10 +170,12 @@ class RNNAutoreg(nn.Module):
             hx3 = jnp.zeros((B, nh3), down_out.dtype)
             carry3 = (hx3, jnp.zeros_like(hx3)) \
                 if needs_cell_state(self.stochastic_cell) else hx3
+            eps_lev = eps if self.ar_noise_vertical else \
+                jnp.broadcast_to(eps, (L, B, nh3))
             down_out, _ = RNNLayer(nh3, self.stochastic_cell, reverse=False,
                                    noise=True, dtype=pol.compute_dtype,
                                    name="rnn_stoch")(
-                down_out, carry3, eps)
+                down_out, carry3, eps_lev)
 
         # ---- latent convective memory + output heads
         new_mem = nn.Dense(self.nh_mem, dtype=pol.compute_dtype,

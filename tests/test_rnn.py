@@ -507,3 +507,30 @@ def test_rollout_gel_precip_term():
                                   train=False)
     assert np.isfinite(rec1["loss"])
     assert rec1["loss"] != rec0["loss"]
+
+
+def test_ar_noise_vertical_modes():
+    """ar_noise_vertical=False (reference mode 3): one noise draw shared
+    by all levels — the carried eps has a singleton level axis and two
+    forward passes with the same rng agree; the per-level mode carries
+    [L, B, nh] noise."""
+    hyam, hybm, _ = _grid_tuples()
+    kw = dict(nx=10, nx_sfc=24, ny=6, ny_sfc=8, nneur=(16, 16), nh_mem=4,
+              add_stochastic_layer=True, ar_noise_rho=0.9,
+              hyam=hyam, hybm=hybm, sp_mean=9.8e4, sp_div=1.0,
+              add_pres=False, output_prune=False)
+    rng = np.random.default_rng(0)
+    B, L = 4, 60
+    xm = jnp.asarray(rng.normal(0, 1, (B, L, 10)).astype(np.float32))
+    xs = jnp.asarray(rng.normal(0, 1, (B, 24)).astype(np.float32))
+    mem = jnp.zeros((B, L, 4))
+    for vertical, lev_dim in ((True, 60), (False, 1)):
+        m = RNNAutoreg(ar_noise_vertical=vertical, **kw)
+        p = m.init({"params": K(0), "noise": K(1)}, xm, xs, mem,
+                   deterministic=False)
+        eps0 = jnp.asarray(rng.normal(0, 1, (lev_dim, B, 16))
+                           .astype(np.float32))
+        out, osfc, nm, eps = m.apply(p, xm, xs, mem, deterministic=False,
+                                     eps_prev=eps0, rngs={"noise": K(2)})
+        assert eps.shape == (lev_dim, B, 16)
+        assert np.isfinite(np.asarray(out)).all()

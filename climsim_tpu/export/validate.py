@@ -71,3 +71,21 @@ def validate_export(wrapper_step, x_main_raw_series, x_sfc_raw_series,
                             var_name=f"channel {ch}")
         report["plots"] = plot_dir
     return report
+
+
+def ensemble_error_correlation(ens_pred, truth):
+    """Mean pairwise Pearson correlation of member ERROR fields
+    (the ensemble-error-correlation analysis of the reference's wrapper
+    validation harness, rnn/save_wrapper_mem_prevtend_ftorch.py:430-760).
+
+    ens_pred [M, ...], truth [...]. ~0 = members make independent errors
+    (ideal spread); ~1 = shared systematic error (ensemble adds nothing).
+    """
+    import jax.numpy as jnp
+
+    M = ens_pred.shape[0]
+    err = (ens_pred - truth[None]).reshape(M, -1)
+    err = err - err.mean(axis=1, keepdims=True)
+    norm = jnp.linalg.norm(err, axis=1)
+    C = (err @ err.T) / jnp.maximum(norm[:, None] * norm[None, :], 1e-30)
+    return (jnp.sum(C) - jnp.trace(C)) / (M * (M - 1))

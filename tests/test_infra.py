@@ -220,3 +220,18 @@ def test_hpo_multi_worker_partition(tmp_path):
     for a, b in zip(solo, merged):
         assert a["trial"] == b["trial"]
         assert abs(a["score"] - b["score"]) < 1e-12
+
+
+def test_ensemble_error_correlation():
+    """Independent member errors -> ~0; a shared error component -> high
+    correlation."""
+    from climsim_tpu.export.validate import ensemble_error_correlation
+    rng = np.random.default_rng(0)
+    truth = jnp.asarray(rng.normal(0, 1, (256, 60)))
+    indep = truth[None] + jnp.asarray(rng.normal(0, 1, (8, 256, 60)))
+    c_ind = float(ensemble_error_correlation(indep, truth))
+    shared = truth[None] + jnp.asarray(rng.normal(0, 1, (256, 60)))[None] \
+        + 0.05 * jnp.asarray(rng.normal(0, 1, (8, 256, 60)))
+    c_sh = float(ensemble_error_correlation(shared, truth))
+    assert abs(c_ind) < 0.05
+    assert c_sh > 0.9

@@ -97,11 +97,29 @@ class OnlineWrapper:
         x_main = jnp.where(jnp.isfinite(x_main), x_main, 0.0)
         return x_main, x_sfc
 
-    def __call__(self, x_main_raw, x_sfc_raw, mem):
+    def __call__(self, x_main_raw, x_sfc_raw, mem, eps_prev=None,
+                 noise_key=None):
         """Raw-units step; jit-compatible (wrap in jax.jit or call from a
-        jitted host loop)."""
+        jitted host loop).
+
+        Stochastic models use the extended signature
+        ``(x, xs, mem, eps_prev, noise_key) -> (out, out_sfc, mem, eps)``
+        — the wrapper's forward_eps variant threading AR(1) noise across
+        coupled steps (rnn/utils.py:230-294;
+        save_wrapper_mem_prevtend_ftorch.py:333-360).
+        """
         x_main, x_sfc = self.preprocess(x_main_raw, x_sfc_raw)
-        out, out_sfc, mem = self.model.apply(self.params, x_main, x_sfc, mem)
+        eps_out = None
+        if eps_prev is not None:
+            outs = self.model.apply(self.params, x_main, x_sfc, mem,
+                                    deterministic=False,
+                                    eps_prev=eps_prev,
+                                    rngs={"noise": noise_key})
+            out, out_sfc, mem, eps_out = outs
+        else:
+            outs = self.model.apply(self.params, x_main, x_sfc, mem)
+            # AR-noise models return a 4-tuple even deterministically
+            out, out_sfc, mem = outs[:3]
         if self.cfg.mp_constraint:
             yl = self.norm.scale_lev[None]
             ys = self.norm.scale_sfc
@@ -112,6 +130,8 @@ class OnlineWrapper:
             out_sfc = out_sfc / self.norm.scale_sfc
         out = jnp.where(jnp.isfinite(out), out, 0.0)
         out_sfc = jnp.where(jnp.isfinite(out_sfc), out_sfc, 0.0)
+        if eps_out is not None:
+            return out, out_sfc, mem, eps_out
         return out, out_sfc, mem
 
     def jitted(self):

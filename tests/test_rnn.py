@@ -534,3 +534,42 @@ def test_ar_noise_vertical_modes():
                                      eps_prev=eps0, rngs={"noise": K(2)})
         assert eps.shape == (lev_dim, B, 16)
         assert np.isfinite(np.asarray(out)).all()
+
+
+def test_online_wrapper_eps_contract():
+    """Stochastic wrapper signature (x, xs, mem, eps_prev, key) ->
+    (out, out_sfc, mem, eps): AR noise threads across coupled steps and
+    the returned eps feeds the next call (forward_eps contract)."""
+    from climsim_tpu.export import OnlineWrapper, WrapperConfig
+    from climsim_tpu.data import LevelNormalizer
+    from climsim_tpu import variables as V
+
+    hyam, hybm, g = _grid_tuples()
+    vs = V.get("v4_rnn")
+    model = RNNAutoreg(nx=15, nx_sfc=24, ny=5, ny_sfc=8, nneur=(16, 16),
+                       nh_mem=4, hyam=hyam, hybm=hybm, add_pres=False,
+                       add_stochastic_layer=True, ar_noise_rho=0.9)
+    B, L = 3, 60
+    rngnp = np.random.default_rng(1)
+    x_main = np.abs(rngnp.normal(0.5, 0.2, (B, L, 15))).astype(np.float32)
+    x_main[:, :, 0] = rngnp.uniform(220, 300, (B, L))
+    x_sfc = np.abs(rngnp.normal(0.5, 0.2, (B, 24))).astype(np.float32)
+    mem = jnp.zeros((B, L, 4))
+    norm = LevelNormalizer.identity(vs)
+    norm = LevelNormalizer(norm.mean_lev, norm.div_lev, norm.mean_sfc,
+                           norm.div_sfc, jnp.ones((1, 5)), norm.scale_sfc)
+    params = model.init({"params": K(0), "noise": K(9)},
+                        jnp.asarray(x_main), jnp.asarray(x_sfc), mem,
+                        deterministic=False)
+    lbd = np.full(60, 1e4, np.float32)
+    w = OnlineWrapper(model, params, norm, lbd, lbd, lbd,
+                      WrapperConfig(mp_mode=1))
+    eps = jnp.zeros((L, B, 16))
+    outs = []
+    for t in range(3):
+        out, osfc, mem, eps = w(jnp.asarray(x_main), jnp.asarray(x_sfc),
+                                mem, eps_prev=eps, noise_key=K(t))
+        outs.append(np.asarray(out))
+        assert eps.shape == (L, B, 16)
+        assert np.isfinite(outs[-1]).all()
+    assert not np.allclose(outs[0], outs[1])   # stochastic across steps

@@ -165,7 +165,10 @@ class RadiationModule(nn.Module):
         # surface source: LWUP distributed with the lowest layer's fractions
         src_sfc = sfc["lwup"][:, None] * pfrac[:, -1, :]
         emis = jnp.ones_like(src_sfc)
-        fdn_lw, fup_lw = R.lw_solver_noscat(trans, sdn, sup, src_sfc, emis)
+        from ..ops.pallas_radiation import (lw_solver_noscat_fast,
+                                            adding_sw_fast)
+        fdn_lw, fup_lw = lw_solver_noscat_fast(trans, sdn, sup, src_sfc,
+                                               emis)
         fdn_lw_tot = fdn_lw.sum(-1)
         fup_lw_tot = fup_lw.sum(-1)
         net_lw = fdn_lw_tot - fup_lw_tot                 # down positive
@@ -313,7 +316,9 @@ class RadiationModule(nn.Module):
                 .transpose(0, 2, 1)
         else:
             rd, td, rdir, tdd, tdir = R.calc_ref_trans_sw(mu0, tau, ssa, g)
-            fup_sw, fdiff_sw, fdir_sw = R.adding_sw(
+            # fused VMEM kernel forward on TPU (5.3x over the scan at
+            # online shapes), scan VJP on the backward
+            fup_sw, fdiff_sw, fdir_sw = adding_sw_fast(
                 toa, alb_diff, alb_dir, rd, td, rdir, tdd, tdir)
 
         # visible/near-IR split weights (make_sw_visible_weights analog)

@@ -79,3 +79,59 @@ def mlp_for(vset: V.VariableSet, features: Sequence[int] = (768, 640, 512,
     mask = tuple(output_prune_mask(vset)) if prune else None
     return MLP(features=tuple(features), out_dim=vset.target_feature_len,
                policy=policy, prune_mask=mask)
+
+
+def input_prune_mask(vset: V.VariableSet, mode: str,
+                     strato_lev: int = 15, strato_lev_qc: int = 30,
+                     strato_lev_qinput: int | None = None,
+                     strato_lev_tinput: int = 0,
+                     dtype=np.float32) -> np.ndarray:
+    """Static input-feature mask for the online-trainer dataset variants
+    (climsim_datapip.py:91-125), declarative over the variable registry
+    instead of the reference's literal flat indices:
+
+    * ``decouple_cloud``: zero every cloud-condensate profile (state and
+      previous-physics q0002/q0003 channels).
+    * ``aggressive``: zero the top stratosphere levels of every profile
+      except state temperature and the gas profiles — humidity-like
+      channels (rh/q0001/q0003) use ``strato_lev_qinput``, q0002 uses
+      ``strato_lev_qc``, everything else ``strato_lev``; also zeros
+      SNOWHICE.
+    * ``qinput``: zero only the top levels of state_q0002/q0003.
+
+    ``strato_lev_tinput>0`` additionally zeros the top temperature levels.
+    """
+    qin = strato_lev if strato_lev_qinput is None else strato_lev_qinput
+    mask = np.ones(vset.inputs.total, dtype)
+    sl_of = vset.inputs.slices
+    if mode == "decouple_cloud":
+        for n in vset.inputs.lev_names:
+            if "q0002" in n or "q0003" in n:
+                mask[sl_of[n]] = 0.0
+    elif mode == "aggressive":
+        for n in vset.inputs.lev_names:
+            if n == "state_t" or n.startswith("pbuf"):
+                continue
+            if "_dyn" in n:
+                k = strato_lev
+            elif "q0002" in n:
+                k = strato_lev_qc
+            elif "q0001" in n or "q0003" in n or "rh" in n:
+                k = qin
+            else:
+                k = strato_lev
+            s = sl_of[n]
+            mask[s.start:s.start + k] = 0.0
+        if "cam_in_SNOWHICE" in sl_of:
+            mask[sl_of["cam_in_SNOWHICE"]] = 0.0
+    elif mode == "qinput":
+        for n in ("state_q0002", "state_q0003"):
+            if n in sl_of:
+                s = sl_of[n]
+                mask[s.start:s.start + strato_lev] = 0.0
+    else:
+        raise ValueError(f"unknown prune mode {mode!r}")
+    if strato_lev_tinput > 0 and "state_t" in sl_of:
+        s = sl_of["state_t"]
+        mask[s.start:s.start + strato_lev_tinput] = 0.0
+    return mask

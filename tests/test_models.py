@@ -239,3 +239,37 @@ def test_qrnn_and_glu():
     pg = g.init(K(2), x)
     y = g.apply(pg, x)
     assert y.shape == (B, L, 8)
+
+
+def test_input_prune_masks_match_reference_indices():
+    """Declarative input masks reproduce the reference's literal flat
+    indices on the v4 layout (climsim_datapip.py:91-125)."""
+    from climsim_tpu.models.mlp import input_prune_mask
+    vs = V.get("v4")
+    sl, qc, qin = 15, 30, 22
+
+    m = input_prune_mask(vs, "decouple_cloud")
+    exp = np.ones(1525, np.float32)
+    exp[120:240] = 0
+    exp[60 * 14:60 * 16] = 0
+    exp[60 * 19:60 * 21] = 0
+    np.testing.assert_array_equal(m, exp)
+
+    m = input_prune_mask(vs, "aggressive", strato_lev=sl,
+                         strato_lev_qc=qc, strato_lev_qinput=qin)
+    exp = np.ones(1525, np.float32)
+    for start, k in ((60, qin), (120, qc), (180, qin), (240, sl),
+                     (300, sl), (360, sl), (420, sl), (480, sl),
+                     (540, sl), (600, sl), (660, sl), (720, sl),
+                     (780, qin), (840, qc), (900, qin), (960, sl),
+                     (1020, sl), (1080, qin), (1140, qc), (1200, qin),
+                     (1260, sl)):
+        exp[start:start + k] = 0
+    exp[1515] = 0
+    np.testing.assert_array_equal(m, exp)
+
+    m = input_prune_mask(vs, "qinput", strato_lev=sl)
+    exp = np.ones(1525, np.float32)
+    exp[120:120 + sl] = 0
+    exp[180:180 + sl] = 0
+    np.testing.assert_array_equal(m, exp)

@@ -126,6 +126,7 @@ def main(argv=None):
         w_precip=lcfg.get("w_precip", 0.0),
         w_gel_precip=lcfg.get("w_gel_precip", 0.0),
         gel_lambda=lcfg.get("gel_lambda", 1.0),
+        w_bias=lcfg.get("w_bias", 0.0),
         replay=rcfg.get("replay"),
         replay_slice=tuple(rcfg.get("replay_slice", (9, 14))),
         pred_slice=tuple(rcfg.get("pred_slice", (0, 5))),

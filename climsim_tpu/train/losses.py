@@ -114,3 +114,21 @@ def gel_precip_loss(true_sfc, pred_sfc, timesteps: int, lam: float = 1.0,
     expterm = jnp.minimum(expterm, 1e6)
     return jnp.exp2(jnp.minimum(expterm, 30.0)) \
         * (1.0 + jax.nn.relu(expterm - 30.0))
+
+
+def absolute_bias_loss(pred_lev, true_lev, pred_sfc, true_sfc,
+                       skip_top: int = 12):
+    """Mean absolute batch-mean bias over level (below ``skip_top``) and
+    surface outputs (rnn/metrics.py:82-101 ``compute_absolute_biases``,
+    applied at rnn/utils.py:1322-1325 with weight w_bias): penalizes
+    systematic offsets the squared losses hide behind variance.
+
+    pred/true_lev [N, L, ny], pred/true_sfc [N, ny_sfc]; N may stack the
+    rollout window.
+    """
+    d_lev = jnp.abs(jnp.nanmean(true_lev[:, skip_top:], axis=0)
+                    - jnp.nanmean(pred_lev[:, skip_top:], axis=0))
+    d_sfc = jnp.abs(jnp.nanmean(true_sfc, axis=0)
+                    - jnp.nanmean(pred_sfc, axis=0))
+    return jnp.nanmean(jnp.concatenate([jnp.nanmean(d_lev, axis=0),
+                                        d_sfc]))

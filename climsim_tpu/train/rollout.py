@@ -55,6 +55,9 @@ class RolloutConfig:
     # (rnn/metrics.py:1035-1066; losses.gel_loss is the per-output form)
     w_gel_precip: float = 0.0
     gel_lambda: float = 1.0
+    # absolute batch-mean bias penalty over the window outputs
+    # (reference use_bias_loss/w_bias; rnn/utils.py:1322-1334)
+    w_bias: float = 0.0
     # replay: None | 'full' | 'mixed'
     replay: str | None = None
     replay_slice: tuple = (15, 20)   # input channels holding prev tendencies
@@ -301,7 +304,8 @@ class RolloutTrainer:
                 x_pred = x_pred.astype(x_true_prev.dtype)
             new_carry = (mem, out, jnp.ones(()), x_pred, x_true_prev,
                          y_true_prev)
-            return new_carry, (cfg.w_main * main + extra, out_sfc)
+            lev_out = out if cfg.w_bias > 0 else jnp.zeros((0,), out.dtype)
+            return new_carry, (cfg.w_main * main + extra, out_sfc, lev_out)
 
         W = window["x_lev"].shape[0]
         B_, Llev = window["x_lev"].shape[1], window["x_lev"].shape[2]
@@ -321,10 +325,18 @@ class RolloutTrainer:
         else:
             xs = (window["x_lev"], window["x_sfc"], window["y_lev"],
                   window["y_sfc"], window["sp"], steps_idx)
-        carry_out, (losses, out_sfcs) = jax.lax.scan(step, carry0, xs)
+        carry_out, (losses, out_sfcs, out_levs) = jax.lax.scan(step, carry0,
+                                                               xs)
         mem = carry_out[0]
 
         loss = jnp.mean(losses)
+        if cfg.w_bias > 0:
+            from .losses import absolute_bias_loss
+            loss = loss + cfg.w_bias * absolute_bias_loss(
+                out_levs.reshape((-1,) + out_levs.shape[2:]),
+                window["y_lev"].reshape((-1,) + window["y_lev"].shape[2:]),
+                out_sfcs.reshape(W * B_, -1),
+                window["y_sfc"].reshape(W * B_, -1))
         if cfg.w_gel_precip > 0:
             from .losses import gel_precip_loss
             loss = loss + cfg.w_gel_precip * gel_precip_loss(

@@ -111,3 +111,27 @@ def test_gel_loss_zero_at_unit_scaled_match():
     r = jnp.asarray(np.abs(rng.normal(1, 0.3, (32, 60))) * 1e5)
     v = float(gel_loss(r * 1.5, r))
     assert np.isfinite(v) and v >= 0.0
+
+
+def test_absolute_bias_loss_parity_vs_reference():
+    """absolute_bias_loss == the reference compute_absolute_biases
+    reduction (abs of batch-mean diffs, level-mean below level 12,
+    concat + nanmean)."""
+    import torch
+    sys.path.insert(0, "/root/reference/rnn")
+    import metrics as ref_metrics
+    from climsim_tpu.train.losses import absolute_bias_loss
+
+    rng = np.random.default_rng(3)
+    N, L, ny, ns = 64, 60, 6, 8
+    tl = rng.normal(0, 1, (N, L, ny)).astype(np.float32)
+    pl_ = rng.normal(0.2, 1, (N, L, ny)).astype(np.float32)
+    ts = rng.normal(0, 1, (N, ns)).astype(np.float32)
+    ps = rng.normal(-0.1, 1, (N, ns)).astype(np.float32)
+    bl, bs = ref_metrics.compute_absolute_biases(
+        torch.from_numpy(tl[:, 12:]), torch.from_numpy(ts),
+        torch.from_numpy(pl_[:, 12:]), torch.from_numpy(ps))
+    ref = float(torch.nanmean(torch.cat((bl, bs))))
+    ours = float(absolute_bias_loss(jnp.asarray(pl_), jnp.asarray(tl),
+                                    jnp.asarray(ps), jnp.asarray(ts)))
+    np.testing.assert_allclose(ours, ref, rtol=1e-5)

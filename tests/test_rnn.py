@@ -573,3 +573,16 @@ def test_online_wrapper_eps_contract():
         assert eps.shape == (L, B, 16)
         assert np.isfinite(outs[-1]).all()
     assert not np.allclose(outs[0], outs[1])   # stochastic across steps
+
+
+def test_rollout_bias_term():
+    """w_bias adds a finite term and changes the eval loss."""
+    tr0, data = _make_training_setup()
+    tr1, _ = _make_training_setup()
+    tr1.cfg.w_bias = 1.0
+    params, opt, mem = tr0.init(K(0), next(iter(_chunks(data))))
+    _, _, _, rec0 = tr0.run_epoch(params, opt, mem, _chunks(data), 0,
+                                  train=False)
+    _, _, _, rec1 = tr1.run_epoch(params, opt, mem, _chunks(data), 0,
+                                  train=False)
+    assert np.isfinite(rec1["loss"]) and rec1["loss"] != rec0["loss"]

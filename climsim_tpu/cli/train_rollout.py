@@ -40,14 +40,27 @@ def main(argv=None):
 
     # ---- data: keeplev H5 if given, else synthetic
     dcfg = cfg.get("data", {})
+    n_train_steps = None
     if dcfg.get("h5_path"):
-        r = KeeplevReader(dcfg["h5_path"])
-        d = r.load_all()
         B = dcfg.get("ncol", 384)
-        T = d["input_lev"].shape[0] // B
-        resh = lambda a: a[:T * B].reshape((T, B) + a.shape[1:])
-        x_lev, x_sfc = resh(d["input_lev"]), resh(d["input_sca"])
-        y_lev, y_sfc = resh(d["output_lev"]), resh(d["output_sca"])
+
+        def load(path):
+            d = KeeplevReader(path).load_all()
+            T = d["input_lev"].shape[0] // B
+            resh = lambda a: a[:T * B].reshape((T, B) + a.shape[1:])
+            return (resh(d["input_lev"]), resh(d["input_sca"]),
+                    resh(d["output_lev"]), resh(d["output_sca"]))
+
+        x_lev, x_sfc, y_lev, y_sfc = load(dcfg["h5_path"])
+        if dcfg.get("val_h5_path"):
+            # separate validation file (the reference's val_data_fname):
+            # appended after the training steps so the existing
+            # train/val slicing serves each file exactly
+            n_train_steps = x_lev.shape[0]
+            vx, vxs, vy, vys = load(dcfg["val_h5_path"])
+            cat = lambda a, b: np.concatenate([a, b], axis=0)
+            x_lev, x_sfc = cat(x_lev, vx), cat(x_sfc, vxs)
+            y_lev, y_sfc = cat(y_lev, vy), cat(y_sfc, vys)
     else:
         x_lev, x_sfc, y_lev, y_sfc = S.make_timeseries(
             jax.random.PRNGKey(dcfg.get("seed", 0)),
@@ -147,7 +160,8 @@ def main(argv=None):
                              apply_fn=apply_fn, mem_shape=mem_shape)
 
     chunk = dcfg.get("chunk_size", 8)
-    ntr = int(x_lev.shape[0] * (1 - dcfg.get("val_frac", 0.2)))
+    ntr = n_train_steps if n_train_steps is not None else \
+        int(x_lev.shape[0] * (1 - dcfg.get("val_frac", 0.2)))
 
     def chunks(lo, hi, shuffle):
         n = (hi if hi is not None else x_lev.shape[0]) - lo

@@ -31,11 +31,30 @@ def chunkize(n_steps: int, chunk_size: int, rng: np.random.Generator,
 
 
 def keeplev_chunks(x_lev, x_sfc, y_lev, y_sfc, sp, chunk_size: int,
-                   seed: int = 0, shuffle: bool = True) -> Iterator[dict]:
-    """Yield time-contiguous chunk dicts from time-major arrays [T, B, ...]."""
+                   seed: int = 0, shuffle: bool = True,
+                   include_prev_inputs: int = 0,
+                   include_prev_outputs: int = 0) -> Iterator[dict]:
+    """Yield time-contiguous chunk dicts from time-major arrays [T, B, ...].
+
+    ``include_prev_inputs``/``include_prev_outputs`` concatenate the first
+    N level channels of the PREVIOUS timestep's inputs/outputs onto each
+    step's level inputs (the reference loader's prev-step channels,
+    rnn/utils.py:2095-2148; it uses 6 input / 5 output channels). Chunks
+    then start at t>=1 so every step has a predecessor, matching the
+    reference's "first time index cannot be zero" contract.
+    """
     rng = np.random.default_rng(seed)
-    for idx in chunkize(x_lev.shape[0], chunk_size, rng, shuffle):
-        yield {"x_lev": x_lev[idx], "x_sfc": x_sfc[idx],
+    offset = 1 if (include_prev_inputs or include_prev_outputs) else 0
+    for idx in chunkize(x_lev.shape[0] - offset, chunk_size, rng, shuffle):
+        idx = idx + offset
+        xl = x_lev[idx]
+        if include_prev_outputs:
+            xl = np.concatenate(
+                [xl, y_lev[idx - 1][..., :include_prev_outputs]], axis=-1)
+        if include_prev_inputs:
+            xl = np.concatenate(
+                [xl, x_lev[idx - 1][..., :include_prev_inputs]], axis=-1)
+        yield {"x_lev": xl, "x_sfc": x_sfc[idx],
                "y_lev": y_lev[idx], "y_sfc": y_sfc[idx], "sp": sp[idx]}
 
 

@@ -278,3 +278,27 @@ def test_conservation_mse_zero_for_identical():
     mse = conservation.energy_conservation_mse(
         y_lev, y_sfc, y_lev, y_sfc, sp, hyai, hybi, timesteps=2)
     assert float(mse) == 0.0
+
+
+def test_keeplev_chunks_prev_step_channels():
+    """include_prev_inputs/outputs: each step's level inputs gain the
+    previous timestep's first-N channels; chunks start at t>=1
+    (rnn/utils.py:2095-2148)."""
+    from climsim_tpu.data import keeplev_chunks
+    rng = np.random.default_rng(0)
+    T, B, L = 9, 4, 10
+    xl = rng.normal(0, 1, (T, B, L, 6)).astype(np.float32)
+    xs = rng.normal(0, 1, (T, B, 3)).astype(np.float32)
+    yl = rng.normal(0, 1, (T, B, L, 5)).astype(np.float32)
+    ys = rng.normal(0, 1, (T, B, 2)).astype(np.float32)
+    sp = rng.normal(0, 1, (T, B)).astype(np.float32)
+    chunks = list(keeplev_chunks(xl, xs, yl, ys, sp, chunk_size=4,
+                                 shuffle=False, include_prev_inputs=6,
+                                 include_prev_outputs=5))
+    c = chunks[0]
+    assert c["x_lev"].shape == (4, B, L, 6 + 5 + 6)
+    # chunk starts at t=1; prev channels are t=0 values
+    np.testing.assert_array_equal(c["x_lev"][0, ..., :6], xl[1])
+    np.testing.assert_array_equal(c["x_lev"][0, ..., 6:11], yl[0])
+    np.testing.assert_array_equal(c["x_lev"][0, ..., 11:], xl[0])
+    np.testing.assert_array_equal(c["x_lev"][2, ..., 6:11], yl[2])

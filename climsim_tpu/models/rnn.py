@@ -177,10 +177,16 @@ class RNNAutoreg(nn.Module):
                                    name="rnn_stoch")(
                 down_out, carry3, eps_lev)
 
-        # ---- latent convective memory + output heads
-        new_mem = nn.Dense(self.nh_mem, dtype=pol.compute_dtype,
-                           param_dtype=pol.param_dtype,
-                           name="mlp_latent")(down_out)
+        # ---- latent convective memory + output heads. As the reference,
+        # the intermediate MLP exists only when the memory width differs
+        # from the last RNN's width (models.py:249-252: nh_mem ==
+        # nneur[-1] -> the RNN output IS the memory)
+        if self.nh_mem == down_out.shape[-1]:
+            new_mem = down_out
+        else:
+            new_mem = nn.Dense(self.nh_mem, dtype=pol.compute_dtype,
+                               param_dtype=pol.param_dtype,
+                               name="mlp_latent")(down_out)
         out = nn.Dense(self.ny, dtype=pol.compute_dtype,
                        param_dtype=pol.param_dtype, name="mlp_output")(new_mem)
         # with separate radiation the CRM head predicts only PRECSC/PRECC;

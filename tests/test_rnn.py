@@ -586,3 +586,24 @@ def test_rollout_bias_term():
     _, _, _, rec1 = tr1.run_epoch(params, opt, mem, _chunks(data), 0,
                                   train=False)
     assert np.isfinite(rec1["loss"]) and rec1["loss"] != rec0["loss"]
+
+
+def test_intermediate_mlp_auto():
+    """nh_mem == nneur[-1]: the RNN output is the memory directly (no
+    mlp_latent params), as the reference's auto-derived
+    use_intermediate_mlp (models.py:249-252)."""
+    hyam, hybm, _ = _grid_tuples()
+    kw = dict(nx=10, nx_sfc=24, ny=6, ny_sfc=8, hyam=hyam, hybm=hybm,
+              add_pres=False, output_prune=False)
+    B, L = 2, 60
+    rng = np.random.default_rng(0)
+    xm = jnp.asarray(rng.normal(0, 1, (B, L, 10)).astype(np.float32))
+    xs = jnp.asarray(rng.normal(0, 1, (B, 24)).astype(np.float32))
+    m_eq = RNNAutoreg(nneur=(16, 16), nh_mem=16, **kw)
+    p_eq = m_eq.init(K(0), xm, xs, jnp.zeros((B, L, 16)))
+    assert "mlp_latent" not in p_eq["params"]
+    out, osfc, nm = m_eq.apply(p_eq, xm, xs, jnp.zeros((B, L, 16)))
+    assert nm.shape == (B, L, 16)
+    m_ne = RNNAutoreg(nneur=(16, 16), nh_mem=8, **kw)
+    p_ne = m_ne.init(K(0), xm, xs, jnp.zeros((B, L, 8)))
+    assert "mlp_latent" in p_ne["params"]

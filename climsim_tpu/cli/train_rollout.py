@@ -250,6 +250,54 @@ def main(argv=None):
             save_rollout_checkpoint(ckpt, params, opt_state, mem, epoch,
                                     val_loss=float(rec["val_loss"]),
                                     keep_top_k=cfg.get("keep_top_k", 3))
+    if cfg.get("eval_report"):
+        # final validation scoreboard + per-level R2 profile plot (the
+        # reference driver's per-epoch val_eval/ figures, :1047-1097)
+        from ..train.epoch_metrics import epoch_metrics
+        pl_, ps_, tl_, ts_, sps = [], [], [], [], []
+        mem_e = None
+        for c in chunks(ntr, None, False):
+            Tc = c["x_lev"].shape[0]
+            if mem_e is None:
+                Bc = c["x_lev"].shape[1]
+                mem_e = mem if mem is not None else jnp.zeros(
+                    (Bc, 60, mcfg.get("nh_mem", 16)), jnp.float32)
+            for t in range(Tc):
+                args = [jnp.asarray(c["x_lev"][t]),
+                        jnp.asarray(c["x_sfc"][t]), mem_e]
+                if model_type == "physrnn":
+                    args.append(jnp.asarray(c["x_lev_raw"][t]))
+                    out, osfc, mem_e = apply_fn(params, *args)
+                else:
+                    out, osfc, mem_e = model.apply(params, *args)
+                pl_.append(np.asarray(out) / np.asarray(ysc_lev))
+                ps_.append(np.asarray(osfc) / np.asarray(ysc_sfc))
+                tl_.append(c["y_lev"][t] / np.asarray(ysc_lev))
+                ts_.append(c["y_sfc"][t] / np.asarray(ysc_sfc))
+                sps.append(c["sp"][t])
+        cat = lambda a: np.concatenate(a, axis=0)
+        met = epoch_metrics(jnp.asarray(cat(pl_)), jnp.asarray(cat(ps_)),
+                            jnp.asarray(cat(tl_)), jnp.asarray(cat(ts_)),
+                            jnp.asarray(cat(sps)), np.asarray(grid.hyai),
+                            np.asarray(grid.hybi))
+        print(json.dumps({"eval_report": met}))
+        pdir = cfg.get("plots_dir")
+        if pdir:
+            import os as _os
+            _os.makedirs(pdir, exist_ok=True)
+            try:
+                from ..metrics.plots import profile_plot
+                P_, T_ = cat(pl_), cat(tl_)
+                r2 = 1.0 - ((P_ - T_) ** 2).sum(0) \
+                    / np.maximum(((T_ - T_.mean(0)) ** 2).sum(0), 1e-30)
+                profile_plot({f"ch{j}": r2[:, j]
+                              for j in range(r2.shape[1])},
+                             metric_name="R2",
+                             save_path=_os.path.join(
+                                 pdir, "val_r2_profile.png"))
+            except Exception as e:
+                print(f"(no plot: {e})")
+
     export_path = cfg.get("export_path")
     if export_path:
         # deployment artifact: jittable forward with baked params,

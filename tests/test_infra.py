@@ -235,3 +235,35 @@ def test_ensemble_error_correlation():
     c_sh = float(ensemble_error_correlation(shared, truth))
     assert abs(c_ind) < 0.05
     assert c_sh > 0.9
+
+
+def test_quantized_forward_accuracy():
+    """Int8 weight+activation forward tracks the f32 model closely:
+    correlation > 0.99 and relative RMS error < 5% on the flagship
+    graph."""
+    from climsim_tpu.grid import Grid
+    from climsim_tpu.models.rnn import RNNAutoreg
+    from climsim_tpu.export.quantize import QuantGRUForward
+
+    g = Grid.from_file(
+        "/root/reference/grid_info/ClimSim_low-res_grid-info.nc")
+    tt = lambda a: tuple(float(x) for x in np.asarray(a))
+    model = RNNAutoreg(nx=15, nx_sfc=24, ny=6, ny_sfc=8, nneur=(64, 64),
+                       nh_mem=8, hyam=tt(g.hyam), hybm=tt(g.hybm),
+                       sp_mean=9.8e4, sp_div=1e4)
+    rng = np.random.default_rng(0)
+    B, L = 32, 60
+    xm = jnp.asarray(rng.normal(0, 1, (B, L, 15)).astype(np.float32))
+    xs = jnp.asarray(rng.normal(0, 1, (B, 24)).astype(np.float32))
+    mem = jnp.asarray(rng.normal(0, 0.3, (B, L, 8)).astype(np.float32))
+    params = model.init(jax.random.key(0), xm, xs, mem)
+    ref_out, ref_sfc, ref_mem = model.apply(params, xm, xs, mem)
+    qf = QuantGRUForward(model, params)
+    q_out, q_sfc, q_mem = jax.jit(qf)(xm, xs, mem)
+    for a, b in ((q_out, ref_out), (q_sfc, ref_sfc), (q_mem, ref_mem)):
+        a, b = np.asarray(a).ravel(), np.asarray(b).ravel()
+        rel = np.sqrt(np.mean((a - b) ** 2)) \
+            / max(np.sqrt(np.mean(b ** 2)), 1e-12)
+        corr = np.corrcoef(a, b)[0, 1]
+        assert rel < 0.05, rel
+        assert corr > 0.99, corr

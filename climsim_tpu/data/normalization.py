@@ -210,8 +210,12 @@ class LevelNormalizer:
 
 def load_exp_lambdas(path: str) -> np.ndarray:
     """Per-level lambda for the exponential cloud transform from the
-    reference's txt files (qc/qi/qn_exp_lambda_large.txt)."""
-    return np.loadtxt(path)
+    reference's txt files (qc/qi/qn_exp_lambda_large.txt — one
+    comma-separated row; whitespace-separated files also accepted)."""
+    with open(path) as f:
+        head = f.read(4096)
+    delim = "," if "," in head else None
+    return np.loadtxt(path, delimiter=delim).ravel()
 
 
 def save_norm_txt(normalizer: Normalizer, save_path: str = "",
@@ -231,3 +235,29 @@ def save_norm_txt(normalizer: Normalizer, save_path: str = "",
         np.savetxt(os.path.join(save_path, "out_scale.txt"),
                    np.asarray(normalizer.scale)[None], fmt="%.18e",
                    delimiter=",")
+
+
+def fit_exp_lambdas(q: np.ndarray, threshold: float = 1e-7,
+                    fill: float = 1e7) -> np.ndarray:
+    """Derive the per-level exponential cloud-transform coefficients from
+    data: lambda_l = 1/mean(q_l | q_l > threshold), levels with no cloud
+    above threshold get ``fill`` (the reference's
+    cloud_exponential_transformation notebook). q: [..., nlev] raw
+    condensate."""
+    nlev = q.shape[-1]
+    flat = q.reshape(-1, nlev)
+    lbd = np.full(nlev, np.nan)
+    for i in range(nlev):
+        col = flat[:, i]
+        sel = col[col > threshold]
+        if sel.size:
+            lbd[i] = 1.0 / sel.mean()
+    lbd[~np.isfinite(lbd)] = fill
+    return lbd
+
+
+def save_exp_lambdas(lbd: np.ndarray, path: str) -> None:
+    """Write lambdas in the reference txt layout (one comma-separated
+    row, consumed by :func:`load_exp_lambdas`)."""
+    np.savetxt(path, np.asarray(lbd).reshape(1, -1), fmt="%e",
+               delimiter=",")

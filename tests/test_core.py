@@ -302,3 +302,36 @@ def test_keeplev_chunks_prev_step_channels():
     np.testing.assert_array_equal(c["x_lev"][0, ..., 6:11], yl[0])
     np.testing.assert_array_equal(c["x_lev"][0, ..., 11:], xl[0])
     np.testing.assert_array_equal(c["x_lev"][2, ..., 6:11], yl[2])
+
+
+def test_fit_exp_lambdas_roundtrip(tmp_path):
+    """Lambda derivation matches the reference notebook's recipe
+    (1/conditional-mean above 1e-7, fill 1e7) and roundtrips through the
+    reference txt format."""
+    from climsim_tpu.data.normalization import (fit_exp_lambdas,
+                                                save_exp_lambdas,
+                                                load_exp_lambdas)
+    rng = np.random.default_rng(0)
+    q = np.abs(rng.normal(0, 2e-5, (500, 4, 60))).astype(np.float64)
+    q[..., :10] = 0.0                      # cloud-free stratosphere
+    lbd = fit_exp_lambdas(q)
+    assert lbd.shape == (60,)
+    np.testing.assert_allclose(lbd[:10], 1e7)
+    col = q[..., 30].ravel()
+    np.testing.assert_allclose(lbd[30], 1.0 / col[col > 1e-7].mean(),
+                               rtol=1e-12)
+    p = str(tmp_path / "qn_exp_lambda_large.txt")
+    save_exp_lambdas(lbd, p)
+    back = load_exp_lambdas(p)
+    np.testing.assert_allclose(back, lbd, rtol=1e-5)
+
+
+def test_load_exp_lambdas_reference_file():
+    """Reads the reference's actual comma-separated lambda file."""
+    from climsim_tpu.data.normalization import load_exp_lambdas
+    lbd = load_exp_lambdas(
+        "/root/reference/preprocessing/normalizations/inputs/"
+        "qn_exp_lambda_large.txt")
+    assert lbd.shape == (60,)
+    np.testing.assert_allclose(lbd[:11], 1e7)   # cloud-free top levels
+    assert np.all(lbd > 0)

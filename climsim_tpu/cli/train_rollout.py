@@ -133,6 +133,11 @@ def main(argv=None):
         lr=ocfg.get("lr", 1e-3),
         optimizer=ocfg.get("name", "adam"),
         weight_decay=ocfg.get("weight_decay", 0.0),
+        lr_schedule=ocfg.get("schedule"),
+        schedule_steps=ocfg.get("schedule_steps", 10000),
+        lr_gamma=ocfg.get("lr_gamma", 0.95),
+        decay_every=ocfg.get("decay_every", 1000),
+        warmup_steps=ocfg.get("warmup_steps", 200),
         w_main=lcfg.get("w_main", 1.0),
         w_energy=lcfg.get("w_hcon", 0.0),
         w_water=lcfg.get("w_wcon", 0.0),

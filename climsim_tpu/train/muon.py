@@ -47,7 +47,9 @@ def muon(learning_rate: float = 0.02, momentum: float = 0.95,
          adam_lr: float | None = None, b1: float = 0.9, b2: float = 0.999,
          eps: float = 1e-8,
          weight_decay: float = 0.0) -> optax.GradientTransformation:
-    adam_lr = learning_rate / 20 if adam_lr is None else adam_lr
+    if adam_lr is None:
+        adam_lr = (lambda t: learning_rate(t) / 20.0) \
+            if callable(learning_rate) else learning_rate / 20
 
     def is_matrix(p):
         return p.ndim >= 2
@@ -60,6 +62,9 @@ def muon(learning_rate: float = 0.02, momentum: float = 0.95,
 
     def update_fn(grads, state, params=None):
         count = state.count + 1
+        lr_t = learning_rate(count) if callable(learning_rate) \
+            else learning_rate
+        adam_lr_t = adam_lr(count) if callable(adam_lr) else adam_lr
 
         def upd(g, mom, am, av, p):
             if is_matrix(g):
@@ -73,7 +78,7 @@ def muon(learning_rate: float = 0.02, momentum: float = 0.95,
                 u = o * scale
                 if weight_decay and p is not None:
                     u = u + weight_decay * p
-                return -learning_rate * u, m, am, av
+                return -lr_t * u, m, am, av
             m = b1 * am + (1 - b1) * g
             v = b2 * av + (1 - b2) * g * g
             mh = m / (1 - b1 ** count)
@@ -81,7 +86,7 @@ def muon(learning_rate: float = 0.02, momentum: float = 0.95,
             u = mh / (jnp.sqrt(vh) + eps)
             if weight_decay and p is not None:
                 u = u + weight_decay * p
-            return -adam_lr * u, mom, m, v
+            return -adam_lr_t * u, mom, m, v
 
         params_tree = params if params is not None else grads
         flat_g, treedef = jax.tree_util.tree_flatten(grads)

@@ -58,6 +58,13 @@ class RolloutConfig:
     # absolute batch-mean bias penalty over the window outputs
     # (reference use_bias_loss/w_bias; rnn/utils.py:1322-1334)
     w_bias: float = 0.0
+    # LR schedule (reference OneCycleLR / StepLR, driver :709-731):
+    # None | 'onecycle' | 'step' | 'warmup'
+    lr_schedule: str | None = None
+    schedule_steps: int = 10000       # total steps (onecycle)
+    lr_gamma: float = 0.95            # step-decay factor
+    decay_every: int = 1000           # step-decay interval (steps)
+    warmup_steps: int = 200
     # replay: None | 'full' | 'mixed'
     replay: str | None = None
     replay_slice: tuple = (15, 20)   # input channels holding prev tendencies
@@ -98,16 +105,28 @@ class RolloutConfig:
 
 
 def make_optimizer(cfg: RolloutConfig):
+    lr = cfg.lr
+    if cfg.lr_schedule == "onecycle":
+        from .schedules import one_cycle
+        lr = one_cycle(cfg.lr, cfg.schedule_steps)
+    elif cfg.lr_schedule == "step":
+        from .schedules import step_decay
+        lr = step_decay(cfg.lr, cfg.decay_every, cfg.lr_gamma)
+    elif cfg.lr_schedule == "warmup":
+        from .schedules import warmup_constant
+        lr = warmup_constant(cfg.lr, cfg.warmup_steps)
+    elif cfg.lr_schedule is not None:
+        raise ValueError(cfg.lr_schedule)
     if cfg.optimizer == "adam":
-        return optax.adam(cfg.lr)
+        return optax.adam(lr)
     if cfg.optimizer == "adamw":
-        return optax.adamw(cfg.lr, weight_decay=cfg.weight_decay)
+        return optax.adamw(lr, weight_decay=cfg.weight_decay)
     if cfg.optimizer == "soap":
         from .soap import soap
-        return soap(cfg.lr, weight_decay=cfg.weight_decay)
+        return soap(lr, weight_decay=cfg.weight_decay)
     if cfg.optimizer == "muon":
         from .muon import muon
-        return muon(cfg.lr, weight_decay=cfg.weight_decay)
+        return muon(lr, weight_decay=cfg.weight_decay)
     raise ValueError(cfg.optimizer)
 
 

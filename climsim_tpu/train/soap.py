@@ -69,6 +69,9 @@ def soap(learning_rate: float = 3e-3, b1: float = 0.95, b2: float = 0.95,
 
     def update_fn(grads, state, params=None):
         count = state.count + 1
+        # optax-style schedule support: callable learning_rate(step)
+        lr_t = learning_rate(count) if callable(learning_rate) \
+            else learning_rate
 
         def upd(g, s, p):
             shape2d = _as2d(g)
@@ -81,7 +84,7 @@ def soap(learning_rate: float = 3e-3, b1: float = 0.95, b2: float = 0.95,
                 u = mh / (jnp.sqrt(vh) + eps)
                 if weight_decay and p is not None:
                     u = u + weight_decay * p
-                return -learning_rate * u, _SoapParamState(
+                return -lr_t * u, _SoapParamState(
                     m, v, None, None, None, None)
 
             g2 = g.reshape(shape2d)
@@ -107,7 +110,7 @@ def soap(learning_rate: float = 3e-3, b1: float = 0.95, b2: float = 0.95,
             u = u2.reshape(g.shape)
             if weight_decay and p is not None:
                 u = u + weight_decay * p
-            return -learning_rate * u, _SoapParamState(m, v, L, R, QL, QR)
+            return -lr_t * u, _SoapParamState(m, v, L, R, QL, QR)
 
         params_tree = params if params is not None else grads
         flat_g, treedef = jax.tree_util.tree_flatten(grads)

@@ -99,6 +99,7 @@ def main(argv=None):
                    epochs=cfg.get("epochs", 10),
                    batch_size=cfg.get("batch_size", 1536),
                    log_path=cfg.get("log_path"),
+                   max_grad_norm=ocfg.get("max_grad_norm"),
                    var_weights=cfg.get("var_weights", {}))
 
     name = cfg.get("model", {}).get("name", "mlp")

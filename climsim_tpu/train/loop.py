@@ -39,22 +39,30 @@ class FitConfig:
     epochs: int = 10
     batch_size: int = 1536
     nan_strikes: int = 2             # abort after N non-finite epochs
+    # global-norm gradient clipping (the U-Net trainers' clip_grad /
+    # gradout workaround — under jit it's just an optax transform)
+    max_grad_norm: float | None = None
     log_path: str | None = None      # JSONL metric log
     seed: int = 0
     var_weights: dict = field(default_factory=dict)
 
 
 def make_optimizer(cfg: FitConfig) -> optax.GradientTransformation:
+    def clipped(tx):
+        if cfg.max_grad_norm:
+            return optax.chain(
+                optax.clip_by_global_norm(cfg.max_grad_norm), tx)
+        return tx
     if cfg.optimizer == "adam":
-        return optax.adam(cfg.lr)
+        return clipped(optax.adam(cfg.lr))
     if cfg.optimizer == "adamw":
-        return optax.adamw(cfg.lr, weight_decay=cfg.weight_decay)
+        return clipped(optax.adamw(cfg.lr, weight_decay=cfg.weight_decay))
     if cfg.optimizer == "soap":
         from .soap import soap
-        return soap(cfg.lr, weight_decay=cfg.weight_decay)
+        return clipped(soap(cfg.lr, weight_decay=cfg.weight_decay))
     if cfg.optimizer == "muon":
         from .muon import muon
-        return muon(cfg.lr, weight_decay=cfg.weight_decay)
+        return clipped(muon(cfg.lr, weight_decay=cfg.weight_decay))
     raise ValueError(f"unknown optimizer {cfg.optimizer}")
 
 

@@ -168,21 +168,19 @@ def fv_advect_2d_halo(q_ext: jnp.ndarray, u_ext: jnp.ndarray,
 
     # meridional fluxes at faces j = 0..n (face j sits between interior
     # rows j-1 and j); donor-cell values need slopes in rows j-1 and j,
-    # which need rows j-2..j+1 -> halo width 2
-    def face_flux(jq):                 # jq indexes q_ext rows
-        qmm = q_ext[jq - 2]
-        qm = q_ext[jq - 1]
-        q0 = q_ext[jq]
-        qp = q_ext[jq + 1]
-        v = v_ext[jq]                  # face velocity taken from lower cell
-        slope_m = _mc_limited_slope(qmm, qm, q0)
-        slope_0 = _mc_limited_slope(qm, q0, qp)
-        c = v * dt_dy
-        q_face_pos = qm + 0.5 * (1.0 - c) * slope_m
-        q_face_neg = q0 - 0.5 * (1.0 + c) * slope_0
-        return jnp.where(v >= 0.0, v * q_face_pos, v * q_face_neg)
-
-    faces = jnp.stack([face_flux(halo + j) for j in range(n + 1)], axis=0)
+    # which need rows j-2..j+1 -> halo width 2. All faces at once via
+    # shifted slices (a per-face Python loop would unroll the trace n+1x).
+    qmm = q_ext[halo - 2:halo + n - 1]     # rows jq-2 for jq=halo..halo+n
+    qm = q_ext[halo - 1:halo + n]
+    q0 = q_ext[halo:halo + n + 1]
+    qp = q_ext[halo + 1:halo + n + 2]
+    v = v_ext[halo:halo + n + 1]           # face velocity from lower cell
+    slope_m = _mc_limited_slope(qmm, qm, q0)
+    slope_0 = _mc_limited_slope(qm, q0, qp)
+    c = v * dt_dy
+    q_face_pos = qm + 0.5 * (1.0 - c) * slope_m
+    q_face_neg = q0 - 0.5 * (1.0 + c) * slope_0
+    faces = jnp.where(v >= 0.0, v * q_face_pos, v * q_face_neg)
     # zero pole-crossing fluxes on edge shards
     faces = faces.at[0].multiply(
         jnp.where(is_south, 0.0, 1.0))

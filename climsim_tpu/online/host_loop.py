@@ -34,6 +34,9 @@ class HostLoopConfig:
     nlon: int = 24
     dt: float = C.DT_STEP
     scheme: str = "fv"          # fv | semi_lagrangian | none
+    # fused pallas stencil (ops/pallas_stencil.fv_advect_tracers): all
+    # prognostic fields advected in one kernel per level, u/v loaded once
+    use_pallas: bool = False
     vertical_advection: bool = False  # omega-diagnosed vertical transport
     fix_water: bool = True      # multiplicative tracer mass fixer
     # winds -> CFL conversion: proxy-grid cell sizes (m). ne4 low-res cells
@@ -96,6 +99,26 @@ class HybridLoop:
         out = jax.vmap(step, in_axes=2, out_axes=2)(fg, ug, vg)
         return adv.to_columns(out, self.scatter_idx)
 
+    def advect_all(self, fields: dict, u: jnp.ndarray, v: jnp.ndarray):
+        """Transport every [ncol, nlev] field in ``fields`` with the same
+        winds. With ``cfg.use_pallas`` the fused multi-tracer stencil runs
+        one kernel per level (u/v loaded once for all tracers); otherwise
+        falls back to per-field :meth:`advect`."""
+        cfg = self.cfg
+        if cfg.scheme == "none":
+            return dict(fields)
+        if not (cfg.use_pallas and cfg.scheme == "fv"):
+            return {k: self.advect(f, u, v) for k, f in fields.items()}
+        from ..ops import fv_advect_tracers
+        names = list(fields)
+        tg = lambda a: adv.to_grid(a, self.gather_idx, cfg.nlat,
+                                   cfg.nlon).transpose(2, 0, 1)
+        qs = jnp.stack([tg(fields[k]) for k in names])  # [ntrac,L,nlat,nlon]
+        out = fv_advect_tracers(qs, tg(u), tg(v), cfg.dt_dx, cfg.dt_dy)
+        return {k: adv.to_columns(out[i].transpose(1, 2, 0),
+                                  self.scatter_idx)
+                for i, k in enumerate(names)}
+
     # ---------------------------------------------------------------- step
 
     def coupled_step(self, state: dict, mem, x_sfc_raw):
@@ -132,13 +155,11 @@ class HybridLoop:
             qc = adv.vertical_advect_column(qc, omega, dp, 1.0)
             qi = adv.vertical_advect_column(qi, omega, dp, 1.0)
 
-        # horizontal transport by the updated winds
-        T_a = self.advect(T, u, v)
-        qv_a = self.advect(qv, u, v)
-        qc_a = self.advect(qc, u, v)
-        qi_a = self.advect(qi, u, v)
-        u_a = self.advect(u, u, v)
-        v_a = self.advect(v, u, v)
+        # horizontal transport by the updated winds (fused over fields)
+        adv_out = self.advect_all(
+            {"T": T, "qv": qv, "qc": qc, "qi": qi, "u": u, "v": v}, u, v)
+        T_a, qv_a, qc_a = adv_out["T"], adv_out["qv"], adv_out["qc"]
+        qi_a, u_a, v_a = adv_out["qi"], adv_out["u"], adv_out["v"]
 
         if cfg.fix_water and cfg.scheme != "none":
             w = self.grid.mass_weights(x_sfc[:, 0])  # dp/g from raw ps

@@ -1,4 +1,5 @@
 from .pallas_rnn import fused_bigru, PallasBiGRU
-from .pallas_stencil import fv_advect_levels
+from .pallas_stencil import fv_advect_levels, fv_advect_tracers
 
-__all__ = ["fused_bigru", "PallasBiGRU", "fv_advect_levels"]
+__all__ = ["fused_bigru", "PallasBiGRU", "fv_advect_levels",
+           "fv_advect_tracers"]

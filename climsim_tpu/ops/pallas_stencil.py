@@ -90,3 +90,116 @@ def fv_advect_levels(q: jnp.ndarray, u: jnp.ndarray, v: jnp.ndarray,
         out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
         interpret=interpret,
     )(q, u, v)
+
+
+# --------------------------------------------------------------------------
+# multi-tracer fused kernel: advect every prognostic field with one (u, v)
+# load per level. The per-field form pays 3 loads + 1 store per tracer;
+# fusing all ntrac tracers into one program costs (ntrac + 2) loads +
+# ntrac stores — for the host loop's 6 fields that halves HBM traffic.
+# --------------------------------------------------------------------------
+
+def _fv_tracers_kernel(q_ref, u_ref, v_ref, out_ref, *, dt_dx: float,
+                       dt_dy: float):
+    """One level, all tracers: q_ref [ntrac, 1, nlat, nlon],
+    u/v_ref [1, nlat, nlon]."""
+    q = q_ref[:, 0]                 # [ntrac, nlat, nlon]
+    u = u_ref[0]                    # [nlat, nlon]
+    v = v_ref[0]
+
+    # ---- zonal sweep (periodic lon = last axis), broadcast over tracers
+    nlon = q.shape[-1]
+    qm = pltpu.roll(q, 1, 2)
+    qmm = pltpu.roll(q, 2, 2)
+    qp = pltpu.roll(q, nlon - 1, 2)
+    slope_m = _mc_slope(qmm, qm, q)
+    slope_0 = _mc_slope(qm, q, qp)
+    c = u * dt_dx
+    f_pos = qm + 0.5 * (1.0 - c) * slope_m
+    f_neg = q - 0.5 * (1.0 + c) * slope_0
+    F = jnp.where(u >= 0.0, u * f_pos, u * f_neg)
+    q = q - dt_dx * (pltpu.roll(F, nlon - 1, 2) - F)
+
+    # ---- meridional sweep (clamped ghost rows; zero pole-face fluxes)
+    nlat = q.shape[1]
+    ext = jnp.concatenate([q[:, :1], q[:, :1], q, q[:, -1:], q[:, -1:]],
+                          axis=1)
+    v_ext = jnp.concatenate([v[:1], v[:1], v, v[-1:], v[-1:]], axis=0)
+    qmm = ext[:, :-3]
+    qm = ext[:, 1:-2]
+    q0 = ext[:, 2:-1]
+    qp = ext[:, 3:]
+    vf = v_ext[2:-1]                # [nlat+1, nlon]
+    slope_m = _mc_slope(qmm, qm, q0)
+    slope_0 = _mc_slope(qm, q0, qp)
+    c = vf * dt_dy
+    f_pos = qm + 0.5 * (1.0 - c) * slope_m
+    f_neg = q0 - 0.5 * (1.0 + c) * slope_0
+    faces = jnp.where(vf >= 0.0, vf * f_pos, vf * f_neg)
+    row = jax.lax.broadcasted_iota(jnp.int32, faces.shape, 1)
+    faces = jnp.where((row == 0) | (row == nlat), 0.0, faces)
+    out_ref[:, 0] = q - dt_dy * (faces[:, 1:] - faces[:, :-1])
+
+
+def _fv_advect_tracers_fwd_impl(qs, u, v, dt_dx, dt_dy, interpret):
+    ntrac, nlev, nlat, nlon = qs.shape
+    qspec = pl.BlockSpec((ntrac, 1, nlat, nlon), lambda i: (0, i, 0, 0),
+                         memory_space=pltpu.VMEM)
+    wspec = pl.BlockSpec((1, nlat, nlon), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM)
+    kern = functools.partial(_fv_tracers_kernel, dt_dx=dt_dx, dt_dy=dt_dy)
+    return pl.pallas_call(
+        kern,
+        grid=(nlev,),
+        in_specs=[qspec, wspec, wspec],
+        out_specs=qspec,
+        out_shape=jax.ShapeDtypeStruct(qs.shape, qs.dtype),
+        interpret=interpret,
+    )(qs, u, v)
+
+
+def _fv_reference(qs, u, v, dt_dx, dt_dy):
+    """jnp reference (the backward-pass implementation): vmap the online
+    FV step over (tracer, level)."""
+    from ..online.advection import fv_advect_2d
+    step = lambda q, uu, vv: fv_advect_2d(q, uu, vv, dt_dx, dt_dy)
+    per_level = jax.vmap(step)                       # over levels
+    return jax.vmap(lambda qt: per_level(qt, u, v))(qs)   # over tracers
+
+
+def _on_tpu() -> bool:
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:
+        return False
+
+
+def _fv_tracers_primal(qs, u, v, dt_dx, dt_dy):
+    if _on_tpu():
+        return _fv_advect_tracers_fwd_impl(qs, u, v, dt_dx, dt_dy, False)
+    return _fv_reference(qs, u, v, dt_dx, dt_dy)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def fv_advect_tracers(qs: jnp.ndarray, u: jnp.ndarray, v: jnp.ndarray,
+                      dt_dx: float, dt_dy: float) -> jnp.ndarray:
+    """Fused multi-tracer FV transport: qs [ntrac, nlev, nlat, nlon]
+    advected by u/v [nlev, nlat, nlon]. Pallas forward on TPU (jnp
+    reference elsewhere); the backward pass differentiates the jnp
+    reference (exact, XLA-fused), so online rollout training through the
+    host loop stays differentiable."""
+    return _fv_tracers_primal(qs, u, v, dt_dx, dt_dy)
+
+
+def _fv_tracers_fwd(qs, u, v, dt_dx, dt_dy):
+    return _fv_tracers_primal(qs, u, v, dt_dx, dt_dy), (qs, u, v)
+
+
+def _fv_tracers_bwd(dt_dx, dt_dy, res, ct):
+    qs, u, v = res
+    _, vjp = jax.vjp(lambda a, b, c: _fv_reference(a, b, c, dt_dx, dt_dy),
+                     qs, u, v)
+    return vjp(ct)
+
+
+fv_advect_tracers.defvjp(_fv_tracers_fwd, _fv_tracers_bwd)

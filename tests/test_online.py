@@ -306,3 +306,24 @@ def test_sharded_hybrid_step_overlap_matches_exchange():
     for k in state:
         np.testing.assert_array_equal(np.asarray(outs[True][k]),
                                       np.asarray(outs[False][k]))
+
+
+def test_hybrid_step_fused_advection_matches_per_field():
+    """coupled_step with the fused multi-tracer advection path (pallas on
+    TPU, jnp reference elsewhere) == the per-field default."""
+    g = Grid.from_file(GRID_PATH)
+    state = _init_state()
+    mem = jnp.zeros((384, 60, 8))
+    x_sfc = jnp.concatenate([jnp.full((384, 1), 1e5),
+                             jnp.ones((384, 23))], axis=1)
+    out = {}
+    for fused in (False, True):
+        cfg = HostLoopConfig(scheme="fv", use_pallas=fused)
+        loop = HybridLoop(_dummy_emulator, g, cfg)
+        st, _, _ = jax.jit(lambda s, m: loop.coupled_step(s, m, x_sfc))(
+            state, mem)
+        out[fused] = st
+    for k in out[False]:
+        np.testing.assert_allclose(np.asarray(out[True][k]),
+                                   np.asarray(out[False][k]),
+                                   rtol=1e-6, atol=1e-9, err_msg=k)

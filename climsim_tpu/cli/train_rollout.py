@@ -150,6 +150,7 @@ def main(argv=None):
         pred_slice=tuple(rcfg.get("pred_slice", (0, 5))),
         gradual_mixing_end_epoch=rcfg.get("gradual_mixing_end_epoch", 10),
         pass_x_raw=(model_type == "physrnn"),
+        remat=rcfg.get("remat", False),
     )
     apply_fn = None
     if model_type == "physrnn":

@@ -89,6 +89,12 @@ class RolloutConfig:
     # CRPS-family loss over members ('crps' | 'crps_af' | 'energy')
     ensemble_size: int = 1
     ens_loss: str = "crps"
+    # gradient checkpointing over the rollout window (SURVEY.md §5: the
+    # window maps to lax.scan over time WITH rematerialisation): BPTT
+    # stores only the per-step carries and recomputes each step's
+    # internals in the backward pass — activation memory scales O(1)
+    # instead of O(W) in the window length, trading ~1 extra forward
+    remat: bool = False
     seed: int = 0
 
     def window_for_epoch(self, epoch: int) -> int:
@@ -344,6 +350,9 @@ class RolloutTrainer:
         else:
             xs = (window["x_lev"], window["x_sfc"], window["y_lev"],
                   window["y_sfc"], window["sp"], steps_idx)
+        if cfg.remat:
+            # prevent_cse=False is safe (and faster) under lax.scan
+            step = jax.checkpoint(step, prevent_cse=False)
         carry_out, (losses, out_sfcs, out_levs) = jax.lax.scan(step, carry0,
                                                                xs)
         mem = carry_out[0]

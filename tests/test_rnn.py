@@ -607,3 +607,26 @@ def test_intermediate_mlp_auto():
     m_ne = RNNAutoreg(nneur=(16, 16), nh_mem=8, **kw)
     p_ne = m_ne.init(K(0), xm, xs, jnp.zeros((B, L, 8)))
     assert "mlp_latent" in p_ne["params"]
+
+
+def test_rollout_remat_matches_plain():
+    """Gradient checkpointing over the window scan (cfg.remat) gives the
+    same loss and (numerically) the same parameter updates — it only
+    changes what the backward pass stores vs recomputes."""
+    from climsim_tpu.grid import Grid
+    g = Grid.from_file(GRID_PATH)
+    results = {}
+    for remat in (False, True):
+        tr, data = _make_training_setup(w_energy=0.1)
+        tr.cfg.remat = remat
+        params, opt, mem = tr.init(K(0), next(iter(_chunks(data))))
+        # epoch 1 -> window length 2 so the scan really spans steps
+        params, opt, mem, rec = tr.run_epoch(params, opt, mem,
+                                             _chunks(data), epoch=1)
+        results[remat] = (rec["loss"], params)
+    assert np.isclose(results[True][0], results[False][0], rtol=1e-6)
+    flat_t = jax.tree_util.tree_leaves(results[True][1])
+    flat_f = jax.tree_util.tree_leaves(results[False][1])
+    for a, b in zip(flat_t, flat_f):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-5, atol=1e-7)

@@ -286,7 +286,11 @@ def main(argv=None):
                             jnp.asarray(cat(tl_)), jnp.asarray(cat(ts_)),
                             jnp.asarray(cat(sps)), np.asarray(grid.hyai),
                             np.asarray(grid.hybi))
-        print(json.dumps({"eval_report": met}))
+        met_print = {k: v for k, v in met.items() if k != "r2_lev"}
+        print(json.dumps({"eval_report": met_print}))
+        if log_path:
+            with open(log_path, "a") as f:
+                f.write(json.dumps({"eval_report": met}) + "\n")
         pdir = cfg.get("plots_dir")
         if pdir:
             import os as _os

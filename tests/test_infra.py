@@ -145,15 +145,37 @@ def test_epoch_metrics():
     pred_sfc = true_sfc
     sp = jnp.asarray(rng.uniform(9.6e4, 1.03e5, N))
     xd = jnp.asarray(np.abs(rng.normal(1e-3, 1e-4, (N, L, 6))))
+    # make the first half of the columns clear-sky: negligible cloud
+    # water before and after the (true) update
+    xd = np.array(xd)
+    xd[:N // 2, :, 2:4] = 1e-12
+    true_lev = np.array(true_lev)
+    true_lev[:N // 2, :, 2:4] *= 1e-7
+    pred_lev = jnp.asarray(true_lev + 1e-6 * rng.normal(0, 1, (N, L, 6)))
+    true_lev = jnp.asarray(true_lev)
+    xd = jnp.asarray(xd)
     m = epoch_metrics(pred_lev, pred_sfc, true_lev, true_sfc, sp,
                       g.hyai, g.hybi, x_denorm=xd)
     assert m["R2_dT"] > 0.98
     assert m["R2_PRECC"] == 1.0
     assert m["neg_precip_frac"] == 0.0
-    assert abs(m["precip_p999_ratio"] - 1.0) < 1e-6
+    assert abs(m["prec_99p_ratio"] - 1.0) < 1e-6
+    assert abs(m["prec_std_frac"] - 1.0) < 1e-6
     assert np.isfinite(m["h_conservation"])
     assert np.isfinite(m["water_conservation"])
+    assert np.isfinite(m["cldpath_err"])
     assert m["neg_qv_frac"] < 0.5
+    # correlation-based skill: predictions equal truth on the scalars
+    assert m["R2netsw"] == 1.0 and m["R2flwds"] == 1.0
+    assert m["R2netsw_clearsky"] > 0.99
+    assert m["R2_heating_top"] > 0.95
+    # per-level correlation profile shape + high skill
+    r2lev = np.asarray(m["r2_lev"])
+    assert r2lev.shape == (L, 6)
+    assert m["r2_lev_mean"] > 0.9
+    assert abs(m["hum_std_ratio"] - 1.0) < 0.05
+    assert abs(m["tend_99p_ratio"] - 1.0) < 0.1
+    assert m["bias_lev"] < 1e-6 and m["bias_sfc"] == 0.0
 
 
 def test_global_mesh():

@@ -232,33 +232,11 @@ def main(argv=None):
 
     log_path = cfg.get("log_path")
     fused = cfg.get("fused", True)
-    for epoch in range(start_epoch, cfg.get("epochs", 10)):
-        if fused:
-            params, opt_state, mem, rec = run_epoch_fused(
-                trainer, params, opt_state, mem, chunks(0, ntr, True),
-                epoch)
-        else:
-            params, opt_state, mem, rec = trainer.run_epoch(
-                params, opt_state, mem, chunks(0, ntr, True), epoch)
-        _, _, _, vrec = trainer.run_epoch(
-            params, opt_state, None, chunks(ntr, None, False), epoch,
-            train=False)
-        rec["val_loss"] = vrec["loss"]
-        print(json.dumps(rec))
-        if log_path:
-            with open(log_path, "a") as f:
-                f.write(json.dumps(rec) + "\n")
-        if not np.isfinite(rec["loss"]):
-            print("non-finite loss; aborting (two-strikes policy)")
-            return 2
-        if ckpt:
-            # best-K retention by val loss, memory state included
-            save_rollout_checkpoint(ckpt, params, opt_state, mem, epoch,
-                                    val_loss=float(rec["val_loss"]),
-                                    keep_top_k=cfg.get("keep_top_k", 3))
-    if cfg.get("eval_report"):
-        # final validation scoreboard + per-level R2 profile plot (the
-        # reference driver's per-epoch val_eval/ figures, :1047-1097)
+
+    def eval_scoreboard(params, mem):
+        """Run the model over the validation split and compute the full
+        monitored scoreboard (epoch_metrics). Returns (metrics dict,
+        (pred_lev, true_lev) raw-unit arrays for profile plots)."""
         from ..train.epoch_metrics import epoch_metrics
         pl_, ps_, tl_, ts_, sps = [], [], [], [], []
         mem_e = None
@@ -286,6 +264,42 @@ def main(argv=None):
                             jnp.asarray(cat(tl_)), jnp.asarray(cat(ts_)),
                             jnp.asarray(cat(sps)), np.asarray(grid.hyai),
                             np.asarray(grid.hybi))
+        return met, (cat(pl_), cat(tl_))
+
+    # per-epoch scoreboard cadence (the reference logs ~40 metrics to
+    # wandb EVERY epoch, rnn/utils.py:1413-1766); 0 = only at the end
+    report_every = int(cfg.get("eval_report_every", 0))
+    for epoch in range(start_epoch, cfg.get("epochs", 10)):
+        if fused:
+            params, opt_state, mem, rec = run_epoch_fused(
+                trainer, params, opt_state, mem, chunks(0, ntr, True),
+                epoch)
+        else:
+            params, opt_state, mem, rec = trainer.run_epoch(
+                params, opt_state, mem, chunks(0, ntr, True), epoch)
+        _, _, _, vrec = trainer.run_epoch(
+            params, opt_state, None, chunks(ntr, None, False), epoch,
+            train=False)
+        rec["val_loss"] = vrec["loss"]
+        if report_every and (epoch + 1) % report_every == 0:
+            met, _ = eval_scoreboard(params, mem)
+            rec.update({k: v for k, v in met.items() if k != "r2_lev"})
+        print(json.dumps(rec))
+        if log_path:
+            with open(log_path, "a") as f:
+                f.write(json.dumps(rec) + "\n")
+        if not np.isfinite(rec["loss"]):
+            print("non-finite loss; aborting (two-strikes policy)")
+            return 2
+        if ckpt:
+            # best-K retention by val loss, memory state included
+            save_rollout_checkpoint(ckpt, params, opt_state, mem, epoch,
+                                    val_loss=float(rec["val_loss"]),
+                                    keep_top_k=cfg.get("keep_top_k", 3))
+    if cfg.get("eval_report"):
+        # final validation scoreboard + per-level R2 profile plot (the
+        # reference driver's per-epoch val_eval/ figures, :1047-1097)
+        met, (P_, T_) = eval_scoreboard(params, mem)
         met_print = {k: v for k, v in met.items() if k != "r2_lev"}
         print(json.dumps({"eval_report": met_print}))
         if log_path:
@@ -297,7 +311,6 @@ def main(argv=None):
             _os.makedirs(pdir, exist_ok=True)
             try:
                 from ..metrics.plots import profile_plot
-                P_, T_ = cat(pl_), cat(tl_)
                 r2 = 1.0 - ((P_ - T_) ** 2).sum(0) \
                     / np.maximum(((T_ - T_.mean(0)) ** 2).sum(0), 1e-30)
                 profile_plot({f"ch{j}": r2[:, j]

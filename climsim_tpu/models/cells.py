@@ -292,6 +292,17 @@ class QRNNLayer(nn.Module):
     kernel: int = 2
     causal: bool = True
     reverse: bool = False
+    # fo-pooling is a first-order LINEAR recurrence c_l = f_l*c_{l-1} +
+    # (1-f_l)*z_l, so it admits a parallel prefix (associative_scan,
+    # log2(L) whole-tensor steps). Measured on the v5e it LOSES to the
+    # sequential scan at every tested batch (280k vs 798k cols/s at
+    # B=6144, 1.22M vs 1.34M at B=384): the prefix combine rereads the
+    # full [L,B,H] tensor per step, so it is HBM-traffic-bound where the
+    # scan writes each output once (PERFORMANCE.md). Kept as an option;
+    # sequential is the default.
+    assoc: bool = False
+    dtype: Any = None
+    param_dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, c0=None):
@@ -307,19 +318,37 @@ class QRNNLayer(nn.Module):
         else:
             x_p, pad = x, "SAME"
         gates = nn.Conv(3 * self.hidden, (self.kernel,), padding=pad,
+                        dtype=self.dtype, param_dtype=self.param_dtype,
                         name="conv")(x_p)
         z, f, o = jnp.split(jnp.swapaxes(gates, 0, 1), 3, axis=-1)
         z = jnp.tanh(z)
         f = jax.nn.sigmoid(f)
         o = jax.nn.sigmoid(o)
 
-        def body(c, inp):
-            zl, fl = inp
-            c = fl * c + (1.0 - fl) * zl
-            return c, c
-
         c0 = jnp.zeros((B, self.hidden), gates.dtype) if c0 is None \
             else c0.astype(gates.dtype)
-        c_last, cs = jax.lax.scan(body, c0, (z, f), reverse=self.reverse)
+
+        if self.assoc:
+            # compose affine maps c -> f*c + g: (fa,ga) then (fb,gb) gives
+            # (fa*fb, gb + fb*ga); prefix-combine yields c_l = F_l*c0 + G_l
+            g = (1.0 - f) * z
+
+            def combine(a, b):
+                fa, ga = a
+                fb, gb = b
+                return fa * fb, gb + fb * ga
+
+            F, G = jax.lax.associative_scan(combine, (f, g), axis=0,
+                                            reverse=self.reverse)
+            cs = F * c0[None] + G
+            c_last = cs[0] if self.reverse else cs[-1]
+        else:
+            def body(c, inp):
+                zl, fl = inp
+                c = fl * c + (1.0 - fl) * zl
+                return c, c
+
+            c_last, cs = jax.lax.scan(body, c0, (z, f),
+                                      reverse=self.reverse)
         h = o * cs
         return jnp.swapaxes(h, 0, 1), c_last

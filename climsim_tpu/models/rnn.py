@@ -29,7 +29,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .cells import RNNLayer, FusedBiGRULayer, needs_cell_state
+from .cells import RNNLayer, FusedBiGRULayer, QRNNLayer, needs_cell_state
 from .common import Policy, F32
 
 DT = 1200.0
@@ -124,6 +124,20 @@ class RNNAutoreg(nn.Module):
         if use_fused:
             down_out, last_h = FusedBiGRULayer(
                 nh1, name="bigru_fused")(h, hx1, hx2)
+        elif self.cell == "qrnn":
+            # QRNN fo-pooling sweeps (no serial recurrent matmul) — the
+            # reference's QRNN cells (models_torch_kernels.py:1358-1546)
+            # as the emulator trunk. Measured slower than the GRU on the
+            # v5e at all batches (the GRU's recurrent matmul streams the
+            # MXU; see PERFORMANCE.md), kept for capability parity
+            up_out, _ = QRNNLayer(nh1, reverse=True,
+                                  dtype=pol.compute_dtype,
+                                  param_dtype=pol.param_dtype,
+                                  name="rnn_up")(h, hx1)
+            down_out, last_h = QRNNLayer(nh2, reverse=False,
+                                         dtype=pol.compute_dtype,
+                                         param_dtype=pol.param_dtype,
+                                         name="rnn_down")(up_out, hx2)
         else:
             if needs_cell_state(self.cell):
                 cx1 = nn.Dense(nh1, dtype=pol.compute_dtype,

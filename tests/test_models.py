@@ -273,3 +273,27 @@ def test_input_prune_masks_match_reference_indices():
     exp[120:120 + sl] = 0
     exp[180:180 + sl] = 0
     np.testing.assert_array_equal(m, exp)
+
+
+def test_qrnn_associative_scan_matches_sequential():
+    """The parallel-prefix fo-pooling (assoc=True) == the sequential scan,
+    forward and gradients, with and without an initial carry."""
+    from climsim_tpu.models.cells import QRNNLayer
+    B, L, nx, H = 4, 60, 10, 16
+    x = jax.random.normal(K(0), (B, L, nx))
+    c0 = jax.random.normal(K(3), (B, H)) * 0.3
+    for reverse in (False, True):
+        ma = QRNNLayer(H, reverse=reverse, assoc=True)
+        ms = QRNNLayer(H, reverse=reverse, assoc=False)
+        p = ma.init(K(1), x)
+        for init in (None, c0):
+            ha, ca = ma.apply(p, x, init)
+            hs, cs = ms.apply(p, x, init)
+            np.testing.assert_allclose(np.asarray(ha), np.asarray(hs),
+                                       rtol=1e-5, atol=1e-6)
+            np.testing.assert_allclose(np.asarray(ca), np.asarray(cs),
+                                       rtol=1e-5, atol=1e-6)
+        ga = jax.grad(lambda xx: jnp.sum(ma.apply(p, xx, c0)[0] ** 2))(x)
+        gs = jax.grad(lambda xx: jnp.sum(ms.apply(p, xx, c0)[0] ** 2))(x)
+        np.testing.assert_allclose(np.asarray(ga), np.asarray(gs),
+                                   rtol=1e-4, atol=1e-6)

@@ -21,7 +21,7 @@ def _grid_tuples():
             tuple(float(x) for x in np.asarray(g.hybm)), g)
 
 
-@pytest.mark.parametrize("cell", ["gru", "lstm", "sru", "ln_lstm"])
+@pytest.mark.parametrize("cell", ["gru", "lstm", "sru", "ln_lstm", "qrnn"])
 def test_rnn_autoreg_cells(cell):
     hyam, hybm, _ = _grid_tuples()
     m = RNNAutoreg(nx=15, nx_sfc=24, ny=6, ny_sfc=8, nneur=(32, 32),

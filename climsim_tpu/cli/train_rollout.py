@@ -69,6 +69,13 @@ def main(argv=None):
         x_lev, x_sfc = np.asarray(x_lev), np.asarray(x_sfc)
         y_lev, y_sfc = np.asarray(y_lev), np.asarray(y_sfc)
 
+    if dcfg.get("remove_past_sfc_inputs"):
+        # drop the pbuf_* previous-physics surface channels (reference
+        # driver :433-437: indices 17-21 of the v4_rnn scalar block)
+        keep = [i for i in range(x_sfc.shape[-1])
+                if i not in (17, 18, 19, 20, 21)]
+        x_sfc = x_sfc[..., keep]
+
     # normalization from data statistics (per-level optional)
     xm = x_lev.mean((0, 1)); xsd = x_lev.std((0, 1)) + 1e-8
     xms = x_sfc.mean((0, 1)); xss = x_sfc.std((0, 1)) + 1e-8
@@ -151,6 +158,10 @@ def main(argv=None):
         gradual_mixing_end_epoch=rcfg.get("gradual_mixing_end_epoch", 10),
         pass_x_raw=(model_type == "physrnn"),
         remat=rcfg.get("remat", False),
+        ensemble_size=rcfg.get("ensemble_size", 1),
+        ens_loss=rcfg.get("ens_loss", "crps"),
+        crps_start_epoch=rcfg.get("crps_start_epoch", 0),
+        timestepped_optimizer=ocfg.get("timestepped", False),
     )
     apply_fn = None
     if model_type == "physrnn":

@@ -89,6 +89,14 @@ class RolloutConfig:
     # CRPS-family loss over members ('crps' | 'crps_af' | 'energy')
     ensemble_size: int = 1
     ens_loss: str = "crps"
+    # start the probabilistic loss only after this epoch; before it the
+    # ensemble trains deterministically on the member mean (reference
+    # crps_start_epoch, autoreg_LSTM.yaml)
+    crps_start_epoch: int = 0
+    # when the curriculum lengthens the window, scale the LR by the
+    # window ratio and reset the optimizer state (reference
+    # timestepped_optimizer, train_..._detref.py:599-615)
+    timestepped_optimizer: bool = False
     # gradient checkpointing over the rollout window (SURVEY.md §5: the
     # window maps to lax.scan over time WITH rematerialisation): BPTT
     # stores only the per-step carries and recomputes each step's
@@ -191,6 +199,28 @@ class RolloutTrainer:
         self._step_cache: dict = {}
         self._eval_cache: dict = {}
         self._fused_cache: dict = {}
+        # static per-epoch knobs (values key the jit caches, so at most a
+        # couple of compilations each): probabilistic-loss weight for
+        # crps_start_epoch, last window length for timestepped_optimizer
+        self._ens_w: float = 1.0
+        self._last_W: int | None = None
+
+    def _set_epoch_state(self, epoch: int):
+        self._ens_w = 0.0 if epoch < self.cfg.crps_start_epoch else 1.0
+
+    def maybe_rescale_optimizer(self, W: int, params, opt_state):
+        """timestepped_optimizer semantics (train_..._detref.py:599-615):
+        when the curriculum changes the window length, scale the LR by the
+        window ratio and rebuild the optimizer (fresh state)."""
+        if (self.cfg.timestepped_optimizer and self._last_W is not None
+                and W != self._last_W):
+            self.cfg.lr = self.cfg.lr * (W / self._last_W)
+            self.tx = make_optimizer(self.cfg)
+            opt_state = self.tx.init(params)
+            self._step_cache.clear()
+            self._fused_cache.clear()
+        self._last_W = W
+        return opt_state
 
     def init(self, key, sample_window):
         x_lev, x_sfc = sample_window["x_lev"][0], sample_window["x_sfc"][0]
@@ -296,9 +326,15 @@ class RolloutTrainer:
                           "energy": lambda e, o: P.energy_score(
                               e.reshape(e.shape[0], -1, e.shape[-1]),
                               o.reshape(-1, o.shape[-1]))}[cfg.ens_loss]
-                main = ens_fn(out_e, y_lev) + ens_fn(out_sfc_e, y_sfc)
                 out = jnp.mean(out_e, axis=0)
                 out_sfc = jnp.mean(out_sfc_e, axis=0)
+                if self._ens_w < 1.0:
+                    # pre-crps_start_epoch: deterministic loss on the
+                    # ensemble mean (reference crps_start_epoch)
+                    main = L.LOSS_FNS[cfg.loss](out, y_lev) \
+                        + L.LOSS_FNS[cfg.loss](out_sfc, y_sfc)
+                else:
+                    main = ens_fn(out_e, y_lev) + ens_fn(out_sfc_e, y_sfc)
             else:
                 out, out_sfc, mem = self._apply(params, x_lev, x_sfc, mem,
                                                 x_raw)
@@ -380,8 +416,9 @@ class RolloutTrainer:
         return loss, mem
 
     def _get_step(self, W: int):
-        if W in self._step_cache:
-            return self._step_cache[W]
+        key = (W, self._ens_w)
+        if key in self._step_cache:
+            return self._step_cache[key]
 
         @partial(jax.jit, donate_argnums=(0, 1), static_argnums=())
         def step(params, opt_state, mem, window, mix_mask):
@@ -394,19 +431,20 @@ class RolloutTrainer:
             # memory detaches here: it exits the jit as data (:1579)
             return params, opt_state, jax.lax.stop_gradient(new_mem), loss
 
-        self._step_cache[W] = step
+        self._step_cache[key] = step
         return step
 
     def _get_eval(self, W: int):
-        if W in self._eval_cache:
-            return self._eval_cache[W]
+        key = (W, self._ens_w)
+        if key in self._eval_cache:
+            return self._eval_cache[key]
 
         @jax.jit
         def step(params, mem, window, mix_mask):
             loss, new_mem = self._window_loss(params, window, mem, mix_mask)
             return new_mem, loss
 
-        self._eval_cache[W] = step
+        self._eval_cache[key] = step
         return step
 
     # ------------------------------------------------------------------
@@ -419,6 +457,9 @@ class RolloutTrainer:
         W = cfg.window_for_epoch(epoch)
         frac = cfg.mix_fraction(epoch)
         key = key if key is not None else jax.random.PRNGKey(cfg.seed + epoch)
+        self._set_epoch_state(epoch)
+        if train:
+            opt_state = self.maybe_rescale_optimizer(W, params, opt_state)
         tstep = self._get_step(W) if train else None
         estep = self._get_eval(W) if not train else None
 
@@ -583,8 +624,11 @@ def run_epoch_fused(trainer: RolloutTrainer, params, opt_state, mem,
     W = cfg.window_for_epoch(epoch)
     frac = cfg.mix_fraction(epoch)
     key = key if key is not None else jax.random.PRNGKey(cfg.seed + epoch)
+    trainer._set_epoch_state(epoch)
+    opt_state = trainer.maybe_rescale_optimizer(W, params, opt_state)
     step = trainer._fused_cache.setdefault(
-        (W, id(mesh)), make_fused_chunk_step(trainer, W, mesh))
+        (W, id(mesh), trainer._ens_w), make_fused_chunk_step(trainer, W,
+                                                             mesh))
 
     tot, n = 0.0, 0
     t0 = time.time()

@@ -630,3 +630,58 @@ def test_rollout_remat_matches_plain():
     for a, b in zip(flat_t, flat_f):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=2e-5, atol=1e-7)
+
+
+def test_crps_start_epoch_delays_probabilistic_loss():
+    """crps_start_epoch: before it the ensemble trains deterministically
+    on the member mean; at/after it the CRPS loss kicks in (reference
+    autoreg_LSTM.yaml crps_start_epoch)."""
+    g = Grid.from_file(GRID_PATH)
+    rng = np.random.default_rng(0)
+    T, B, L = 4, 8, 60
+    x_lev = rng.normal(0, 1, (T, B, L, 15)).astype(np.float32)
+    x_sfc = rng.normal(0, 1, (T, B, 24)).astype(np.float32)
+    y_lev = np.tanh(x_lev[..., :6]) * 0.5
+    y_sfc = np.abs(x_sfc[..., :8]) * 0.5
+    sp = rng.uniform(9.6e4, 1.03e5, (T, B)).astype(np.float32)
+    hyam = tuple(float(x) for x in np.asarray(g.hyam))
+    hybm = tuple(float(x) for x in np.asarray(g.hybm))
+    model = RNNAutoreg(nx=15, nx_sfc=24, ny=6, ny_sfc=8,
+                       nneur=(16, 16, 16), nh_mem=4,
+                       add_stochastic_layer=True, hyam=hyam, hybm=hybm,
+                       add_pres=False, output_prune=False)
+
+    def chunks():
+        return keeplev_chunks(x_lev, x_sfc, y_lev, y_sfc, sp,
+                              chunk_size=4, shuffle=False)
+
+    ep0 = {}
+    for start in (0, 2):
+        cfg = RolloutConfig(rollout_schedule={0: 2}, lr=1e-3,
+                            ensemble_size=3, crps_start_epoch=start)
+        tr = RolloutTrainer(model, cfg, np.asarray(g.hyai),
+                            np.asarray(g.hybi),
+                            yscale_lev=jnp.ones((1, 1, 6)),
+                            yscale_sca=jnp.ones(8))
+        params, opt, mem = tr.init(K(0), next(iter(chunks())))
+        params, opt, mem, rec = tr.run_epoch(params, opt, mem, chunks(), 0)
+        ep0[start] = rec["loss"]
+        assert np.isfinite(rec["loss"])
+    # epoch 0: deterministic-mean loss != CRPS loss
+    assert not np.isclose(ep0[0], ep0[2], rtol=1e-3), ep0
+
+
+def test_timestepped_optimizer_rescales_lr():
+    """timestepped_optimizer: the LR scales by the window ratio and the
+    optimizer state resets when the curriculum lengthens the window
+    (train_..._detref.py:599-615)."""
+    tr, data = _make_training_setup()
+    tr.cfg.timestepped_optimizer = True
+    lr0 = tr.cfg.lr
+    params, opt, mem = tr.init(K(0), next(iter(_chunks(data))))
+    params, opt, mem, _ = tr.run_epoch(params, opt, mem, _chunks(data), 0)
+    assert tr.cfg.lr == lr0                      # W unchanged (1)
+    params, opt, mem, rec = tr.run_epoch(params, opt, mem, _chunks(data), 1)
+    # schedule {0:1, 1:2}: window doubled -> lr doubled
+    assert np.isclose(tr.cfg.lr, 2 * lr0)
+    assert rec["window"] == 2 and np.isfinite(rec["loss"])

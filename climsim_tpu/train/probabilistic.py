@@ -13,12 +13,15 @@ import jax
 import jax.numpy as jnp
 
 
-def crps_sample_sorted(ens: jnp.ndarray, obs: jnp.ndarray) -> jnp.ndarray:
+def crps_sample_sorted(ens: jnp.ndarray, obs: jnp.ndarray,
+                       beta: float = 1.0) -> jnp.ndarray:
     """Sorted-sample CRPS estimator, mean over batch/features
     (rnn/metrics.py:535; same estimator as the evaluation-side
-    metrics.crps). ens [M, ...], obs [...]."""
+    metrics.crps). ens [M, ...], obs [...]. ``beta`` scales the skill
+    term (the reference's CRPS beta, rnn/metrics.py:610 — 'should be
+    1'; >1 trades spread for skill)."""
     M = ens.shape[0]
-    mae = jnp.mean(jnp.abs(ens - obs[None]), axis=0)
+    mae = beta * jnp.mean(jnp.abs(ens - obs[None]), axis=0)
     s = jnp.sort(ens, axis=0)
     diff = s[1:] - s[:-1]
     count = (jnp.arange(1, M) * jnp.arange(M - 1, 0, -1))
@@ -28,11 +31,11 @@ def crps_sample_sorted(ens: jnp.ndarray, obs: jnp.ndarray) -> jnp.ndarray:
 
 
 def crps_kernel(ens: jnp.ndarray, obs: jnp.ndarray,
-                fair: bool = True) -> jnp.ndarray:
-    """L1-kernel CRPS: E|X-y| - 0.5*E|X-X'| (rnn/metrics.py:628); the
-    'fair' form divides the spread term by M*(M-1)."""
+                fair: bool = True, beta: float = 1.0) -> jnp.ndarray:
+    """L1-kernel CRPS: beta*E|X-y| - 0.5*E|X-X'| (rnn/metrics.py:628);
+    the 'fair' form divides the spread term by M*(M-1)."""
     M = ens.shape[0]
-    term1 = jnp.mean(jnp.abs(ens - obs[None]), axis=0)
+    term1 = beta * jnp.mean(jnp.abs(ens - obs[None]), axis=0)
     pair = jnp.abs(ens[:, None] - ens[None, :])          # [M, M, ...]
     denom = M * (M - 1) if fair else M * M
     term2 = 0.5 * jnp.sum(pair, axis=(0, 1)) / denom
@@ -40,12 +43,12 @@ def crps_kernel(ens: jnp.ndarray, obs: jnp.ndarray,
 
 
 def crps_almost_fair(ens: jnp.ndarray, obs: jnp.ndarray,
-                     alpha: float = 0.95) -> jnp.ndarray:
+                     alpha: float = 0.95, beta: float = 1.0) -> jnp.ndarray:
     """Almost-fair CRPS (anemoi-style, rnn/metrics.py:701): interpolates
     between the biased (1/M^2) and fair (1/(M(M-1))) spread estimators to
     keep gradients bounded for small ensembles."""
     M = ens.shape[0]
-    term1 = jnp.mean(jnp.abs(ens - obs[None]), axis=0)
+    term1 = beta * jnp.mean(jnp.abs(ens - obs[None]), axis=0)
     pair = jnp.abs(ens[:, None] - ens[None, :])
     e_spread = jnp.sum(pair, axis=(0, 1))
     fair = e_spread / (M * (M - 1))

@@ -89,6 +89,9 @@ class RolloutConfig:
     # CRPS-family loss over members ('crps' | 'crps_af' | 'energy')
     ensemble_size: int = 1
     ens_loss: str = "crps"
+    # skill-term weight in the CRPS family (reference beta,
+    # rnn/metrics.py:610 — 'should be 1'; >1 trades spread for skill)
+    ens_beta: float = 1.0
     # start the probabilistic loss only after this epoch; before it the
     # ensemble trains deterministically on the member mean (reference
     # crps_start_epoch, autoreg_LSTM.yaml)
@@ -321,8 +324,10 @@ class RolloutTrainer:
 
                 out_e, out_sfc_e, mem = jax.vmap(member)(mem, keys)
                 from . import probabilistic as P
-                ens_fn = {"crps": P.crps_kernel,
-                          "crps_af": P.crps_almost_fair,
+                bb = cfg.ens_beta
+                ens_fn = {"crps": lambda e, o: P.crps_kernel(e, o, beta=bb),
+                          "crps_af": lambda e, o: P.crps_almost_fair(
+                              e, o, beta=bb),
                           "energy": lambda e, o: P.energy_score(
                               e.reshape(e.shape[0], -1, e.shape[-1]),
                               o.reshape(-1, o.shape[-1]))}[cfg.ens_loss]

@@ -76,3 +76,18 @@ def test_all_differentiable():
                P.energy_score, P.dawid_sebastiani):
         g = jax.grad(lambda e: fn(e, obs))(ens)
         assert np.isfinite(np.asarray(g)).all(), fn.__name__
+
+
+def test_crps_beta_scales_skill_term():
+    """beta scales only the skill (MAE) term (rnn/metrics.py:610)."""
+    from climsim_tpu.train import probabilistic as P
+    rng = np.random.default_rng(0)
+    ens = jnp.asarray(rng.normal(0, 1, (4, 32)))
+    obs = jnp.asarray(rng.normal(0, 1, 32))
+    for fn in (P.crps_sample_sorted,
+               lambda e, o, beta: P.crps_kernel(e, o, beta=beta),
+               lambda e, o, beta: P.crps_almost_fair(e, o, beta=beta)):
+        c1 = float(fn(ens, obs, 1.0))
+        c2 = float(fn(ens, obs, 2.0))
+        mae = float(jnp.mean(jnp.abs(ens - obs[None])))
+        np.testing.assert_allclose(c2 - c1, mae, rtol=1e-5)

@@ -100,6 +100,15 @@ def main(argv=None):
                    batch_size=cfg.get("batch_size", 1536),
                    log_path=cfg.get("log_path"),
                    max_grad_norm=ocfg.get("max_grad_norm"),
+                   lr_schedule=ocfg.get("schedule"),
+                   schedule_steps=ocfg.get("schedule_steps", 10000),
+                   warmup_steps=ocfg.get("warmup_steps", 200),
+                   lr_gamma=ocfg.get("lr_gamma", 0.95),
+                   decay_every=ocfg.get("decay_every", 1000),
+                   plateau_patience=ocfg.get("plateau_patience"),
+                   plateau_factor=ocfg.get("plateau_factor", 0.5),
+                   min_lr=ocfg.get("min_lr", 0.0),
+                   early_stop_patience=cfg.get("early_stop_patience"),
                    var_weights=cfg.get("var_weights", {}))
 
     name = cfg.get("model", {}).get("name", "mlp")

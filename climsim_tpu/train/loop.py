@@ -42,6 +42,22 @@ class FitConfig:
     # global-norm gradient clipping (the U-Net trainers' clip_grad /
     # gradout workaround — under jit it's just an optax transform)
     max_grad_norm: float | None = None
+    # per-step LR schedule (reference scheduler subtrees: warmup + cosine/
+    # step, config_single.yaml): None | 'cosine' | 'onecycle' | 'step' |
+    # 'warmup'
+    lr_schedule: str | None = None
+    schedule_steps: int = 10000
+    warmup_steps: int = 200
+    lr_gamma: float = 0.95
+    decay_every: int = 1000
+    # epoch-level ReduceLROnPlateau on the val loss (reference
+    # scheduler_name: plateau with factor/patience/eta_min); adam/adamw
+    plateau_patience: int | None = None
+    plateau_factor: float = 0.5
+    min_lr: float = 0.0
+    # stop when the val loss has not improved for N epochs (reference
+    # early_stop_step)
+    early_stop_patience: int | None = None
     log_path: str | None = None      # JSONL metric log
     seed: int = 0
     var_weights: dict = field(default_factory=dict)
@@ -53,17 +69,61 @@ def make_optimizer(cfg: FitConfig) -> optax.GradientTransformation:
             return optax.chain(
                 optax.clip_by_global_norm(cfg.max_grad_norm), tx)
         return tx
+    lr = cfg.lr
+    if cfg.lr_schedule == "cosine":
+        warm = min(cfg.warmup_steps, cfg.schedule_steps // 2)
+        lr = optax.warmup_cosine_decay_schedule(
+            0.0, cfg.lr, warm, cfg.schedule_steps, end_value=cfg.min_lr)
+    elif cfg.lr_schedule == "onecycle":
+        from .schedules import one_cycle
+        lr = one_cycle(cfg.lr, cfg.schedule_steps)
+    elif cfg.lr_schedule == "step":
+        from .schedules import step_decay
+        lr = step_decay(cfg.lr, cfg.decay_every, cfg.lr_gamma)
+    elif cfg.lr_schedule == "warmup":
+        from .schedules import warmup_constant
+        lr = warmup_constant(cfg.lr, cfg.warmup_steps)
+    elif cfg.lr_schedule is not None:
+        raise ValueError(cfg.lr_schedule)
+    if cfg.plateau_patience:
+        # inject the LR as mutable optimizer-state so fit() can scale it
+        # on val-loss plateaus without resetting the moments
+        if cfg.lr_schedule is not None:
+            raise ValueError("plateau excludes a per-step lr_schedule")
+        base = {"adam": optax.adam, "adamw": partial(
+            optax.adamw, weight_decay=cfg.weight_decay)}.get(cfg.optimizer)
+        if base is None:
+            raise ValueError(f"plateau supports adam/adamw, "
+                             f"not {cfg.optimizer}")
+        return clipped(optax.inject_hyperparams(base)(learning_rate=lr))
     if cfg.optimizer == "adam":
-        return clipped(optax.adam(cfg.lr))
+        return clipped(optax.adam(lr))
     if cfg.optimizer == "adamw":
-        return clipped(optax.adamw(cfg.lr, weight_decay=cfg.weight_decay))
+        return clipped(optax.adamw(lr, weight_decay=cfg.weight_decay))
     if cfg.optimizer == "soap":
         from .soap import soap
-        return clipped(soap(cfg.lr, weight_decay=cfg.weight_decay))
+        return clipped(soap(lr, weight_decay=cfg.weight_decay))
     if cfg.optimizer == "muon":
         from .muon import muon
-        return clipped(muon(cfg.lr, weight_decay=cfg.weight_decay))
+        return clipped(muon(lr, weight_decay=cfg.weight_decay))
     raise ValueError(f"unknown optimizer {cfg.optimizer}")
+
+
+def _scale_injected_lr(opt_state, factor: float, min_lr: float):
+    """Scale the learning_rate inside any inject_hyperparams state
+    (plateau semantics: optimizer moments preserved). Duck-typed: optax
+    versions name the state Inject[Stateful]HyperparamsState."""
+    hp = getattr(opt_state, "hyperparams", None)
+    if hp is not None and hasattr(opt_state, "_replace") \
+            and "learning_rate" in hp:
+        hp = dict(hp)
+        hp["learning_rate"] = jnp.maximum(hp["learning_rate"] * factor,
+                                          min_lr)
+        return opt_state._replace(hyperparams=hp)
+    if isinstance(opt_state, tuple) and not hasattr(opt_state, "_fields"):
+        return tuple(_scale_injected_lr(o, factor, min_lr)
+                     for o in opt_state)
+    return opt_state
 
 
 def init_state(model, vset: V.VariableSet, cfg: FitConfig,
@@ -119,6 +179,7 @@ def fit(model, vset: V.VariableSet, cfg: FitConfig,
     estep = make_eval_step(vset, cfg)
 
     history, strikes, best_val = [], 0, np.inf
+    bad_epochs = 0
     for epoch in range(cfg.epochs):
         t0 = time.time()
         tot, nb = 0.0, 0
@@ -139,10 +200,27 @@ def fit(model, vset: V.VariableSet, cfg: FitConfig,
                 vn += 1
             rec["val_loss"] = vtot / max(vn, 1)
             rec["val_r2"] = vr2 / max(vn, 1)
-            if checkpoint_dir and rec["val_loss"] < best_val:
+            if rec["val_loss"] < best_val:
                 best_val = rec["val_loss"]
-                save_checkpoint(checkpoint_dir, state, epoch)
+                bad_epochs = 0
+                if checkpoint_dir:
+                    save_checkpoint(checkpoint_dir, state, epoch)
+            else:
+                bad_epochs += 1
+                if cfg.plateau_patience and \
+                        bad_epochs >= cfg.plateau_patience:
+                    # ReduceLROnPlateau: scale the injected LR, keep moments
+                    state = state.replace(opt_state=_scale_injected_lr(
+                        state.opt_state, cfg.plateau_factor, cfg.min_lr))
+                    rec["lr_reduced"] = True
+                    bad_epochs = 0
         history.append(rec)
+        stop = (cfg.early_stop_patience and val_batches is not None
+                and len(history) - 1 - int(np.argmin(
+                    [h.get("val_loss", np.inf) for h in history]))
+                >= cfg.early_stop_patience)
+        if stop:
+            rec["early_stop"] = True
         if cfg.log_path:
             with open(cfg.log_path, "a") as f:
                 f.write(json.dumps(rec) + "\n")
@@ -155,6 +233,8 @@ def fit(model, vset: V.VariableSet, cfg: FitConfig,
                     f"non-finite training loss {cfg.nan_strikes} times; abort")
         else:
             strikes = 0
+        if stop:
+            break
     return state, history
 
 

@@ -86,3 +86,61 @@ def test_warmup():
     assert float(s(0)) == 0.0
     assert abs(float(s(10)) - 1e-3) < 1e-9
     assert abs(float(s(1000)) - 1e-3) < 1e-9
+
+
+def test_offline_loop_plateau_and_early_stop():
+    """ReduceLROnPlateau scales the injected LR without resetting moments;
+    early_stop_patience breaks the epoch loop (reference scheduler_name:
+    plateau / early_stop_step)."""
+    import numpy as np
+    import jax, jax.numpy as jnp
+    import optax
+    from climsim_tpu import variables as V
+    from climsim_tpu.train.loop import (FitConfig, fit, make_optimizer,
+                                        _scale_injected_lr)
+    from climsim_tpu.models.mlp import MLP
+
+    vset = V.get("v1")
+    rng = np.random.default_rng(0)
+    x = rng.normal(0, 1, (64, 124)).astype(np.float32)
+    y = rng.normal(0, 1, (64, 128)).astype(np.float32)
+    batches = lambda: [(x, y)]
+
+    # plateau triggers deterministically: lr=0 -> params frozen -> the
+    # val loss never improves after epoch 0
+    cfg = FitConfig(lr=0.0, epochs=6, plateau_patience=2,
+                    plateau_factor=0.1, loss="mse")
+    model = MLP(features=(16,), out_dim=128)
+    state, hist = fit(model, vset, cfg, batches, val_batches=batches)
+    # find injected lr in the final opt state
+    def find_lr(os_):
+        hp = getattr(os_, "hyperparams", None)
+        if hp is not None and "learning_rate" in hp:
+            return float(hp["learning_rate"])
+        if isinstance(os_, tuple) and not hasattr(os_, "_fields"):
+            for o in os_:
+                r = find_lr(o)
+                if r is not None:
+                    return r
+        return None
+    lr_end = find_lr(state.opt_state)
+    assert lr_end is not None, "no injected hyperparams state found"
+    assert any(h.get("lr_reduced") for h in hist)
+    # the scaling helper itself halves a live injected LR
+    from climsim_tpu.train.loop import make_optimizer as mk
+    cfgs = FitConfig(lr=2e-3, plateau_patience=1)
+    txs = mk(cfgs)
+    os0 = txs.init(state.params)
+    os1 = _scale_injected_lr(os0, 0.5, 0.0)
+    np.testing.assert_allclose(find_lr(os1), 1e-3, rtol=1e-6)
+
+    # early stopping: loss can't improve on random constant data forever
+    cfg2 = FitConfig(lr=0.0, epochs=50, early_stop_patience=3, loss="mse")
+    state2, hist2 = fit(model, vset, cfg2, batches, val_batches=batches)
+    assert len(hist2) < 50 and hist2[-1].get("early_stop")
+
+    # per-step schedule resolves (cosine)
+    cfg3 = FitConfig(lr=1e-3, lr_schedule="cosine", schedule_steps=10,
+                     epochs=2, loss="mse")
+    state3, hist3 = fit(model, vset, cfg3, batches, val_batches=batches)
+    assert np.isfinite(hist3[-1]["train_loss"])

@@ -166,3 +166,139 @@ def test_eliq_eice_parity_vs_reference_wrapper():
     ref = (100.0 * acc).numpy()
     ours = np.asarray(thermo.eliq(jnp.asarray(T)))
     np.testing.assert_allclose(ours, ref, rtol=1e-5)
+
+
+def _ref_ens_layout(ens, T, B):
+    """Our member-major ens [M, T*B, ...] -> the reference trainer's flat
+    prediction layout (T, M, B, ...) -> [(T*M*B), ...] (repeat_interleave
+    over the batch, rnn/utils.py:1064-1072)."""
+    M = ens.shape[0]
+    e = ens.reshape((M, T, B) + ens.shape[2:])
+    e = np.swapaxes(e, 0, 1)                       # [T, M, B, ...]
+    return e.reshape((T * M * B,) + ens.shape[2:])
+
+
+def test_crps_l1_parity_vs_reference():
+    """crps_kernel(fair, M=2) == reference CRPS_l1 (which estimates the
+    spread from the first two members; at M=2 the fair kernel spread
+    reduces to exactly |X0-X1|, rnn/metrics.py:628-700)."""
+    import metrics as ref_metrics
+    from climsim_tpu.train.probabilistic import crps_kernel
+    rng = np.random.default_rng(0)
+    T, B, M, L, ny, ns = 3, 8, 2, 10, 4, 5
+    obs_lev = rng.normal(0, 1, (T * B, L, ny)).astype(np.float32)
+    obs_sfc = rng.normal(0, 1, (T * B, ns)).astype(np.float32)
+    ens_lev = rng.normal(0, 1, (M, T * B, L, ny)).astype(np.float32)
+    ens_sfc = rng.normal(0, 1, (M, T * B, ns)).astype(np.float32)
+
+    ref = ref_metrics.CRPS_l1(
+        torch.from_numpy(obs_lev), torch.from_numpy(obs_sfc),
+        torch.from_numpy(_ref_ens_layout(ens_lev, T, B)),
+        torch.from_numpy(_ref_ens_layout(ens_sfc, T, B)), T)
+
+    # ours: concatenate (lev flattened, sfc) on the feature axis as the
+    # reference does, then the fair L1-kernel CRPS
+    ours_ens = np.concatenate(
+        [ens_lev.reshape(M, T * B, L * ny), ens_sfc], axis=-1)
+    ours_obs = np.concatenate([obs_lev.reshape(T * B, L * ny), obs_sfc],
+                              axis=-1)
+    ours = crps_kernel(jnp.asarray(ours_ens), jnp.asarray(ours_obs),
+                       fair=True)
+    np.testing.assert_allclose(float(ours), float(ref), rtol=1e-5)
+
+
+def test_energy_crps_parity_vs_reference():
+    """energy_score == reference CRPS (the cdist form is the multivariate
+    energy score: 2*E||y-X||_2 - fair spread, all scaled by 1/sqrt(D);
+    rnn/metrics.py:535-626)."""
+    import metrics as ref_metrics
+    from climsim_tpu.train.probabilistic import energy_score
+    rng = np.random.default_rng(1)
+    T, B, M, L, ny, ns = 2, 6, 4, 8, 3, 5
+    obs_lev = rng.normal(0, 1, (T * B, L, ny)).astype(np.float32)
+    obs_sfc = rng.normal(0, 1, (T * B, ns)).astype(np.float32)
+    ens_lev = rng.normal(0, 1, (M, T * B, L, ny)).astype(np.float32)
+    ens_sfc = rng.normal(0, 1, (M, T * B, ns)).astype(np.float32)
+    ref = ref_metrics.CRPS(
+        torch.from_numpy(obs_lev), torch.from_numpy(obs_sfc),
+        torch.from_numpy(_ref_ens_layout(ens_lev, T, B)),
+        torch.from_numpy(_ref_ens_layout(ens_sfc, T, B)), T,
+        beta=1, alpha=1.0)
+    D = L * ny + ns
+    ours_ens = np.concatenate(
+        [ens_lev.reshape(M, T * B, L * ny), ens_sfc], axis=-1)
+    ours_obs = np.concatenate([obs_lev.reshape(T * B, L * ny), obs_sfc],
+                              axis=-1)
+    ours = energy_score(jnp.asarray(ours_ens), jnp.asarray(ours_obs))
+    np.testing.assert_allclose(2.0 / np.sqrt(D) * float(ours), float(ref),
+                               rtol=1e-4)
+
+
+def test_spread_skill_parity_vs_reference():
+    """spread_skill_ratio == reference compute_spread_skill_ratio
+    (spread/rmse with the sqrt((M+1)/M) inflation; rnn/metrics.py:487-533).
+    NOTE the reference's member layout here is (T, M, B) WITHOUT the
+    transpose used by the CRPS functions."""
+    import metrics as ref_metrics
+    from climsim_tpu.train.probabilistic import spread_skill_ratio
+    rng = np.random.default_rng(2)
+    T, B, M, L, ny, ns = 2, 6, 4, 8, 3, 5
+    obs_lev = rng.normal(0, 1, (T * B, L, ny)).astype(np.float32)
+    obs_sfc = rng.normal(0, 1, (T * B, ns)).astype(np.float32)
+    ens_lev = rng.normal(0, 1, (M, T * B, L, ny)).astype(np.float32)
+    ens_sfc = rng.normal(0, 1, (M, T * B, ns)).astype(np.float32)
+
+    # reference flat layout (T, M, B, D) without member/batch transpose
+    def flat(e):
+        M_ = e.shape[0]
+        r = e.reshape((M_, T, B) + e.shape[2:])
+        r = np.swapaxes(r, 0, 1)
+        return r.reshape((T * M_ * B,) + e.shape[2:])
+
+    spread, rmse = ref_metrics.compute_spread_skill_ratio(
+        torch.from_numpy(obs_lev), torch.from_numpy(obs_sfc),
+        torch.from_numpy(flat(ens_lev)), torch.from_numpy(flat(ens_sfc)), T)
+    M_ = M
+    ref_ratio = float(spread) * 1.0 / float(rmse)
+
+    ours_ens = np.concatenate(
+        [ens_lev.reshape(M, T * B, L * ny), ens_sfc], axis=-1)
+    ours_obs = np.concatenate([obs_lev.reshape(T * B, L * ny), obs_sfc],
+                              axis=-1)
+    ours = spread_skill_ratio(jnp.asarray(ours_ens), jnp.asarray(ours_obs))
+    np.testing.assert_allclose(float(ours), ref_ratio, rtol=1e-4)
+
+
+def test_precip_sum_mse_parity_vs_reference():
+    """The rollout w_precip term == reference precip_sum_mse
+    (rnn/metrics.py:184-190)."""
+    import metrics as ref_metrics
+    rng = np.random.default_rng(3)
+    T, B, ns = 4, 8, 8
+    true_sfc = rng.normal(0, 1, (T * B, ns)).astype(np.float32)
+    pred_sfc = rng.normal(0, 1, (T * B, ns)).astype(np.float32)
+    ref = float(ref_metrics.precip_sum_mse(
+        torch.from_numpy(true_sfc), torch.from_numpy(pred_sfc), T))
+    # ours (train/rollout.py w_precip): sum over window of channel 3,
+    # mse, / W^2
+    pt = pred_sfc.reshape(T, B, ns)[..., 3].sum(0)
+    tt = true_sfc.reshape(T, B, ns)[..., 3].sum(0)
+    ours = float(np.mean((pt - tt) ** 2) / (T * T))
+    np.testing.assert_allclose(ours, ref, rtol=1e-6)
+
+
+def test_corrcoeff_pairs_parity_vs_reference():
+    """epoch_metrics' per-level correlation R2 profile ==
+    corrcoeff_pairs_batchfirst**2 (rnn/metrics.py:15-37)."""
+    import metrics as ref_metrics
+    from climsim_tpu.train.epoch_metrics import epoch_metrics
+    rng = np.random.default_rng(4)
+    N, L, ny = 64, 12, 6
+    t = rng.normal(0, 1, (N, L, ny)).astype(np.float32)
+    p = (t + 0.5 * rng.normal(0, 1, (N, L, ny))).astype(np.float32)
+    ref = ref_metrics.corrcoeff_pairs_batchfirst(p, t) ** 2
+    m = epoch_metrics(jnp.asarray(p), jnp.zeros((N, 8)), jnp.asarray(t),
+                      jnp.zeros((N, 8)), jnp.full(N, 1e5),
+                      np.linspace(0, 1, L + 1), np.linspace(0, 1, L + 1))
+    np.testing.assert_allclose(np.asarray(m["r2_lev"]), ref, rtol=1e-4,
+                               atol=1e-6)

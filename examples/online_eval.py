@@ -23,7 +23,8 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 import jax
 
-jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_platforms",
+                  os.environ.get("CLIMSIM_PLATFORM", "cpu"))
 
 import jax.numpy as jnp  # noqa: E402
 import numpy as np  # noqa: E402

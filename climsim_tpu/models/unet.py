@@ -39,22 +39,35 @@ def _up(x):
 
 
 class AttnBlock(nn.Module):
+    """EDM self-attention: weights softmax(q^T (k/sqrt(c_head))) computed in
+    f32 (layers.py AttentionOp:291-327, UNetBlock:486-500). The ClimSim U-Net
+    pins num_heads=1 in block_kwargs (climsim_unet.py:125), so single-head is
+    the default here; c_head is then the full channel count."""
+
     channels: int
     policy: Policy = F32
+    num_heads: int = 1
 
     @nn.compact
     def __call__(self, x):
-        h = nn.GroupNorm(num_groups=min(32, self.channels // 4), epsilon=1e-6)(x)
-        qkv = nn.Conv(self.channels * 3, (1,),
+        B, L, C = x.shape
+        nh = self.num_heads
+        ch = C // nh
+        h = nn.GroupNorm(num_groups=min(32, C // 4), epsilon=1e-6)(x)
+        qkv = nn.Conv(C * 3, (1,),
                       dtype=self.policy.compute_dtype,
                       param_dtype=self.policy.param_dtype, name="qkv")(h)
+        # reference layout: qkv reshaped to [B*heads, C/heads, 3, L]
+        # from channel-major [B, 3C, L]; channel-last here, so split
+        # heads from the channel axis of each of q/k/v
         q, k, v = jnp.split(qkv, 3, axis=-1)
-        scale = 1.0 / jnp.sqrt(jnp.sqrt(jnp.asarray(self.channels,
-                                                    q.dtype)))
-        w = jnp.einsum("blc,bmc->blm", q * scale, k * scale)
-        w = jax.nn.softmax(w, axis=-1)
-        a = jnp.einsum("blm,bmc->blc", w, v)
-        a = nn.Conv(self.channels, (1,), kernel_init=nn.initializers.zeros,
+        split = lambda a: a.reshape(B, L, nh, ch)
+        q, k, v = split(q), split(k), split(v)
+        w = jnp.einsum("blhc,bmhc->bhlm", q.astype(jnp.float32),
+                       k.astype(jnp.float32) / np.sqrt(ch))
+        w = jax.nn.softmax(w, axis=-1).astype(x.dtype)
+        a = jnp.einsum("bhlm,bmhc->blhc", w, v).reshape(B, L, C)
+        a = nn.Conv(C, (1,), kernel_init=nn.initializers.zeros,
                     dtype=self.policy.compute_dtype,
                     param_dtype=self.policy.param_dtype, name="proj")(a)
         return (x + a) * SKIP_SCALE
@@ -83,15 +96,20 @@ class UNetBlock(nn.Module):
         h = nn.Conv(self.out_channels, (3,), padding="SAME",
                     dtype=self.policy.compute_dtype,
                     param_dtype=self.policy.param_dtype, name="conv0")(h)
+        # no activation after norm1: the reference removed the
+        # emb-conditioned silu along with adaptive_scale
+        # (layers.py UNetBlock_*.forward :474-481, silu commented out)
         h = nn.GroupNorm(num_groups=min(32, self.out_channels // 4),
                          epsilon=1e-6)(h)
-        h = nn.silu(h)
         h = nn.Dropout(self.dropout, deterministic=deterministic)(h)
         h = nn.Conv(self.out_channels, (3,), padding="SAME",
                     kernel_init=nn.initializers.zeros,
                     dtype=self.policy.compute_dtype,
                     param_dtype=self.policy.param_dtype, name="conv1")(h)
-        if cin != self.out_channels:
+        # resample_proj=True in the reference's block_kwargs
+        # (climsim_unet.py:130): the skip path is a learned 1x1 conv whenever
+        # the block resamples, even at unchanged width (layers.py :440-451)
+        if cin != self.out_channels or self.up or self.down:
             x = nn.Conv(self.out_channels, (1,),
                         dtype=self.policy.compute_dtype,
                         param_dtype=self.policy.param_dtype, name="skip")(x)

@@ -163,6 +163,7 @@ class ClimsimUNet(nn.Module):
     strato_lev: int = 12
     loc_embedding: bool = False
     skip_conv: bool = False
+    prev_2d: bool = False
     policy: Policy = F32
 
     @nn.compact
@@ -170,6 +171,11 @@ class ClimsimUNet(nn.Module):
         nvp, nvs = self.num_vars_profile, self.num_vars_scalar
         L = self.n_model_levels
         pad = self.seq_resolution - L
+
+        if not self.prev_2d:
+            # previous-step 2D surface inputs zeroed by default
+            # (climsim_unet.py:284-286, x[:, -8:-3] = 0 unless prev_2d)
+            x = x.at[:, -8:-3].set(0.0)
 
         x_profile = x[:, :nvp * L].reshape(-1, nvp, L)
         x_scalar = x[:, nvp * L:-1]

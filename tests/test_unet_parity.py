@@ -19,14 +19,25 @@ import jax.numpy as jnp
 
 torch = pytest.importorskip("torch")
 
-# stub modulus: layers.py only needs weight_init (values get overwritten)
+# stub modulus: layers.py needs weight_init (values get overwritten);
+# climsim_unet.py additionally needs Module/ModelMetaData and nvtx
 _diff = types.ModuleType("modulus.models.diffusion")
 _diff.weight_init = lambda shape, mode, fan_in, fan_out: torch.randn(shape)
 _models = types.ModuleType("modulus.models")
 _mod = types.ModuleType("modulus")
+
+
+class _ModulusModule(torch.nn.Module):
+    def __init__(self, meta=None):
+        super().__init__()
+
+
+_mod.Module = _ModulusModule
+_mod.ModelMetaData = object
 sys.modules.setdefault("modulus", _mod)
 sys.modules.setdefault("modulus.models", _models)
 sys.modules.setdefault("modulus.models.diffusion", _diff)
+sys.modules.setdefault("nvtx", types.ModuleType("nvtx"))
 
 _spec = importlib.util.spec_from_file_location(
     "ref_unet_layers",
@@ -139,3 +150,80 @@ def test_multihead_attention_matches_reference_semantics():
     y = blk.apply({"params": params}, jnp.asarray(x))
     assert y.shape == x.shape
     assert np.isfinite(np.asarray(y)).all()
+
+
+def _load_ref_unet_module():
+    """Load the reference climsim_unet.py under an isolated 'layers' entry
+    (the rnn parity tests put /root/reference/rnn on sys.path, which has its
+    own layers.py)."""
+    tdir = ("/root/reference/online_testing/baseline_models/Unet_v4/"
+            "training")
+    saved = sys.modules.pop("layers", None)
+    sys.modules["layers"] = ref_layers
+    try:
+        spec = importlib.util.spec_from_file_location(
+            "ref_climsim_unet", tdir + "/climsim_unet.py")
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+    finally:
+        if saved is not None:
+            sys.modules["layers"] = saved
+        else:
+            sys.modules.pop("layers", None)
+    return mod
+
+
+def test_full_unet_model_parity():
+    """Whole-model weight-copy parity: encoder/decoder wiring, skips,
+    location embedding, prev_2d zeroing, padding, scalar ReLU-mean head and
+    stratosphere output pruning (climsim_unet.py:35-411)."""
+    from climsim_tpu.models.unet import ClimsimUNet
+
+    ref_mod = _load_ref_unet_module()
+    kw = dict(num_vars_profile=25, num_vars_scalar=24,
+              num_vars_profile_out=6, num_vars_scalar_out=8,
+              seq_resolution=64, model_channels=32, channel_mult=[1, 2],
+              num_blocks=2, attn_resolutions=[32], dropout=0.0,
+              n_model_levels=60, output_prune=True, strato_lev=12,
+              loc_embedding=True, skip_conv=False)
+    ours = ClimsimUNet(**{**kw, "channel_mult": tuple(kw["channel_mult"]),
+                          "attn_resolutions": tuple(kw["attn_resolutions"])})
+    ref = ref_mod.ClimsimUnet(**kw)
+    ref.eval()
+
+    nin = 25 * 60 + 24 + 1
+    rng = np.random.default_rng(2)
+    x = rng.standard_normal((4, nin)).astype(np.float32)
+    x[:, -1] = rng.integers(1, 385, size=4)          # location index
+
+    params = ours.init(jax.random.PRNGKey(0), jnp.asarray(x))["params"]
+
+    ref.emb_loc.data = _t(params["emb_loc"])
+    _copy_conv(ref.enc["64_conv"], params["enc_in"])
+    for name, block in ref.enc.items():
+        if name == "64_conv":
+            continue
+        res, kind = name.split("_", 1)
+        ourname = f"enc_{res}_{kind.replace('block', 'block')}"
+        attn = isinstance(block, ref_layers.UNetBlock_atten)
+        _copy_block(block, params[ourname], attention=attn)
+    for i, conv in enumerate(ref.skip_conv_layer):
+        p = params[f"skipconv_{i}"]
+        conv.weight.data = _t(np.transpose(p["kernel"], (2, 1, 0)))
+        conv.bias.data = _t(p["bias"])
+    for name, block in ref.dec.items():
+        res, kind = name.split("_", 1)
+        attn = isinstance(block, ref_layers.UNetBlock_atten)
+        _copy_block(block, params[f"dec_{res}_{kind}"], attention=attn)
+    _copy_gn(ref.dec_aux_norm["64_aux_norm"], params["GroupNorm_0"])
+    _copy_conv(ref.dec_aux_conv["64_aux_conv"], params["out_conv"])
+
+    y_ours = np.asarray(ours.apply({"params": params}, jnp.asarray(x)))
+    with torch.no_grad():
+        y_ref = ref(torch.from_numpy(x.copy())).numpy()
+    assert y_ours.shape == y_ref.shape == (4, 6 * 60 + 8)
+    np.testing.assert_allclose(y_ours, y_ref, rtol=2e-4, atol=2e-4)
+
+    # pruning pins the stratosphere of the 5 non-T profile tendencies
+    for off in (60, 120, 180, 240, 300):
+        assert np.all(y_ours[:, off:off + 12] == 0.0)

@@ -152,6 +152,16 @@ def main(argv=None):
         w_gel_precip=lcfg.get("w_gel_precip", 0.0),
         gel_lambda=lcfg.get("gel_lambda", 1.0),
         w_bias=lcfg.get("w_bias", 0.0),
+        w_rh=lcfg.get("w_rh", 0.0),
+        rh_max=lcfg.get("rh_max", 1.05),
+        w_qvpos=lcfg.get("w_qvpos", 0.0),
+        w_qnpos=lcfg.get("w_qnpos", 0.0),
+        mp_mode=lcfg.get("mp_mode", 1),
+        w_cld=lcfg.get("w_cld", 0.0),
+        w_precip_neg=lcfg.get("w_precip_neg", 0.0),
+        w_det=lcfg.get("w_det", 0.0),
+        strat_temp_weight_factor=lcfg.get("strat_temp_weight_factor", 1.0),
+        scalar_weight_factor=lcfg.get("scalar_weight_factor", 1.0),
         replay=rcfg.get("replay"),
         replay_slice=tuple(rcfg.get("replay_slice", (9, 14))),
         pred_slice=tuple(rcfg.get("pred_slice", (0, 5))),
@@ -164,10 +174,15 @@ def main(argv=None):
         crps_start_epoch=rcfg.get("crps_start_epoch", 0),
         timestepped_optimizer=ocfg.get("timestepped", False),
     )
+    # raw level state is needed by the physics model's forward AND by the
+    # state-consistency loss terms (rh / qv / qn positivity)
+    need_raw = (model_type == "physrnn"
+                or rc.w_rh > 0 or rc.w_qvpos > 0 or rc.w_qnpos > 0)
+    rc.pass_x_raw = need_raw
     apply_fn = None
     if model_type == "physrnn":
-        apply_fn = lambda p, xl, xs_, m, xr: model.apply(p, xl, xs_, m,
-                                                         xr)[:3]
+        # full tuple: the trainer reads aux['prec_negative'] (w_precip_neg)
+        apply_fn = lambda p, xl, xs_, m, xr: model.apply(p, xl, xs_, m, xr)
     mem_shape = None
     if model_type == "physrnn":
         mem_shape = lambda B, nlev: (B, 50, mcfg.get("nh_mem", 16) + 1)
@@ -187,12 +202,13 @@ def main(argv=None):
                             y_lev_n[lo:hi], y_sfc_n[lo:hi], sp[lo:hi],
                             chunk_size=max(1, min(chunk, n)),
                             shuffle=shuffle)
-        if model_type != "physrnn":
+        if not need_raw:
             yield from it
             return
-        # the physics model needs the raw state per step; chunk indices are
-        # shuffled so recover them by matching sp blocks is fragile — use
-        # unshuffled contiguous chunks for physrnn instead
+        # raw state per step is needed (physics model forward and/or the
+        # rh / positivity loss terms); chunk indices are shuffled so
+        # recovering them by matching sp blocks is fragile — use
+        # unshuffled contiguous chunks instead
         cs = max(1, min(chunk, n))
         for i, c in enumerate(keeplev_chunks(
                 x_lev_n[lo:hi], x_sfc_n[lo:hi], y_lev_n[lo:hi],
@@ -263,7 +279,7 @@ def main(argv=None):
                         jnp.asarray(c["x_sfc"][t]), mem_e]
                 if model_type == "physrnn":
                     args.append(jnp.asarray(c["x_lev_raw"][t]))
-                    out, osfc, mem_e = apply_fn(params, *args)
+                    out, osfc, mem_e = apply_fn(params, *args)[:3]
                 else:
                     out, osfc, mem_e = model.apply(params, *args)
                 pl_.append(np.asarray(out) / np.asarray(ysc_lev))

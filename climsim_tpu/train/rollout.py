@@ -58,6 +58,36 @@ class RolloutConfig:
     # absolute batch-mean bias penalty over the window outputs
     # (reference use_bias_loss/w_bias; rnn/utils.py:1322-1334)
     w_bias: float = 0.0
+    # RH-consistency (supersaturation) penalty on the updated state
+    # (rnn/metrics.py:318-476; use_rh_loss/w_rh, utils.py:1342-1343);
+    # requires raw level state in the window (x_lev_raw)
+    w_rh: float = 0.0
+    rh_max: float = 1.05
+    # positivity penalties on the tendency-updated water state
+    # (utils.py:1284-1307,1347-1352): qv_new = qv + dt*dqv and
+    # qn_new = (qc+qi) + dt*dqn must stay >= 0; require x_lev_raw
+    w_qvpos: float = 0.0
+    w_qnpos: float = 0.0
+    # mp_mode for assembling dqn in the qn positivity term
+    # (utils.py:1286-1296): modes 1/-1 read output channel 2, mode 0
+    # sums channels 2+3 (separate qliq/qice tendencies)
+    mp_mode: int = 1
+    # cloud-water-path MSE between predicted and true tendencies
+    # (utils.py:1256-1259,1345-1346)
+    w_cld: float = 0.0
+    # negative-precipitation penalty for flux-predicting models that
+    # return aux['prec_negative'] (models_phys.py:1785; utils.py:1354-1356)
+    w_precip_neg: float = 0.0
+    # deterministic-skill penalty for ensemble training:
+    # w_det * (ensemble-mean RMSE over concatenated lev+sfc features)^2
+    # (use_det_loss/w_det, utils.py:1358-1359; metrics.py:510-533)
+    w_det: float = 0.0
+    # static loss-weight factors (driver :308-315): heating tendencies in
+    # the top strat_weight_levels levels x strat_temp_weight_factor; all
+    # surface scalars x scalar_weight_factor
+    strat_temp_weight_factor: float = 1.0
+    scalar_weight_factor: float = 1.0
+    strat_weight_levels: int = 10
     # LR schedule (reference OneCycleLR / StepLR, driver :709-731):
     # None | 'onecycle' | 'step' | 'warmup'
     lr_schedule: str | None = None
@@ -168,6 +198,10 @@ class RolloutTrainer:
         # model.apply(p, xl, xs, m, xr)[:3])
         self._apply = apply_fn or (
             lambda p, xl, xs, m, xr: self.model.apply(p, xl, xs, m))
+        # pass_x_raw may be on only for the raw-state loss terms
+        # (rh/positivity); the model itself consumes x_raw only when a
+        # custom apply_fn threads it through
+        self._model_takes_raw = apply_fn is not None
         # mem_shape(B, nlev) -> per-sample memory shape; default follows the
         # standard RNNAutoreg layout
         self._mem_shape = mem_shape or (
@@ -232,7 +266,7 @@ class RolloutTrainer:
         nlev_mem = 50 if getattr(self.model, "separate_radiation", False) \
             else Llev
         mem = jnp.zeros((B, nlev_mem, mem_lev), x_lev.dtype)
-        if self.cfg.pass_x_raw:
+        if self.cfg.pass_x_raw and self._model_takes_raw:
             params = self.model.init(key, x_lev, x_sfc, mem,
                                      sample_window["x_lev_raw"][0])
             if self.cfg.ensemble_size > 1:
@@ -260,6 +294,25 @@ class RolloutTrainer:
         p0, p1 = cfg.pred_slice
 
         np_ = cfg.n_prog
+
+        # static per-feature loss weights (driver :308-315); None when both
+        # factors are 1 so the unweighted fast path is untouched
+        w_lev_arr = w_sfc_arr = None
+        if cfg.strat_temp_weight_factor != 1.0 \
+                or cfg.scalar_weight_factor != 1.0:
+            Lw, nyw = window["y_lev"].shape[2], window["y_lev"].shape[3]
+            wl = np.ones((Lw, nyw), np.float32)
+            wl[:cfg.strat_weight_levels, 0] *= cfg.strat_temp_weight_factor
+            w_lev_arr = jnp.asarray(wl)
+            w_sfc_arr = jnp.full((window["y_sfc"].shape[-1],),
+                                 cfg.scalar_weight_factor, jnp.float32)
+
+        def main_loss(out, y_lev, out_sfc, y_sfc):
+            if w_lev_arr is None:
+                return L.LOSS_FNS[cfg.loss](out, y_lev) \
+                    + L.LOSS_FNS[cfg.loss](out_sfc, y_sfc)
+            return L.weighted_loss(out, y_lev, w_lev_arr, kind=cfg.loss) \
+                + L.weighted_loss(out_sfc, y_sfc, w_sfc_arr, kind=cfg.loss)
 
         def normalize_prog(x_raw):
             """Raw prognostic state -> normalized input channels, with the
@@ -336,18 +389,31 @@ class RolloutTrainer:
                 if self._ens_w < 1.0:
                     # pre-crps_start_epoch: deterministic loss on the
                     # ensemble mean (reference crps_start_epoch)
-                    main = L.LOSS_FNS[cfg.loss](out, y_lev) \
-                        + L.LOSS_FNS[cfg.loss](out_sfc, y_sfc)
+                    main = main_loss(out, y_lev, out_sfc, y_sfc)
                 else:
                     main = ens_fn(out_e, y_lev) + ens_fn(out_sfc_e, y_sfc)
+                aux = None
             else:
-                out, out_sfc, mem = self._apply(params, x_lev, x_sfc, mem,
-                                                x_raw)
-                main = L.LOSS_FNS[cfg.loss](out, y_lev) \
-                    + L.LOSS_FNS[cfg.loss](out_sfc, y_sfc)
+                res = self._apply(params, x_lev, x_sfc, mem, x_raw)
+                out, out_sfc, mem = res[:3]
+                aux = res[3] if len(res) > 3 else None
+                main = main_loss(out, y_lev, out_sfc, y_sfc)
 
             extra = 0.0
-            if cfg.w_energy > 0 or cfg.w_water > 0:
+            if cfg.ensemble_size > 1 and cfg.w_det > 0:
+                # deterministic-skill term: MSE of the ensemble mean over
+                # concatenated lev+sfc features (= det_skill^2,
+                # metrics.py:510-533)
+                se = jnp.sum(jnp.square(out - y_lev)) \
+                    + jnp.sum(jnp.square(out_sfc - y_sfc))
+                cnt = y_lev.size + y_sfc.size
+                extra += cfg.w_det * se / cnt
+            if aux is not None and cfg.w_precip_neg > 0 \
+                    and "prec_negative" in aux:
+                extra += cfg.w_precip_neg * jnp.mean(
+                    jnp.square(aux["prec_negative"]))
+            if (cfg.w_energy > 0 or cfg.w_water > 0 or cfg.w_cld > 0
+                    or cfg.w_qvpos > 0 or cfg.w_qnpos > 0 or cfg.w_rh > 0):
                 od = out / self.yscale_lev if self.yscale_lev is not None \
                     else out
                 osd = out_sfc / self.yscale_sca \
@@ -362,6 +428,34 @@ class RolloutTrainer:
                 if cfg.w_water > 0:
                     extra += cfg.w_water * conservation.water_conservation_mse(
                         od, osd, sp, self.hyai, self.hybi)
+                if cfg.w_cld > 0:
+                    # cloud-water-path error (utils.py:1256-1259)
+                    cwp_p = conservation.cloud_water_path(
+                        od, sp, self.hyai, self.hybi)
+                    cwp_t = conservation.cloud_water_path(
+                        td, sp, self.hyai, self.hybi)
+                    extra += cfg.w_cld * jnp.mean(jnp.square(cwp_p - cwp_t))
+                if x_raw is not None and (cfg.w_qvpos > 0 or cfg.w_qnpos > 0
+                                          or cfg.w_rh > 0):
+                    # raw prognostic channels [T, qv, qc, qi, u, v]
+                    if cfg.w_qvpos > 0:
+                        qv_new = x_raw[..., 1] + DT_STEP * od[..., 1]
+                        extra += cfg.w_qvpos * jnp.mean(
+                            jnp.square(jax.nn.relu(-qv_new)))
+                    if cfg.w_qnpos > 0:
+                        dqn = od[..., 2] if cfg.mp_mode in (1, -1) \
+                            else od[..., 2] + od[..., 3]
+                        qn_new = x_raw[..., 2] + x_raw[..., 3] \
+                            + DT_STEP * dqn
+                        extra += cfg.w_qnpos * jnp.mean(
+                            jnp.square(jax.nn.relu(-qn_new)))
+                    if cfg.w_rh > 0:
+                        p_int = 1e5 * self.hyai[None] \
+                            + self.hybi[None] * sp[:, None]
+                        pmid = 0.5 * (p_int[:, 1:] + p_int[:, :-1])
+                        extra += cfg.w_rh * L.rh_consistency_loss(
+                            od[..., 1], od[..., 0], x_raw[..., 1],
+                            x_raw[..., 0], pmid, rh_max=cfg.rh_max)
 
             if cfg.semi_online:
                 x_true_prev = x_raw[..., :np_]

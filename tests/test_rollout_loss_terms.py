@@ -1,0 +1,211 @@
+"""The remaining reference loss terms wired into the rollout trainer:
+rh-consistency (w_rh), qv/qn positivity (w_qvpos/w_qnpos), cloud-water-path
+(w_cld), negative-precip (w_precip_neg), deterministic-skill (w_det), and
+the static loss-weight factors (strat_temp_weight_factor /
+scalar_weight_factor) — semantics from rnn/utils.py:1264-1360 and the
+driver's loss_weights block (:308-315)."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from climsim_tpu.grid import Grid
+from climsim_tpu.train.rollout import RolloutTrainer, RolloutConfig
+from climsim_tpu.physics import conservation
+
+GRID = "/root/reference/grid_info/ClimSim_low-res_grid-info.nc"
+K = jax.random.PRNGKey
+
+
+def _setup(cfg, pred_lev=None, pred_sfc=None, aux=None, W=2, B=3, L=60,
+           ny=6, ny_sfc=8):
+    g = Grid.from_file(GRID)
+    rng = np.random.default_rng(0)
+    pl = jnp.asarray(pred_lev if pred_lev is not None
+                     else rng.normal(0, 1, (B, L, ny)).astype(np.float32))
+    ps = jnp.asarray(pred_sfc if pred_sfc is not None
+                     else rng.normal(0, 1, (B, ny_sfc)).astype(np.float32))
+
+    def apply_fn(p, xl, xs, m, xr):
+        if aux is not None:
+            return pl, ps, m, aux
+        return pl, ps, m
+
+    tr = RolloutTrainer(object(), cfg, np.asarray(g.hyai),
+                        np.asarray(g.hybi), apply_fn=apply_fn)
+    window = {
+        "x_lev": jnp.asarray(rng.normal(0, 1, (W, B, L, 15)).astype(np.float32)),
+        "x_sfc": jnp.asarray(rng.normal(0, 1, (W, B, 24)).astype(np.float32)),
+        "y_lev": jnp.asarray(rng.normal(0, 1, (W, B, L, ny)).astype(np.float32)),
+        "y_sfc": jnp.asarray(rng.normal(0, 1, (W, B, ny_sfc)).astype(np.float32)),
+        "sp": jnp.asarray(rng.uniform(9.6e4, 1.03e5, (W, B)).astype(np.float32)),
+    }
+    if cfg.pass_x_raw:
+        xr = rng.normal(0, 1, (W, B, L, 6)).astype(np.float32)
+        xr[..., 0] = rng.uniform(200, 300, (W, B, L))    # T
+        xr[..., 1] = rng.uniform(0, 2e-3, (W, B, L))     # qv
+        xr[..., 2] = rng.uniform(0, 1e-4, (W, B, L))     # qc
+        xr[..., 3] = rng.uniform(0, 1e-4, (W, B, L))     # qi
+        window["x_lev_raw"] = jnp.asarray(xr)
+    mem = jnp.zeros((B, L, 4), jnp.float32)
+    mix = jnp.zeros((B,), jnp.float32)
+    return tr, window, mem, mix, g
+
+
+def _loss(tr, window, mem, mix):
+    return float(tr._window_loss(None, window, mem, mix)[0])
+
+
+def test_loss_weight_factors_match_manual():
+    base = RolloutConfig(loss="mse")
+    zeros = np.zeros((3, 60, 6), np.float32)
+    zsfc = np.zeros((3, 8), np.float32)
+    tr0, window, mem, mix, _ = _setup(base, pred_lev=zeros, pred_sfc=zsfc)
+    l0 = _loss(tr0, window, mem, mix)
+    exp0 = float(jnp.mean(window["y_lev"] ** 2)
+                 + jnp.mean(window["y_sfc"] ** 2))
+    np.testing.assert_allclose(l0, exp0, rtol=1e-6)
+
+    f = RolloutConfig(loss="mse", strat_temp_weight_factor=3.0,
+                      scalar_weight_factor=0.5)
+    tr1, _, _, _, _ = _setup(f, pred_lev=zeros, pred_sfc=zsfc)
+    l1 = _loss(tr1, window, mem, mix)
+    w = np.ones((60, 6), np.float32)
+    w[:10, 0] = 3.0
+    exp1 = float(jnp.mean(w * window["y_lev"] ** 2)
+                 + 0.5 * jnp.mean(window["y_sfc"] ** 2))
+    np.testing.assert_allclose(l1, exp1, rtol=1e-6)
+
+
+def test_qv_qn_positivity_terms_match_manual():
+    zeros = np.zeros((3, 60, 6), np.float32)
+    zeros[..., 1] = -1e-5          # dqv drives qv negative at dry points
+    zeros[..., 2] = -1e-6          # dqn (mp_mode 1: channel 2)
+    zsfc = np.zeros((3, 8), np.float32)
+    cfg = RolloutConfig(loss="mse", w_qvpos=7.0, w_qnpos=11.0, mp_mode=1,
+                        pass_x_raw=True)
+    tr, window, mem, mix, _ = _setup(cfg, pred_lev=zeros, pred_sfc=zsfc)
+    l1 = _loss(tr, window, mem, mix)
+    cfg0 = RolloutConfig(loss="mse", pass_x_raw=True)
+    tr0, _, _, _, _ = _setup(cfg0, pred_lev=zeros, pred_sfc=zsfc)
+    l0 = _loss(tr0, window, mem, mix)
+
+    xr = np.asarray(window["x_lev_raw"])
+    qv_new = xr[..., 1] + 1200.0 * zeros[None, ..., 1]
+    qn_new = xr[..., 2] + xr[..., 3] + 1200.0 * zeros[None, ..., 2]
+    exp = np.mean([7.0 * np.mean(np.square(np.maximum(-qv_new[t], 0)))
+                   + 11.0 * np.mean(np.square(np.maximum(-qn_new[t], 0)))
+                   for t in range(2)])
+    assert exp > 0, "fixture must actually trigger the penalty"
+    np.testing.assert_allclose(l1 - l0, exp, rtol=1e-4)
+
+
+def test_qn_positivity_mp_mode_zero_sums_channels():
+    zeros = np.zeros((3, 60, 6), np.float32)
+    zeros[..., 2] = -5e-7
+    zeros[..., 3] = -5e-7
+    zsfc = np.zeros((3, 8), np.float32)
+    l = {}
+    for mp in (0, 1):
+        cfg = RolloutConfig(loss="mse", w_qnpos=1.0, mp_mode=mp,
+                            pass_x_raw=True)
+        tr, window, mem, mix, _ = _setup(cfg, pred_lev=zeros, pred_sfc=zsfc)
+        l[mp] = _loss(tr, window, mem, mix)
+    # mode 0 uses dqn = ch2+ch3 (twice the tendency) => larger penalty
+    assert l[0] > l[1]
+
+
+def test_rh_term_penalizes_supersaturation_only():
+    dq = np.zeros((3, 60, 6), np.float32)
+    zsfc = np.zeros((3, 8), np.float32)
+    cfg = RolloutConfig(loss="mse", w_rh=1.0, pass_x_raw=True)
+    tr, window, mem, mix, _ = _setup(cfg, pred_lev=dq, pred_sfc=zsfc)
+    # make the raw state genuinely subsaturated everywhere: the default
+    # fixture's qv ~1e-3 supersaturates the cold low-pressure TOA levels
+    xr = np.asarray(window["x_lev_raw"]).copy()
+    xr[..., 1] = 1e-9
+    window = dict(window)
+    window["x_lev_raw"] = jnp.asarray(xr)
+    l_sub = _loss(tr, window, mem, mix)
+    cfg0 = RolloutConfig(loss="mse", pass_x_raw=True)
+    tr0, _, _, _, _ = _setup(cfg0, pred_lev=dq, pred_sfc=zsfc)
+    l0 = _loss(tr0, window, mem, mix)
+    # subsaturated fixture: rh term ~0
+    np.testing.assert_allclose(l_sub, l0, rtol=1e-5)
+    # push qv far above saturation via a huge dqv
+    dq2 = dq.copy()
+    dq2[..., 1] = 1.0 / 1200.0     # +1 kg/kg step -> massively supersaturated
+    tr2, _, _, _, _ = _setup(cfg, pred_lev=dq2, pred_sfc=zsfc)
+    w2 = dict(window)
+    l_sup = _loss(tr2, w2, mem, mix)
+    tr2b, _, _, _, _ = _setup(cfg0, pred_lev=dq2, pred_sfc=zsfc)
+    l_sup0 = _loss(tr2b, w2, mem, mix)
+    assert l_sup - l_sup0 > 1.0
+
+
+def test_cloudpath_term_matches_manual():
+    rng = np.random.default_rng(3)
+    pl = rng.normal(0, 1e-7, (3, 60, 6)).astype(np.float32)
+    ps = np.zeros((3, 8), np.float32)
+    cfg = RolloutConfig(loss="mse", w_cld=1e6)
+    tr, window, mem, mix, g = _setup(cfg, pred_lev=pl, pred_sfc=ps)
+    l1 = _loss(tr, window, mem, mix)
+    cfg0 = RolloutConfig(loss="mse")
+    tr0, _, _, _, _ = _setup(cfg0, pred_lev=pl, pred_sfc=ps)
+    l0 = _loss(tr0, window, mem, mix)
+    exp = 0.0
+    for t in range(2):
+        cp = conservation.cloud_water_path(jnp.asarray(pl),
+                                           window["sp"][t],
+                                           jnp.asarray(np.asarray(g.hyai)),
+                                           jnp.asarray(np.asarray(g.hybi)))
+        ct = conservation.cloud_water_path(window["y_lev"][t],
+                                           window["sp"][t],
+                                           jnp.asarray(np.asarray(g.hyai)),
+                                           jnp.asarray(np.asarray(g.hybi)))
+        exp += 1e6 * float(jnp.mean((cp - ct) ** 2)) / 2
+    np.testing.assert_allclose(l1 - l0, exp, rtol=1e-3)
+
+
+def test_precip_neg_term_from_aux():
+    zeros = np.zeros((3, 60, 6), np.float32)
+    zsfc = np.zeros((3, 8), np.float32)
+    pn = np.array([0.5, 0.0, 1.5], np.float32)
+    cfg = RolloutConfig(loss="mse", w_precip_neg=2.0)
+    tr, window, mem, mix, _ = _setup(cfg, pred_lev=zeros, pred_sfc=zsfc,
+                                     aux={"prec_negative": jnp.asarray(pn)})
+    l1 = _loss(tr, window, mem, mix)
+    cfg0 = RolloutConfig(loss="mse")
+    tr0, _, _, _, _ = _setup(cfg0, pred_lev=zeros, pred_sfc=zsfc,
+                             aux={"prec_negative": jnp.asarray(pn)})
+    l0 = _loss(tr0, window, mem, mix)
+    np.testing.assert_allclose(l1 - l0, 2.0 * np.mean(pn ** 2), rtol=1e-5)
+
+
+def test_det_loss_in_ensemble_training():
+    from climsim_tpu.models.rnn import RNNAutoreg
+    from climsim_tpu.data import keeplev_chunks
+    g = Grid.from_file(GRID)
+    rng = np.random.default_rng(1)
+    T, B = 4, 4
+    x_lev = rng.normal(0, 1, (T, B, 60, 15)).astype(np.float32)
+    x_sfc = rng.normal(0, 1, (T, B, 24)).astype(np.float32)
+    y_lev = np.tanh(x_lev[..., :6]) * 0.5
+    y_sfc = np.abs(x_sfc[..., :8]) * 0.5
+    sp = rng.uniform(9.6e4, 1.03e5, (T, B)).astype(np.float32)
+    model = RNNAutoreg(nx=15, nx_sfc=24, ny=6, ny_sfc=8, nneur=(16, 16),
+                       nh_mem=4, add_stochastic_layer=True,
+                       add_pres=False, output_prune=False)
+    losses = {}
+    for w_det in (0.0, 5.0):
+        cfg = RolloutConfig(rollout_schedule={0: 2}, ensemble_size=2,
+                            ens_loss="crps", w_det=w_det, lr=1e-3)
+        tr = RolloutTrainer(model, cfg, np.asarray(g.hyai),
+                            np.asarray(g.hybi))
+        chunks = lambda: keeplev_chunks(x_lev, x_sfc, y_lev, y_sfc, sp,
+                                        chunk_size=4, shuffle=False)
+        params, opt, mem = tr.init(K(0), next(iter(chunks())))
+        _, _, _, rec = tr.run_epoch(params, opt, mem, chunks(), 0)
+        losses[w_det] = rec["loss"]
+        assert np.isfinite(rec["loss"])
+    # the det penalty adds a strictly positive term
+    assert losses[5.0] > losses[0.0]

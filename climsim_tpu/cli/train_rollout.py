@@ -170,6 +170,7 @@ def main(argv=None):
         remat=rcfg.get("remat", False),
         ensemble_size=rcfg.get("ensemble_size", 1),
         ens_loss=rcfg.get("ens_loss", "crps"),
+        ens_sumvar=rcfg.get("crps_sumvar", False),
         ens_beta=rcfg.get("beta", 1.0),
         crps_start_epoch=rcfg.get("crps_start_epoch", 0),
         timestepped_optimizer=ocfg.get("timestepped", False),

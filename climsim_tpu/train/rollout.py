@@ -119,6 +119,9 @@ class RolloutConfig:
     # CRPS-family loss over members ('crps' | 'crps_af' | 'energy')
     ensemble_size: int = 1
     ens_loss: str = "crps"
+    # reference crps_sumvar: sum CRPS over features before the batch mean
+    # (metrics.py:854-905); False = plain mean over all elements
+    ens_sumvar: bool = False
     # skill-term weight in the CRPS family (reference beta,
     # rnn/metrics.py:610 — 'should be 1'; >1 trades spread for skill)
     ens_beta: float = 1.0
@@ -378,12 +381,31 @@ class RolloutTrainer:
                 out_e, out_sfc_e, mem = jax.vmap(member)(mem, keys)
                 from . import probabilistic as P
                 bb = cfg.ens_beta
+                flat = lambda a: a.reshape(a.shape[0],
+                                           a.shape[1], -1) if a.ndim > 3 \
+                    else a
                 ens_fn = {"crps": lambda e, o: P.crps_kernel(e, o, beta=bb),
                           "crps_af": lambda e, o: P.crps_almost_fair(
                               e, o, beta=bb),
+                          "crps_sorted": lambda e, o: P.crps_sample_sorted(
+                              e, o, beta=bb),
                           "energy": lambda e, o: P.energy_score(
                               e.reshape(e.shape[0], -1, e.shape[-1]),
-                              o.reshape(-1, o.shape[-1]))}[cfg.ens_loss]
+                              o.reshape(-1, o.shape[-1])),
+                          # variogram / Dawid-Sebastiani over the flattened
+                          # per-sample feature vector (driver :662-667
+                          # loss_fn_type variogram_score / ds_score)
+                          "variogram": lambda e, o: P.variogram_score(
+                              flat(e), o.reshape(o.shape[0], -1)),
+                          "ds": lambda e, o: P.dawid_sebastiani(e, o),
+                          }[cfg.ens_loss]
+                if cfg.ens_sumvar:
+                    # reference crps_sumvar: CRPS summed over features
+                    # before the batch mean (metrics.py:902-905) — a
+                    # features-count rescale of the per-element mean
+                    base_fn = ens_fn
+                    ens_fn = lambda e, o: base_fn(e, o) \
+                        * (o.size // o.shape[0])
                 out = jnp.mean(out_e, axis=0)
                 out_sfc = jnp.mean(out_sfc_e, axis=0)
                 if self._ens_w < 1.0:
@@ -737,9 +759,14 @@ def run_epoch_fused(trainer: RolloutTrainer, params, opt_state, mem,
         nw = T // W
         if nw == 0:
             continue
-        if mem is None or mem.shape[0] != B:
-            mem = jnp.zeros(trainer._mem_shape(B, chunk["x_lev"].shape[2]),
-                            jnp.float32)
+        want_lead = cfg.ensemble_size if cfg.ensemble_size > 1 else B
+        if mem is None or mem.shape[0] != want_lead or \
+                (cfg.ensemble_size > 1 and mem.shape[1] != B):
+            shape = trainer._mem_shape(B, chunk["x_lev"].shape[2])
+            if cfg.ensemble_size > 1:
+                # per-member memory [M, B, ...] (repeat_interleave analog)
+                shape = (cfg.ensemble_size,) + shape
+            mem = jnp.zeros(shape, jnp.float32)
         windows = {k: jnp.asarray(v[:nw * W]).reshape(
             (nw, W) + v.shape[1:]) for k, v in chunk.items()}
         key, km = jax.random.split(key)

@@ -209,3 +209,34 @@ def test_det_loss_in_ensemble_training():
         assert np.isfinite(rec["loss"])
     # the det penalty adds a strictly positive term
     assert losses[5.0] > losses[0.0]
+
+
+def test_ensemble_loss_variants_and_sumvar():
+    from climsim_tpu.models.rnn import RNNAutoreg
+    from climsim_tpu.data import keeplev_chunks
+    g = Grid.from_file(GRID)
+    rng = np.random.default_rng(2)
+    T, B = 2, 4
+    x_lev = rng.normal(0, 1, (T, B, 60, 15)).astype(np.float32)
+    x_sfc = rng.normal(0, 1, (T, B, 24)).astype(np.float32)
+    y_lev = np.tanh(x_lev[..., :6]) * 0.5
+    y_sfc = np.abs(x_sfc[..., :8]) * 0.5
+    sp = rng.uniform(9.6e4, 1.03e5, (T, B)).astype(np.float32)
+    model = RNNAutoreg(nx=15, nx_sfc=24, ny=6, ny_sfc=8, nneur=(16, 16),
+                       nh_mem=4, add_stochastic_layer=True,
+                       add_pres=False, output_prune=False)
+    losses = {}
+    for name, sumvar in [("crps_sorted", False), ("variogram", False),
+                         ("ds", False), ("crps", False), ("crps", True)]:
+        cfg = RolloutConfig(rollout_schedule={0: 2}, ensemble_size=2,
+                            ens_loss=name, ens_sumvar=sumvar, lr=1e-3)
+        tr = RolloutTrainer(model, cfg, np.asarray(g.hyai),
+                            np.asarray(g.hybi))
+        chunks = lambda: keeplev_chunks(x_lev, x_sfc, y_lev, y_sfc, sp,
+                                        chunk_size=2, shuffle=False)
+        params, opt, mem = tr.init(K(0), next(iter(chunks())))
+        _, _, _, rec = tr.run_epoch(params, opt, mem, chunks(), 0)
+        assert np.isfinite(rec["loss"]), name
+        losses[(name, sumvar)] = rec["loss"]
+    # sumvar rescales CRPS by the per-sample feature count (lev 360, sfc 8)
+    assert losses[("crps", True)] > 5 * losses[("crps", False)]

@@ -69,6 +69,42 @@ def main(argv=None):
         x_lev, x_sfc = np.asarray(x_lev), np.asarray(x_sfc)
         y_lev, y_sfc = np.asarray(y_lev), np.asarray(y_sfc)
 
+    # input preprocessing chain (the reference generator_xy rewrites,
+    # rnn/utils.py:2160-2250): snowhice fix, rh prune, rh->q, v4->v5
+    # conversion, exp/sqrt cloud transforms, stratospheric q prune
+    pp_keys = ("snowhice_fix", "rh_prune", "rh_input_to_q",
+               "include_q_input", "v4_to_v5_inputs",
+               "cld_inp_transformation", "qinput_prune",
+               "qinput_prune_lev")
+    x_lev_raw_src = x_lev
+    if any(k in dcfg for k in pp_keys):
+        from ..data.preprocess import (PreprocessConfig,
+                                       preprocess_level_inputs)
+        from ..data.normalization import fit_exp_lambdas, load_exp_lambdas
+        pcfg = PreprocessConfig(**{k: dcfg[k] for k in pp_keys
+                                   if k in dcfg})
+        lbd_qc = lbd_qi = lbd_qn = None
+        if pcfg.cld_inp_transformation == "exp":
+            # lambda tables: load from reference txt when given, else fit
+            # from the data (online_testing cloud_exponential_
+            # transformation.ipynb procedure)
+            if dcfg.get("lbd_qn_path"):
+                lbd_qn = load_exp_lambdas(dcfg["lbd_qn_path"])
+            if dcfg.get("lbd_qc_path"):
+                lbd_qc = load_exp_lambdas(dcfg["lbd_qc_path"])
+            if dcfg.get("lbd_qi_path"):
+                lbd_qi = load_exp_lambdas(dcfg["lbd_qi_path"])
+            if pcfg.v4_to_v5_inputs and lbd_qn is None:
+                lbd_qn = fit_exp_lambdas(x_lev[..., 2] + x_lev[..., 3])
+            if not pcfg.v4_to_v5_inputs:
+                if lbd_qc is None:
+                    lbd_qc = fit_exp_lambdas(x_lev[..., 2])
+                if lbd_qi is None:
+                    lbd_qi = fit_exp_lambdas(x_lev[..., 3])
+        x_lev, x_lev_raw_src, x_sfc = preprocess_level_inputs(
+            x_lev, x_sfc, np.asarray(grid.hyam), np.asarray(grid.hybm),
+            pcfg, lbd_qc=lbd_qc, lbd_qi=lbd_qi, lbd_qn=lbd_qn)
+
     if dcfg.get("remove_past_sfc_inputs"):
         # drop the pbuf_* previous-physics surface channels (reference
         # driver :433-437: indices 17-21 of the v4_rnn scalar block)
@@ -214,7 +250,9 @@ def main(argv=None):
         for i, c in enumerate(keeplev_chunks(
                 x_lev_n[lo:hi], x_sfc_n[lo:hi], y_lev_n[lo:hi],
                 y_sfc_n[lo:hi], sp[lo:hi], chunk_size=cs, shuffle=False)):
-            c["x_lev_raw"] = x_lev[lo:hi][i * cs:(i + 1) * cs]
+            # raw snapshot taken after the humidity rewrites but before
+            # the cloud transforms (the reference's x_lev_b_denorm)
+            c["x_lev_raw"] = x_lev_raw_src[lo:hi][i * cs:(i + 1) * cs]
             yield c
 
     if model_type == "physrnn":

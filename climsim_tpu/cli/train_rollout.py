@@ -178,6 +178,10 @@ def main(argv=None):
         weight_decay=ocfg.get("weight_decay", 0.0),
         lr_schedule=ocfg.get("schedule"),
         schedule_steps=ocfg.get("schedule_steps", 10000),
+        scheduler_max_lr=ocfg.get("scheduler_max_lr"),
+        scheduler_min_lr=ocfg.get("scheduler_min_lr"),
+        scheduler_pct_start=ocfg.get("scheduler_pct_start", 0.3),
+        scheduler_annealing=ocfg.get("scheduler_annealing", "cos"),
         lr_gamma=ocfg.get("lr_gamma", 0.95),
         decay_every=ocfg.get("decay_every", 1000),
         warmup_steps=ocfg.get("warmup_steps", 200),

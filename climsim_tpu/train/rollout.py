@@ -95,6 +95,12 @@ class RolloutConfig:
     lr_gamma: float = 0.95            # step-decay factor
     decay_every: int = 1000           # step-decay interval (steps)
     warmup_steps: int = 200
+    # OneCycle fine knobs (driver :709-723): peak lr (None -> lr is the
+    # peak), floor lr (None -> peak/div/1e4), warmup fraction, anneal shape
+    scheduler_max_lr: float | None = None
+    scheduler_min_lr: float | None = None
+    scheduler_pct_start: float = 0.3
+    scheduler_annealing: str = "cos"
     # replay: None | 'full' | 'mixed'
     replay: str | None = None
     replay_slice: tuple = (15, 20)   # input channels holding prev tendencies
@@ -158,7 +164,16 @@ def make_optimizer(cfg: RolloutConfig):
     lr = cfg.lr
     if cfg.lr_schedule == "onecycle":
         from .schedules import one_cycle
-        lr = one_cycle(cfg.lr, cfg.schedule_steps)
+        # reference wiring (driver :711-716): initial lr = cfg.lr, peak =
+        # scheduler_max_lr, final = scheduler_min_lr
+        peak = cfg.scheduler_max_lr or cfg.lr
+        div = (peak / cfg.lr) if cfg.scheduler_max_lr else 25.0
+        fdiv = (cfg.lr / cfg.scheduler_min_lr) if cfg.scheduler_min_lr \
+            else 1e4
+        lr = one_cycle(peak, cfg.schedule_steps,
+                       pct_start=cfg.scheduler_pct_start, div_factor=div,
+                       final_div_factor=fdiv,
+                       annealing=cfg.scheduler_annealing)
     elif cfg.lr_schedule == "step":
         from .schedules import step_decay
         lr = step_decay(cfg.lr, cfg.decay_every, cfg.lr_gamma)

@@ -44,12 +44,26 @@ def step_decay(init_lr: float, every_steps: int, factor: float = 0.2):
 
 
 def one_cycle(max_lr: float, total_steps: int, pct_start: float = 0.3,
-              div_factor: float = 25.0, final_div_factor: float = 1e4):
-    """OneCycleLR equivalent via optax cosine curves."""
-    return optax.cosine_onecycle_schedule(
-        transition_steps=total_steps, peak_value=max_lr,
-        pct_start=pct_start, div_factor=div_factor,
-        final_div_factor=final_div_factor)
+              div_factor: float = 25.0, final_div_factor: float = 1e4,
+              annealing: str = "cos"):
+    """OneCycleLR equivalent with the reference's knobs
+    (train_rnn_rollout_torchscript_hydra.py:709-723): initial lr =
+    max_lr/div_factor, final lr = initial/final_div_factor, warmup fraction
+    pct_start, anneal strategy 'cos' or 'linear'."""
+    if annealing == "cos":
+        return optax.cosine_onecycle_schedule(
+            transition_steps=total_steps, peak_value=max_lr,
+            pct_start=pct_start, div_factor=div_factor,
+            final_div_factor=final_div_factor)
+    if annealing != "linear":
+        raise ValueError(f"annealing '{annealing}' not in ('cos','linear')")
+    init = max_lr / div_factor
+    final = init / final_div_factor
+    up = max(1, int(round(pct_start * total_steps)))
+    return optax.join_schedules(
+        [optax.linear_schedule(init, max_lr, up),
+         optax.linear_schedule(max_lr, final, max(1, total_steps - up))],
+        [up])
 
 
 def warmup_constant(lr: float, warmup_steps: int):

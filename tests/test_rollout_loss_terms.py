@@ -240,3 +240,19 @@ def test_ensemble_loss_variants_and_sumvar():
         losses[(name, sumvar)] = rec["loss"]
     # sumvar rescales CRPS by the per-sample feature count (lev 360, sfc 8)
     assert losses[("crps", True)] > 5 * losses[("crps", False)]
+
+
+def test_onecycle_knobs_shape():
+    """Reference wiring: initial=lr, peak=scheduler_max_lr,
+    final=scheduler_min_lr, linear annealing (driver :709-723)."""
+    from climsim_tpu.train.schedules import one_cycle
+    sch = one_cycle(1e-3, 100, pct_start=0.2, div_factor=1e-3 / 1e-4,
+                    final_div_factor=1e-4 / 1e-6, annealing="linear")
+    np.testing.assert_allclose(float(sch(0)), 1e-4, rtol=1e-5)
+    np.testing.assert_allclose(float(sch(20)), 1e-3, rtol=1e-5)
+    np.testing.assert_allclose(float(sch(100)), 1e-6, rtol=1e-2)
+    # halfway down the linear descent
+    np.testing.assert_allclose(float(sch(60)), (1e-3 + 1e-6) / 2, rtol=1e-2)
+    # cos variant peaks at the same place
+    sc = one_cycle(1e-3, 100, pct_start=0.2, annealing="cos")
+    np.testing.assert_allclose(float(sc(20)), 1e-3, rtol=1e-5)

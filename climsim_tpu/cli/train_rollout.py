@@ -348,10 +348,14 @@ def main(argv=None):
         else:
             params, opt_state, mem, rec = trainer.run_epoch(
                 params, opt_state, mem, chunks(0, ntr, True), epoch)
-        _, _, _, vrec = trainer.run_epoch(
-            params, opt_state, None, chunks(ntr, None, False), epoch,
-            train=False)
-        rec["val_loss"] = vrec["loss"]
+        if epoch >= cfg.get("val_epoch_start", 0):
+            # validation skipped before val_epoch_start (driver :953)
+            _, _, _, vrec = trainer.run_epoch(
+                params, opt_state, None, chunks(ntr, None, False), epoch,
+                train=False)
+            rec["val_loss"] = vrec["loss"]
+        else:
+            rec["val_loss"] = rec["loss"]
         if report_every and (epoch + 1) % report_every == 0:
             met, _ = eval_scoreboard(params, mem)
             rec.update({k: v for k, v in met.items() if k != "r2_lev"})

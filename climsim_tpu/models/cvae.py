@@ -23,9 +23,12 @@ class _MLPStack(nn.Module):
     def __call__(self, x):
         h = self.policy.cast_in(x)
         for i, w in enumerate(self.widths):
-            h = nn.relu(nn.Dense(w, dtype=self.policy.compute_dtype,
-                                 param_dtype=self.policy.param_dtype,
-                                 name=f"h{i}")(h))
+            # reference stack: Linear -> LayerNorm -> (Dropout) -> ReLU
+            # (cvae.py:20-39)
+            h = nn.Dense(w, dtype=self.policy.compute_dtype,
+                         param_dtype=self.policy.param_dtype,
+                         name=f"h{i}")(h)
+            h = nn.relu(nn.LayerNorm(name=f"ln{i}")(h))
         return h
 
 
@@ -40,27 +43,30 @@ class CVAE(nn.Module):
         widths = (self.hidden,) * self.layers
         self.enc = _MLPStack(widths, self.policy)
         self.enc_mu = nn.Dense(self.latent_dim)
-        self.enc_logvar = nn.Dense(self.latent_dim)
+        # sigma = exp(linear_logstd) (cvae.py:44-45, log-STD not log-var)
+        self.enc_logstd = nn.Dense(self.latent_dim)
         self.dec = _MLPStack(widths, self.policy)
         self.dec_mean = nn.Dense(self.out_dim)
         self.dec_logstd = nn.Dense(self.out_dim)
 
     def encode(self, y, x):
         h = self.enc(jnp.concatenate([y, x], axis=-1))
-        return self.enc_mu(h), self.enc_logvar(h)
+        return self.enc_mu(h), self.enc_logstd(h)
 
     def decode(self, z, x):
         h = self.dec(jnp.concatenate([z, x], axis=-1))
-        std = jax.nn.softplus(self.dec_logstd(h)) + 1e-4
-        return self.dec_mean(h), std
+        # std = exp(final_log_std) (cvae.py:76-78)
+        return self.dec_mean(h), jnp.exp(self.dec_logstd(h))
 
     def __call__(self, y, x, key):
-        mu, logvar = self.encode(y, x)
+        mu, logstd = self.encode(y, x)
+        sigma = jnp.exp(logstd)
         eps = jax.random.normal(key, mu.shape, mu.dtype)
-        z = mu + eps * jnp.exp(0.5 * logvar)
+        z = mu + eps * sigma
         mean, std = self.decode(z, x)
-        kl = 0.5 * jnp.mean(jnp.sum(
-            jnp.exp(logvar) + mu ** 2 - 1.0 - logvar, axis=-1))
+        # reference KL form: (sigma^2 + mu^2 - log(sigma) - 1/2).mean()
+        # (cvae.py:46)
+        kl = jnp.mean(sigma ** 2 + mu ** 2 - logstd - 0.5)
         return mean, std, kl
 
     def sample(self, x, key, random: bool = True):

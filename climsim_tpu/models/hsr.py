@@ -26,10 +26,12 @@ class _Tower(nn.Module):
     def __call__(self, x):
         h = self.policy.cast_in(x)
         for i in range(self.layers):
-            h = nn.relu(nn.Dense(self.hidden,
-                                 dtype=self.policy.compute_dtype,
-                                 param_dtype=self.policy.param_dtype,
-                                 name=f"hidden_{i}")(h))
+            # reference tower: Linear -> LayerNorm -> (Dropout) -> ReLU
+            # (hsr.py:20-33)
+            h = nn.Dense(self.hidden, dtype=self.policy.compute_dtype,
+                         param_dtype=self.policy.param_dtype,
+                         name=f"hidden_{i}")(h)
+            h = nn.relu(nn.LayerNorm(name=f"ln_{i}")(h))
         y = nn.Dense(self.out_dim, dtype=self.policy.compute_dtype,
                      param_dtype=self.policy.param_dtype, name="out")(h)
         return self.policy.cast_out(y)

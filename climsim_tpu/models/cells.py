@@ -114,9 +114,15 @@ class SRUCell(nn.Module):
 
 
 class StochasticGRUCell(nn.Module):
-    """VAE-style stochastic GRU (models_torch_kernels.py:565-622): the hidden
-    state parameterizes (mu, log sigma); a sampled z perturbs the candidate
-    activation. Noise comes in via the input stream (functional RNG)."""
+    """VAE-style stochastic GRU, the reference's v5 design
+    (models_torch_kernels.py:565-622 MyStochasticGRULayer5): the hidden
+    state parameterizes (mean, logvar) via a 2H encoder; the sampled
+    z = mean + eps*exp(logvar/2) drives ALL THREE gate contributions
+    through weight_zh (the hidden enters the gates only through z):
+      r = sigmoid(x_r + z_r); zg = sigmoid(x_z + z_z);
+      n = tanh(x_n + r*z_n); h' = n + zg*(h - n).
+    Noise comes in via the input stream (functional RNG). noise_scale
+    scales eps (0 = deterministic z = mean)."""
 
     hidden: int
     noise_scale: float = 1.0
@@ -125,17 +131,18 @@ class StochasticGRUCell(nn.Module):
     @nn.compact
     def __call__(self, h, inp):
         x_proj, eps = inp     # eps: [B, hidden] standard normal
-        hh = nn.Dense(3 * self.hidden, use_bias=True, dtype=self.dtype,
-                      name="hh")(h)
-        mu = nn.Dense(self.hidden, dtype=self.dtype, name="mu")(h)
-        logsig = nn.Dense(self.hidden, dtype=self.dtype, name="logsig")(h)
-        z = mu + jnp.exp(0.5 * jnp.clip(logsig, -10.0, 2.0)) * eps
+        enc = nn.Dense(2 * self.hidden, use_bias=False, dtype=self.dtype,
+                       name="encoder")(h)
+        mean, logvar = jnp.split(enc, 2, axis=-1)
+        z = mean + jnp.exp(0.5 * logvar) * (self.noise_scale * eps)
+        zh = nn.Dense(3 * self.hidden, use_bias=False, dtype=self.dtype,
+                      name="zh")(z)
         xr, xz, xn = jnp.split(x_proj, 3, axis=-1)
-        hr, hz, hn = jnp.split(hh, 3, axis=-1)
-        r = jax.nn.sigmoid(xr + hr)
-        zg = jax.nn.sigmoid(xz + hz)
-        n = jnp.tanh(xn + r * hn + self.noise_scale * z)
-        h_new = (1.0 - zg) * n + zg * h
+        zr, zz, zn = jnp.split(zh, 3, axis=-1)
+        r = jax.nn.sigmoid(xr + zr)
+        zg = jax.nn.sigmoid(xz + zz)
+        n = jnp.tanh(xn + r * zn)
+        h_new = n + zg * (h - n)
         return h_new, h_new
 
     @staticmethod

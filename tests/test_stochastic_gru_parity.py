@@ -1,0 +1,91 @@
+"""Stochastic GRU (v5) parity: our StochasticGRUCell vs the reference
+MyStochasticGRULayer5 (rnn/models_torch_kernels.py:565-622) with identical
+copied weights. The reference samples eps internally, so parity is checked
+on the deterministic path z = mean (eps scaled to zero on our side,
+torch.randn patched to zeros on the reference side)."""
+import importlib.util
+import sys
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+torch = pytest.importorskip("torch")
+
+
+def _load_ref():
+    spec = importlib.util.spec_from_file_location(
+        "ref_torch_kernels", "/root/reference/rnn/models_torch_kernels.py")
+    m = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(m)
+    return m
+
+
+def test_stochastic_gru_v5_parity_deterministic_path():
+    from climsim_tpu.models.cells import RNNLayer
+
+    ref_mod = _load_ref()
+    nx, H, L, B = 10, 16, 12, 4
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((B, L, nx)).astype(np.float32)
+    h0 = rng.standard_normal((B, H)).astype(np.float32)
+
+    layer = RNNLayer(hidden=H, kind="sgru", noise=True)
+    eps = jnp.zeros((L, B, H), jnp.float32)       # z = mean exactly
+    params = layer.init(jax.random.PRNGKey(0), jnp.asarray(x),
+                        jnp.asarray(h0), eps)["params"]
+    # the reference's hoisted input projection has no bias
+    # (use_bias=False default); zero ours to compare
+    params = jax.tree_util.tree_map(lambda a: a, params)
+    params["input_proj"]["bias"] = jnp.zeros_like(
+        params["input_proj"]["bias"])
+    ys, hT = layer.apply({"params": params}, jnp.asarray(x),
+                         jnp.asarray(h0), eps)
+
+    ref = ref_mod.MyStochasticGRULayer5(nx, H, use_bias=False)
+    ref.weight_ih.data = torch.from_numpy(
+        np.asarray(params["input_proj"]["kernel"]).copy())
+    ref.weight_zh.data = torch.from_numpy(
+        np.asarray(params["cell"]["zh"]["kernel"]).copy())
+    ref.weight_encoder.data = torch.from_numpy(
+        np.asarray(params["cell"]["encoder"]["kernel"]).copy())
+
+    # deterministic reference: patch randn to zeros and run eagerly
+    try:
+        import importlib
+        importlib.import_module("torch._dynamo").config.disable = True
+    except Exception:
+        pass
+    orig_randn = torch.randn
+    torch.randn = lambda *a, **k: torch.zeros(*a, **{kk: vv for kk, vv
+                                                     in k.items()
+                                                     if kk != "device"})
+    try:
+        with torch.no_grad():
+            # reference layout: [seq, batch, nx]
+            y_ref = ref.forward(torch.from_numpy(
+                np.transpose(x, (1, 0, 2)).copy()), torch.from_numpy(h0))
+    finally:
+        torch.randn = orig_randn
+
+    np.testing.assert_allclose(np.asarray(ys),
+                               np.transpose(y_ref.numpy(), (1, 0, 2)),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(hT), y_ref.numpy()[-1],
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_stochastic_gru_noise_perturbs_candidate():
+    from climsim_tpu.models.cells import RNNLayer
+    nx, H, L, B = 10, 16, 12, 4
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.standard_normal((B, L, nx)), jnp.float32)
+    h0 = jnp.zeros((B, H), jnp.float32)
+    layer = RNNLayer(hidden=H, kind="sgru", noise=True)
+    eps0 = jnp.zeros((L, B, H), jnp.float32)
+    eps1 = jax.random.normal(jax.random.PRNGKey(2), (L, B, H))
+    params = layer.init(jax.random.PRNGKey(0), x, h0, eps0)
+    y0, _ = layer.apply(params, x, h0, eps0)
+    y1, _ = layer.apply(params, x, h0, eps1)
+    assert not np.allclose(np.asarray(y0), np.asarray(y1))

@@ -151,8 +151,15 @@ class StochasticGRUCell(nn.Module):
 
 
 class StochasticLSTMCell(nn.Module):
-    """Stochastic LSTM (models_torch_kernels.py:1034-1328): sampled z
-    perturbs the cell candidate."""
+    """Stochastic LSTM, the reference's v4 design used by the stochastic
+    3rd layer (models_torch_kernels.py:1204-1261 MyStochasticLSTMLayer4):
+    one encoder over cat(x, h) yields (mean, logvar, ingate, forgetgate,
+    cellgate); the OUTPUT GATE is the stochastic part,
+      out = sigmoid(mean + eps*exp(logvar/2));
+      c' = sigmoid(f)*c + sigmoid(i)*tanh(g); h' = out*tanh(c').
+    The reference's single [nx+H, 5H] matmul decomposes exactly into the
+    hoisted x-projection (proj_width 5H, no bias) plus the in-cell
+    h-projection. noise_scale scales eps (0 = deterministic out gate)."""
 
     hidden: int
     noise_scale: float = 1.0
@@ -162,21 +169,19 @@ class StochasticLSTMCell(nn.Module):
     def __call__(self, carry, inp):
         h, c = carry
         x_proj, eps = inp
-        hh = nn.Dense(4 * self.hidden, use_bias=True, dtype=self.dtype,
+        hh = nn.Dense(5 * self.hidden, use_bias=False, dtype=self.dtype,
                       name="hh")(h)
-        mu = nn.Dense(self.hidden, dtype=self.dtype, name="mu")(h)
-        logsig = nn.Dense(self.hidden, dtype=self.dtype, name="logsig")(h)
-        z = mu + jnp.exp(0.5 * jnp.clip(logsig, -10.0, 2.0)) * eps
-        g = x_proj + hh
-        i, f, gg, o = jnp.split(g, 4, axis=-1)
-        i, f, o = jax.nn.sigmoid(i), jax.nn.sigmoid(f), jax.nn.sigmoid(o)
-        c_new = f * c + i * jnp.tanh(gg + self.noise_scale * z)
-        h_new = o * jnp.tanh(c_new)
+        yy = x_proj + hh
+        mean, logvar, i, f, g = jnp.split(yy, 5, axis=-1)
+        out = jax.nn.sigmoid(mean + jnp.exp(0.5 * logvar)
+                             * (self.noise_scale * eps))
+        c_new = jax.nn.sigmoid(f) * c + jax.nn.sigmoid(i) * jnp.tanh(g)
+        h_new = out * jnp.tanh(c_new)
         return (h_new, c_new), h_new
 
     @staticmethod
     def proj_width(hidden):
-        return 4 * hidden
+        return 5 * hidden
 
 
 CELL_TYPES = {"gru": GRUCell, "lstm": LSTMCell, "ln_lstm": LayerNormLSTMCell,

@@ -89,3 +89,57 @@ def test_stochastic_gru_noise_perturbs_candidate():
     y0, _ = layer.apply(params, x, h0, eps0)
     y1, _ = layer.apply(params, x, h0, eps1)
     assert not np.allclose(np.asarray(y0), np.asarray(y1))
+
+
+def test_stochastic_lstm_v4_parity_deterministic_path():
+    """Our StochasticLSTMCell vs MyStochasticLSTMLayer4
+    (models_torch_kernels.py:1204-1261) with copied weights, eps -> 0."""
+    from climsim_tpu.models.cells import RNNLayer
+
+    ref_mod = _load_ref()
+    nx, H, L, B = 10, 16, 12, 4
+    rng = np.random.default_rng(3)
+    x = rng.standard_normal((B, L, nx)).astype(np.float32)
+    h0 = rng.standard_normal((B, H)).astype(np.float32)
+    c0 = rng.standard_normal((B, H)).astype(np.float32)
+
+    layer = RNNLayer(hidden=H, kind="slstm", noise=True)
+    eps = jnp.zeros((L, B, H), jnp.float32)
+    carry0 = (jnp.asarray(h0), jnp.asarray(c0))
+    params = layer.init(jax.random.PRNGKey(0), jnp.asarray(x), carry0,
+                        eps)["params"]
+    params["input_proj"]["bias"] = jnp.zeros_like(
+        params["input_proj"]["bias"])
+    ys, (hT, cT) = layer.apply({"params": params}, jnp.asarray(x), carry0,
+                               eps)
+
+    ref = ref_mod.MyStochasticLSTMLayer4(nx, H, use_bias=False)
+    # reference weight_encoder [nx+H, 5H]: rows 0:nx = x kernel,
+    # rows nx: = h kernel
+    w = np.concatenate([np.asarray(params["input_proj"]["kernel"]),
+                        np.asarray(params["cell"]["hh"]["kernel"])], axis=0)
+    ref.weight_encoder.data = torch.from_numpy(w.copy())
+
+    try:
+        import importlib
+        importlib.import_module("torch._dynamo").config.disable = True
+    except Exception:
+        pass
+    orig_randn = torch.randn
+    torch.randn = lambda *a, **k: torch.zeros(
+        *a, **{kk: vv for kk, vv in k.items() if kk != "device"})
+    try:
+        with torch.no_grad():
+            y_ref, (h_ref, c_ref) = ref.forward(
+                torch.from_numpy(np.transpose(x, (1, 0, 2)).copy()),
+                (torch.from_numpy(h0), torch.from_numpy(c0)))
+    finally:
+        torch.randn = orig_randn
+
+    np.testing.assert_allclose(np.asarray(ys),
+                               np.transpose(y_ref.numpy(), (1, 0, 2)),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(hT), h_ref.numpy(), rtol=1e-5,
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(cT), c_ref.numpy(), rtol=1e-5,
+                               atol=1e-5)

@@ -88,24 +88,77 @@ class LayerNormLSTMCell(nn.Module):
         return 4 * hidden
 
 
+class StochasticLayerNormLSTMCell(nn.Module):
+    """The reference's stochastic-LayerNorm LSTM
+    (models_torch_kernels.py:698-785 StochasticLayerNormLSTMLayer): each
+    normalization's gain and bias are PRODUCED FROM THE NOISE vector via
+    learned maps (gain = eps @ G [eps_size, nf], bias = eps @ B), with
+    separate noise-LNs on the input and hidden projections and on the cell
+    state before the output gate. Normalization uses the unbiased std
+    (torch.std default) with eps added to std, matching the reference."""
+
+    hidden: int
+    eps_size: int = 16
+    dtype: Any = None
+
+    def _sln(self, x, eps, name, nf):
+        gain = self.param(f"{name}_gain", nn.initializers.ones,
+                          (self.eps_size, nf), jnp.float32).astype(x.dtype)
+        bias = self.param(f"{name}_bias", nn.initializers.zeros,
+                          (self.eps_size, nf), jnp.float32).astype(x.dtype)
+        mean = x.mean(-1, keepdims=True)
+        std = x.std(-1, keepdims=True, ddof=1)
+        return (x - mean) / (std + 1e-5) * (eps @ gain) + eps @ bias
+
+    @nn.compact
+    def __call__(self, carry, inp):
+        h, c = carry
+        x_proj, eps = inp                # eps: [B, eps_size]
+        hh = nn.Dense(4 * self.hidden, use_bias=True, dtype=self.dtype,
+                      name="hh")(h)
+        gates = self._sln(x_proj, eps, "ln_ih", 4 * self.hidden) \
+            + self._sln(hh, eps, "ln_hh", 4 * self.hidden)
+        i, f, g, o = jnp.split(gates, 4, axis=-1)
+        c_new = jax.nn.sigmoid(f) * c + jax.nn.sigmoid(i) * jnp.tanh(g)
+        h_new = jax.nn.sigmoid(o) * jnp.tanh(
+            self._sln(c_new, eps, "ln_ho", self.hidden))
+        return (h_new, c_new), h_new
+
+    @staticmethod
+    def proj_width(hidden):
+        return 4 * hidden
+
+
 class SRUCell(nn.Module):
-    """Simple Recurrent Unit (models_torch_kernels.py:25): elementwise
-    recurrence, all matmuls hoisted — the fastest cell on TPU."""
+    """Simple Recurrent Unit, the reference's variant
+    (models_torch_kernels.py:25-63 SRU): gates are x-only
+    (f, r = sigmoid(LayerNorm(gate(x)))), elementwise cell recurrence
+    c' = f*c + (1-f)*x_tilde, highway output
+    h = r*act(LayerNorm(c')) + (1-r)*x with sigmoid activation (the
+    reference default). The raw-x highway requires nx == hidden (as in the
+    reference); for rectangular inputs the residual falls back to x_tilde.
+    All matmuls are hoisted (x-only) — the recurrence itself is
+    elementwise."""
 
     hidden: int
     dtype: Any = None
+    activation: str = "sigmoid"
+
+    # RNNLayer threads the raw input alongside the projection
+    needs_raw_x = True
 
     @nn.compact
-    def __call__(self, c, x_proj):
-        xt, f_in, r_in = jnp.split(x_proj, 3, axis=-1)
-        vf = self.param("vf", nn.initializers.ones, (self.hidden,),
-                        jnp.float32).astype(c.dtype)
-        vr = self.param("vr", nn.initializers.ones, (self.hidden,),
-                        jnp.float32).astype(c.dtype)
-        f = jax.nn.sigmoid(f_in + vf * c)
-        c_new = f * c + (1.0 - f) * xt
-        r = jax.nn.sigmoid(r_in + vr * c_new)
-        y = r * jnp.tanh(c_new) + (1.0 - r) * xt
+    def __call__(self, c, inp):
+        x_proj, x = inp
+        x_tilde = x_proj[..., :self.hidden]
+        gate = jax.nn.sigmoid(
+            nn.LayerNorm(name="gate_ln")(x_proj[..., self.hidden:]))
+        f = gate[..., :self.hidden]
+        r = gate[..., self.hidden:]
+        c_new = f * c + (1.0 - f) * x_tilde
+        act = {"sigmoid": jax.nn.sigmoid, "tanh": jnp.tanh}[self.activation]
+        resid = x if x.shape[-1] == self.hidden else x_tilde
+        y = r * act(nn.LayerNorm(name="act_ln")(c_new)) + (1.0 - r) * resid
         return c_new, y
 
     @staticmethod
@@ -186,7 +239,8 @@ class StochasticLSTMCell(nn.Module):
 
 CELL_TYPES = {"gru": GRUCell, "lstm": LSTMCell, "ln_lstm": LayerNormLSTMCell,
               "sru": SRUCell, "sgru": StochasticGRUCell,
-              "slstm": StochasticLSTMCell}
+              "slstm": StochasticLSTMCell,
+              "sln_lstm": StochasticLayerNormLSTMCell}
 
 
 def needs_cell_state(kind: str) -> bool:
@@ -210,6 +264,8 @@ class RNNLayer(nn.Module):
     # levels into one loop body (fewer while-loop iterations, better MXU
     # scheduling for the small [B,H]x[H,kH] recurrent matmuls)
     unroll: int = 1
+    # noise-vector width for the stochastic-LayerNorm cell (sln_lstm)
+    eps_size: int = 16
 
     @nn.compact
     def __call__(self, xs, h0, eps=None):
@@ -226,14 +282,20 @@ class RNNLayer(nn.Module):
         if self.noise:
             assert eps is not None, "stochastic cell needs eps [L, B, hidden]"
             stream: Any = (xs_scan, eps)
+        elif getattr(cell_cls, "needs_raw_x", False):
+            # cells with a raw-input highway (SRU) see (proj, x) per level
+            stream = (xs_scan,
+                      jnp.swapaxes(xs.astype(xs_proj.dtype), 0, 1))
         else:
             stream = xs_scan
 
         scan = nn.scan(cell_cls, variable_broadcast="params",
                        split_rngs={"params": False}, in_axes=0, out_axes=0,
                        reverse=self.reverse, unroll=self.unroll)
+        kw = {"eps_size": self.eps_size} \
+            if cell_cls is StochasticLayerNormLSTMCell else {}
         carry, ys = scan(self.hidden, dtype=self.dtype,
-                         name="cell")(h0, stream)
+                         name="cell", **kw)(h0, stream)
         return jnp.swapaxes(ys, 0, 1), carry     # [B, L, hidden], final carry
 
 

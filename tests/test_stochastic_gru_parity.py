@@ -143,3 +143,115 @@ def test_stochastic_lstm_v4_parity_deterministic_path():
                                atol=1e-5)
     np.testing.assert_allclose(np.asarray(cT), c_ref.numpy(), rtol=1e-5,
                                atol=1e-5)
+
+
+def test_sru_parity_with_reference():
+    """Our SRUCell vs the reference SRU (models_torch_kernels.py:25-63)
+    with copied weights; nx == hidden so the raw-x highway is active."""
+    from climsim_tpu.models.cells import RNNLayer
+
+    ref_mod = _load_ref()
+    nx = H = 16
+    L, B = 12, 4
+    rng = np.random.default_rng(4)
+    x = rng.standard_normal((B, L, nx)).astype(np.float32)
+    c0 = rng.standard_normal((B, H)).astype(np.float32)
+
+    layer = RNNLayer(hidden=H, kind="sru")
+    params = layer.init(jax.random.PRNGKey(0), jnp.asarray(x),
+                        jnp.asarray(c0))["params"]
+    # reference linear_transform (x_tilde) has no bias; the gate does
+    b = np.asarray(params["input_proj"]["bias"]).copy()
+    b[:H] = 0.0
+    params["input_proj"]["bias"] = jnp.asarray(b)
+    ys, cT = layer.apply({"params": params}, jnp.asarray(x),
+                         jnp.asarray(c0))
+
+    ref = ref_mod.SRU(nx, H)
+    k = np.asarray(params["input_proj"]["kernel"])
+    ref.linear_transform.weight.data = torch.from_numpy(k[:, :H].T.copy())
+    ref.gate.weight.data = torch.from_numpy(k[:, H:].T.copy())
+    ref.gate.bias.data = torch.from_numpy(b[H:].copy())
+    p = params["cell"]
+    ref.gate_ln.weight.data = torch.from_numpy(
+        np.asarray(p["gate_ln"]["scale"]).copy())
+    ref.gate_ln.bias.data = torch.from_numpy(
+        np.asarray(p["gate_ln"]["bias"]).copy())
+    ref.act_ln.weight.data = torch.from_numpy(
+        np.asarray(p["act_ln"]["scale"]).copy())
+    ref.act_ln.bias.data = torch.from_numpy(
+        np.asarray(p["act_ln"]["bias"]).copy())
+
+    try:
+        import importlib
+        importlib.import_module("torch._dynamo").config.disable = True
+    except Exception:
+        pass
+    with torch.no_grad():
+        # reference layout is batch-first [B, T, nx]
+        y_ref, c_ref = ref.forward(torch.from_numpy(x.copy()),
+                                   torch.from_numpy(c0))
+    np.testing.assert_allclose(np.asarray(ys), y_ref.numpy(),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(cT), c_ref.numpy(),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_stochastic_layernorm_lstm_parity():
+    """Our StochasticLayerNormLSTMCell vs StochasticLayerNormLSTMLayer
+    (models_torch_kernels.py:698-785) with copied weights, eps -> ones on
+    both sides (zero noise would zero the noise-conditioned gains)."""
+    from climsim_tpu.models.cells import RNNLayer
+
+    ref_mod = _load_ref()
+    nx, H, E, L, B = 10, 16, 8, 6, 4
+    rng = np.random.default_rng(5)
+    x = rng.standard_normal((B, L, nx)).astype(np.float32)
+    h0 = rng.standard_normal((B, H)).astype(np.float32)
+    c0 = rng.standard_normal((B, H)).astype(np.float32)
+
+    layer = RNNLayer(hidden=H, kind="sln_lstm", noise=True, eps_size=E)
+    eps = jnp.ones((L, B, E), jnp.float32)
+    carry0 = (jnp.asarray(h0), jnp.asarray(c0))
+    params = layer.init(jax.random.PRNGKey(0), jnp.asarray(x), carry0,
+                        eps)["params"]
+    ys, (hT, cT) = layer.apply({"params": params}, jnp.asarray(x),
+                               carry0, eps)
+
+    ref = ref_mod.StochasticLayerNormLSTMLayer(nx, H, E)
+    ref.weight_ih.data = torch.from_numpy(
+        np.asarray(params["input_proj"]["kernel"]).copy())
+    ref.bias_ih.data = torch.from_numpy(
+        np.asarray(params["input_proj"]["bias"]).copy())
+    p = params["cell"]
+    ref.weight_hh.data = torch.from_numpy(
+        np.asarray(p["hh"]["kernel"]).copy())
+    ref.bias_hh.data = torch.from_numpy(np.asarray(p["hh"]["bias"]).copy())
+    for ln, name in [(ref.ln_ih, "ln_ih"), (ref.ln_hh, "ln_hh"),
+                     (ref.ln_ho, "ln_ho")]:
+        ln.gain.data = torch.from_numpy(
+            np.asarray(p[f"{name}_gain"]).copy())
+        ln.bias.data = torch.from_numpy(
+            np.asarray(p[f"{name}_bias"]).copy())
+
+    try:
+        import importlib
+        importlib.import_module("torch._dynamo").config.disable = True
+    except Exception:
+        pass
+    orig_randn = torch.randn
+    torch.randn = lambda *a, **k: torch.ones(
+        *a, **{kk: vv for kk, vv in k.items() if kk != "device"})
+    try:
+        with torch.no_grad():
+            y_ref, (h_ref, c_ref) = ref.forward(
+                torch.from_numpy(np.transpose(x, (1, 0, 2)).copy()),
+                (torch.from_numpy(h0), torch.from_numpy(c0)))
+    finally:
+        torch.randn = orig_randn
+
+    np.testing.assert_allclose(np.asarray(ys),
+                               np.transpose(y_ref.numpy(), (1, 0, 2)),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(hT), h_ref.numpy(), rtol=1e-4,
+                               atol=1e-5)

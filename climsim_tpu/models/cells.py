@@ -342,13 +342,33 @@ class FusedBiGRULayer(nn.Module):
 
 
 class GLU(nn.Module):
-    """Gated linear unit y = (xW+a) * sigmoid(xV+b)
-    (models_torch_kernels.py:1329)."""
+    """S4-style GLU block (models_torch_kernels.py:1329-1355): optional
+    pre-LayerNorm -> dropout(GELU(x)) -> Linear(features ->
+    expand_factor*features) -> gated split h1 * sigmoid(h2). With
+    ``block=False`` only the gating op itself runs (two-Dense split — the
+    same partitioned matmul)."""
 
     features: int
+    block: bool = False
+    layernorm: bool = True
+    expand_factor: int = 2
+    dropout: float = 0.0
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, deterministic: bool = True):
+        if self.block:
+            if self.layernorm:
+                # the reference LayerNorm((nseq, nneur)) normalizes over
+                # BOTH the level and feature axes jointly
+                x = nn.LayerNorm(reduction_axes=(-2, -1),
+                                 feature_axes=(-2, -1), name="norm")(x)
+            # exact (erf) GELU: the torch nn.GELU default
+            x = nn.Dropout(self.dropout, deterministic=deterministic)(
+                nn.gelu(x, approximate=False))
+            h = nn.Dense(self.expand_factor * self.features,
+                         name="expand")(x)
+            a, b = jnp.split(h, 2, axis=-1)
+            return a * jax.nn.sigmoid(b)
         a = nn.Dense(self.features, name="lin")(x)
         b = nn.Dense(self.features, name="gate")(x)
         return a * jax.nn.sigmoid(b)

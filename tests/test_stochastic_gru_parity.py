@@ -255,3 +255,33 @@ def test_stochastic_layernorm_lstm_parity():
                                rtol=1e-4, atol=1e-5)
     np.testing.assert_allclose(np.asarray(hT), h_ref.numpy(), rtol=1e-4,
                                atol=1e-5)
+
+
+def test_glu_block_parity():
+    """Our GLU(block=True) vs the reference S4-style GLU module
+    (models_torch_kernels.py:1329-1355) with copied weights."""
+    from climsim_tpu.models.cells import GLU
+
+    ref_mod = _load_ref()
+    B, L, N = 4, 6, 12
+    rng = np.random.default_rng(6)
+    x = rng.standard_normal((B, L, N)).astype(np.float32)
+    ours = GLU(features=N, block=True)
+    params = ours.init(jax.random.PRNGKey(0), jnp.asarray(x))["params"]
+    y = ours.apply({"params": params}, jnp.asarray(x))
+
+    ref = ref_mod.GLU(L, N, layernorm=True, dropout=0)
+    ref.eval()
+    # joint (nseq, nneur) LayerNorm: scale/bias are [L, N]
+    ref.normalization.weight.data = torch.from_numpy(
+        np.asarray(params["norm"]["scale"]).copy())
+    ref.normalization.bias.data = torch.from_numpy(
+        np.asarray(params["norm"]["bias"]).copy())
+    lin = ref.output_linear[0]
+    lin.weight.data = torch.from_numpy(
+        np.asarray(params["expand"]["kernel"]).T.copy())
+    lin.bias.data = torch.from_numpy(
+        np.asarray(params["expand"]["bias"]).copy())
+    with torch.no_grad():
+        y_ref = ref(torch.from_numpy(x)).numpy()
+    np.testing.assert_allclose(np.asarray(y), y_ref, rtol=1e-5, atol=1e-6)

@@ -137,6 +137,7 @@ def main(argv=None):
             store_precip=mcfg.get("store_precip", True),
             ice_sedimentation=mcfg.get("ice_sedimentation", True),
             use_physrad=mcfg.get("use_physrad", False),
+            update_states_for_rad=mcfg.get("update_states_for_rad", True),
             use_mcica=mcfg.get("use_mcica", False),
             use_tc=mcfg.get("use_tc", False),
             use_qv_variability=mcfg.get("use_qv_variability", False),
@@ -222,8 +223,14 @@ def main(argv=None):
     rc.pass_x_raw = need_raw
     apply_fn = None
     if model_type == "physrnn":
-        # full tuple: the trainer reads aux['prec_negative'] (w_precip_neg)
-        apply_fn = lambda p, xl, xs_, m, xr: model.apply(p, xl, xs_, m, xr)
+        # full tuple: the trainer reads aux['prec_negative'] (w_precip_neg);
+        # optional y_true teacher-forces the radiation state update
+        apply_fn = lambda p, xl, xs_, m, xr, yt=None: \
+            model.apply(p, xl, xs_, m, xr, yt)
+        # training-mode teacher forcing of the radiation state
+        # (reference update_states_for_rad + out_new_true)
+        rc.pass_y_true = bool(mcfg.get("use_physrad", False)
+                              and mcfg.get("update_states_for_rad", True))
     mem_shape = None
     if model_type == "physrnn":
         mem_shape = lambda B, nlev: (B, 50, mcfg.get("nh_mem", 16) + 1)

@@ -69,6 +69,10 @@ class PhysicalRNNAutoreg(nn.Module):
     # levels from the CRM-updated state + sub-grid condensate, and predicts
     # the 6 radiative surface scalars physically
     use_physrad: bool = False
+    # update T/qv with the predicted (or, when y_true is passed, the TRUE)
+    # tendencies before radiation sees the state (reference
+    # update_states_for_rad, models_phys.py:1722-1741)
+    update_states_for_rad: bool = True
     # McICA subgrid-cloud radiation: stratified-sample g-points among the
     # predicted subgrid regions proportional to area_frac so radiation
     # sees subgrid cloud variability instead of grid means (reference
@@ -105,7 +109,12 @@ class PhysicalRNNAutoreg(nn.Module):
     policy: Policy = F32
 
     @nn.compact
-    def __call__(self, x_main, x_sfc, mem, x_denorm):
+    def __call__(self, x_main, x_sfc, mem, x_denorm, y_true=None):
+        """y_true (optional, [B, L, ny] normalized): when given and
+        ``update_states_for_rad`` is on, the radiation sees the state
+        updated by the TRUE tendencies instead of the model's own — the
+        reference's training-mode teacher forcing
+        (models_phys.py:1722-1741, out_new_true)."""
         B, L, _ = x_main.shape
         nh1, nh2 = self.nneur[0], self.nneur[1]
         pol = self.policy
@@ -326,9 +335,20 @@ class PhysicalRNNAutoreg(nn.Module):
         if self.use_physrad:
             from .phys_rad import RadiationModule
 
-            # CRM-updated temperature (grid mean) on all levels
-            T_new_crm = T_gcm[..., 0] + DT * (dT[..., 0] / ys_t)
-            T_full = x_denorm[:, :, 0].at[:, ic:].set(T_new_crm)
+            # CRM-updated state on all levels (models_phys.py:1717-1741):
+            # tendencies from y_true when teacher-forced, else the model's
+            if self.update_states_for_rad:
+                if y_true is not None:
+                    dT_src = y_true[:, ic:, 0]
+                    dqv_src = y_true[:, ic:, 1]
+                else:
+                    dT_src = dT[..., 0]
+                    dqv_src = dqv[..., 0]
+                T_new_crm = nn.relu(T_gcm[..., 0] + DT * (dT_src / ys_t))
+                T_full = x_denorm[:, :, 0].at[:, ic:].set(T_new_crm)
+            else:
+                dqv_src = None
+                T_full = x_denorm[:, :, 0]
             # sub-grid condensate -> grid-mean water paths [g/m2] with the
             # area-weighted liquid fraction split
             qn_mean = jnp.sum(area_frac * qn_crm, -1)           # [B, Lc]
@@ -384,9 +404,14 @@ class PhysicalRNNAutoreg(nn.Module):
             # gas inputs; ours are trainable so constants suffice as base)
             # grid-mean water vapor as vmr (the reference feeds vmr_h2o =
             # q/(1-q)*1.608 to the gas-optics nets, models_phys.py:946)
-            qv_col = jnp.clip(
-                x_denorm[:, :, self.qv_channel] if self.qv_channel >= 0
-                else x_denorm[:, :, -1], 0.0, 0.05)
+            qv_col = x_denorm[:, :, self.qv_channel] \
+                if self.qv_channel >= 0 else x_denorm[:, :, -1]
+            if self.update_states_for_rad and dqv_src is not None:
+                # qv updated like T (models_phys.py:1733-1737; applies
+                # because our gas optics is trainable, not frozen RRTMGP)
+                qv_col = qv_col.at[:, ic:].set(nn.relu(
+                    qv_col[:, ic:] + DT * (dqv_src / ys_qv)))
+            qv_col = jnp.clip(qv_col, 0.0, 0.05)
             vmr_col = qv_col / (1.0 - qv_col) * 1.608079364
             gases = {"o3": jnp.full((B, L), 2e-6, x_main.dtype),
                      "ch4": jnp.full((B, L), 9.7e-7, x_main.dtype),

@@ -118,6 +118,12 @@ class RolloutConfig:
     # physics-constrained emulator consumes it (models/phys_rnn.py);
     # requires window entry 'x_lev_raw'
     pass_x_raw: bool = False
+    # teacher-force the radiation state update during TRAINING: pass the
+    # true normalized tendencies to the model as y_true (the reference's
+    # update_states_for_rad + out_new_true, models_phys.py:1552-1556,
+    # 1722-1741); eval always uses the model's own outputs. Requires a
+    # custom apply_fn accepting a 6th y_true argument.
+    pass_y_true: bool = False
     n_prog: int = 6                  # prognostic channels (T,qv,qc,qi,u,v)
     # stochastic/ensemble training: replicate each batch ensemble_size
     # times (the reference's repeat_interleave, rnn/utils.py:1064-1072),
@@ -305,7 +311,8 @@ class RolloutTrainer:
 
     # ------------------------------------------------------------------
 
-    def _window_loss(self, params, window, mem, mix_mask):
+    def _window_loss(self, params, window, mem, mix_mask,
+                     train: bool = True):
         """Scan over W coupled steps; returns (total loss, aux)."""
         cfg = self.cfg
         r0, r1 = cfg.replay_slice
@@ -431,7 +438,11 @@ class RolloutTrainer:
                     main = ens_fn(out_e, y_lev) + ens_fn(out_sfc_e, y_sfc)
                 aux = None
             else:
-                res = self._apply(params, x_lev, x_sfc, mem, x_raw)
+                if cfg.pass_y_true and train:
+                    res = self._apply(params, x_lev, x_sfc, mem, x_raw,
+                                      y_lev)
+                else:
+                    res = self._apply(params, x_lev, x_sfc, mem, x_raw)
                 out, out_sfc, mem = res[:3]
                 aux = res[3] if len(res) > 3 else None
                 main = main_loss(out, y_lev, out_sfc, y_sfc)
@@ -577,7 +588,8 @@ class RolloutTrainer:
 
         @jax.jit
         def step(params, mem, window, mix_mask):
-            loss, new_mem = self._window_loss(params, window, mem, mix_mask)
+            loss, new_mem = self._window_loss(params, window, mem, mix_mask,
+                                              train=False)
             return new_mem, loss
 
         self._eval_cache[key] = step

@@ -399,3 +399,28 @@ def test_radiation_map_bands():
         m1.apply(p, T, play, plev, gases, clouds, sfc)[0])))(p1)
     gk = np.asarray(g["params"]["band_expand_kernel"])
     assert np.isfinite(gk).all() and np.abs(gk).sum() > 0
+
+
+def test_update_states_for_rad_teacher_forcing():
+    """y_true teacher-forces the radiation state update (the reference's
+    update_states_for_rad + out_new_true, models_phys.py:1722-1741):
+    passing different true tendencies must change the radiative heating,
+    and update_states_for_rad=False must ignore the model tendencies."""
+    import jax.numpy as jnp
+
+    m, p, xm, xs, mem, xd = _setup(use_physrad=True, ng_lw=4, ng_sw=4,
+                                   nreg=4)
+    out0, osfc0, _, _ = m.apply(p, xm, xs, mem, xd)
+    yt = jnp.zeros(out0.shape, out0.dtype)
+    out_t0, _, _, _ = m.apply(p, xm, xs, mem, xd, yt)
+    yt_warm = yt.at[:, :, 0].set(5.0)       # large true heating tendency
+    out_t1, _, _, _ = m.apply(p, xm, xs, mem, xd, yt_warm)
+    # different forced states -> different radiative heating in the
+    # non-CRM levels (which only radiation touches)
+    assert not np.allclose(np.asarray(out_t0[:, :10, 0]),
+                           np.asarray(out_t1[:, :10, 0]))
+
+    m_off = m.clone(update_states_for_rad=False)
+    a, _, _, _ = m_off.apply(p, xm, xs, mem, xd)
+    b, _, _, _ = m_off.apply(p, xm, xs, mem, xd, yt_warm)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6)

@@ -127,17 +127,40 @@ class PhysicalRNNAutoreg(nn.Module):
         mem_lat = pol.cast_in(mem[..., :self.nh_mem])
         P_old = mem[:, -1, -1]                       # stored precip pool
 
-        # ---- bi-RNN trunk on CRM levels (as RNNAutoreg)
-        h = jnp.tanh(nn.Dense(nh1, name="mlp_initial")(x_main[:, ic:, :]))
-        h = jnp.concatenate([h, mem_lat], axis=-1)
+        # ---- bi-RNN trunk. With physical radiation the trunk sees only
+        # the 50 CRM levels (models_phys.py:1581-1584); WITHOUT it the
+        # trunk runs on all 60 levels with the memory zero-padded above
+        # the CRM (:1585-1599), the latent/decode slices back to the CRM
+        # levels (:1684-1686), and radiative heating on all 60 levels
+        # plus the 6 ReLU'd surface radiation scalars come from MLP
+        # emulation heads (:1688-1690).
+        if self.use_physrad:
+            trunk_in = x_main[:, ic:, :]
+            mem_in = mem_lat
+        else:
+            trunk_in = x_main
+            mem_in = jnp.concatenate(
+                [jnp.zeros((B, ic, self.nh_mem), mem_lat.dtype), mem_lat],
+                axis=1)
+        h = jnp.tanh(nn.Dense(nh1, name="mlp_initial")(trunk_in))
+        h = jnp.concatenate([h, mem_in], axis=-1)
         hx1 = jnp.tanh(nn.Dense(nh1, name="mlp_surface1")(x_sfc))
         up, _ = RNNLayer(nh1, "gru", reverse=True, name="rnn_up")(h, hx1)
         x_toa = jnp.concatenate([x_sfc[:, 1:2], x_sfc[:, 6:7]], axis=1)
         hx2 = nn.Dense(nh2, name="mlp_toa1")(x_toa)
-        rnn2out, last_h = RNNLayer(nh2, "gru", reverse=False,
-                                   name="rnn_down")(up, hx2)
+        rnn2out_full, last_h = RNNLayer(nh2, "gru", reverse=False,
+                                        name="rnn_down")(up, hx2)
 
-        new_mem_lat = nn.Dense(self.nh_mem, name="mlp_latent")(rnn2out)
+        new_mem_full = nn.Dense(self.nh_mem, name="mlp_latent")(rnn2out_full)
+        if self.use_physrad:
+            rnn2out, new_mem_lat = rnn2out_full, new_mem_full
+            dT_rad_ml = sfc_rad_ml = None
+        else:
+            rnn2out = rnn2out_full[:, ic:]
+            new_mem_lat = new_mem_full[:, ic:]
+            dT_rad_ml = nn.Dense(1, name="mlp_output_rad")(rnn2out_full)
+            sfc_rad_ml = nn.relu(nn.Dense(
+                self.ny_sfc - 2, name="mlp_surface_output_rad")(last_h))
         out_raw = nn.Dense(self.ny, name="mlp_output")(new_mem_lat)
 
         # ---- pressure geometry (raw ps from sfc channel 0)
@@ -328,9 +351,20 @@ class PhysicalRNNAutoreg(nn.Module):
         out = out.at[:, ic:, 1:2].set(dqv)
         out = out.at[:, ic:, 2:3].set(dqn)
 
-        sfc_ml = nn.Dense(self.ny_sfc, name="mlp_surface_output")(last_h)
-        out_sfc = sfc_ml.at[:, 2].set(precsc * self.yscale_precc)
-        out_sfc = out_sfc.at[:, 3].set(precc * self.yscale_precc)
+        if self.use_physrad:
+            # placeholder; the radiation branch fills the rad scalars
+            sfc_ml = nn.Dense(self.ny_sfc, name="mlp_surface_output")(last_h)
+            out_sfc = sfc_ml.at[:, 2].set(precsc * self.yscale_precc)
+            out_sfc = out_sfc.at[:, 3].set(precc * self.yscale_precc)
+        else:
+            # ML radiation emulation (models_phys.py:1688-1690,1758):
+            # heating on all 60 levels + ReLU'd radiation scalars around
+            # the physically-diagnosed precip pair
+            out = out.at[:, :, 0:1].add(dT_rad_ml)
+            pr = self.yscale_precc
+            out_sfc = jnp.concatenate(
+                [sfc_rad_ml[:, 0:2], (precsc * pr)[:, None],
+                 (precc * pr)[:, None], sfc_rad_ml[:, 2:]], axis=1)
 
         if self.use_physrad:
             from .phys_rad import RadiationModule

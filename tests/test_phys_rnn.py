@@ -424,3 +424,20 @@ def test_update_states_for_rad_teacher_forcing():
     a, _, _, _ = m_off.apply(p, xm, xs, mem, xd)
     b, _, _, _ = m_off.apply(p, xm, xs, mem, xd, yt_warm)
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6)
+
+
+def test_nonphysrad_ml_radiation_emulation():
+    """Without physical radiation the reference still predicts radiative
+    heating on ALL 60 levels (mlp_output_rad over the 60-level trunk) and
+    ReLU'd radiation scalars (models_phys.py:1585-1599,1664-1690): the
+    top-10 non-CRM levels must get non-zero heating, and the non-precip
+    surface scalars must be non-negative."""
+    m, p, xm, xs, mem, xd = _setup()          # use_physrad=False default
+    out, osfc, nm, aux = m.apply(p, xm, xs, mem, xd)
+    assert float(jnp.abs(out[:, :10, 0]).max()) > 0, \
+        "non-CRM levels must receive ML radiative heating"
+    # radiation scalars around the precip pair are ReLU'd
+    o = np.asarray(osfc)
+    assert np.all(o[:, 0:2] >= 0) and np.all(o[:, 4:] >= 0)
+    # non-heating tendencies still zero above the CRM
+    assert float(jnp.abs(out[:, :10, 1:3]).max()) == 0.0

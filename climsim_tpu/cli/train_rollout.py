@@ -137,6 +137,7 @@ def main(argv=None):
             store_precip=mcfg.get("store_precip", True),
             ice_sedimentation=mcfg.get("ice_sedimentation", True),
             use_physrad=mcfg.get("use_physrad", False),
+            separate_radiation=mcfg.get("separate_radiation", False),
             update_states_for_rad=mcfg.get("update_states_for_rad", True),
             use_mcica=mcfg.get("use_mcica", False),
             use_tc=mcfg.get("use_tc", False),

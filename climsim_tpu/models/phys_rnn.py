@@ -69,6 +69,15 @@ class PhysicalRNNAutoreg(nn.Module):
     # levels from the CRM-updated state + sub-grid condensate, and predicts
     # the 6 radiative surface scalars physically
     use_physrad: bool = False
+    # the reference's middle option (models_phys.py:1665-1690): no physical
+    # radiation, but a SEPARATE radiation BiGRU on all 60 levels taking the
+    # gas channels + zero-padded latent memory (surface-init from
+    # aux[6:11], TOA-init from SOLIN/COSZRS) produces the 60-level heating
+    # and the 6 ReLU'd surface radiation scalars; the CRM trunk then runs
+    # on the 50 CRM levels only (as with use_physrad)
+    separate_radiation: bool = False
+    gas_channels: tuple = (12, 13, 14)
+    nh_rad: int = 96
     # update T/qv with the predicted (or, when y_true is passed, the TRUE)
     # tendencies before radiation sees the state (reference
     # update_states_for_rad, models_phys.py:1722-1741)
@@ -134,7 +143,8 @@ class PhysicalRNNAutoreg(nn.Module):
         # levels (:1684-1686), and radiative heating on all 60 levels
         # plus the 6 ReLU'd surface radiation scalars come from MLP
         # emulation heads (:1688-1690).
-        if self.use_physrad:
+        sep = self.separate_radiation and not self.use_physrad
+        if self.use_physrad or sep:
             trunk_in = x_main[:, ic:, :]
             mem_in = mem_lat
         else:
@@ -155,6 +165,27 @@ class PhysicalRNNAutoreg(nn.Module):
         if self.use_physrad:
             rnn2out, new_mem_lat = rnn2out_full, new_mem_full
             dT_rad_ml = sfc_rad_ml = None
+        elif sep:
+            # CRM trunk stays on the 50 CRM levels; the radiation BiGRU
+            # sees gases + zero-padded latent on all 60
+            rnn2out, new_mem_lat = rnn2out_full, new_mem_full
+            gases = jnp.stack([x_main[:, :, c] for c in self.gas_channels],
+                              axis=-1)
+            mem_pad = jnp.pad(new_mem_lat, ((0, 0), (ic, 0), (0, 0)))
+            x_rad = jnp.concatenate([gases, mem_pad], axis=-1)
+            hxr = nn.Dense(self.nh_rad,
+                           name="mlp_surface_init_rad")(x_sfc[:, 6:11])
+            upr, _ = RNNLayer(self.nh_rad, "gru", reverse=True,
+                              name="rnn1_rad")(x_rad, hxr)
+            x_toa_r = jnp.concatenate([x_sfc[:, 1:2], x_sfc[:, 6:7]],
+                                      axis=1)
+            hx2r = nn.Dense(self.nh_rad, name="mlp_toa_rad")(x_toa_r)
+            rad_out, last_h_rad = RNNLayer(self.nh_rad, "gru",
+                                           name="rnn2_rad")(upr, hx2r)
+            dT_rad_ml = nn.Dense(1, name="mlp_output_rad")(rad_out)
+            sfc_rad_ml = nn.relu(nn.Dense(
+                self.ny_sfc - 2,
+                name="mlp_surface_output_rad")(last_h_rad))
         else:
             rnn2out = rnn2out_full[:, ic:]
             new_mem_lat = new_mem_full[:, ic:]

@@ -441,3 +441,24 @@ def test_nonphysrad_ml_radiation_emulation():
     assert np.all(o[:, 0:2] >= 0) and np.all(o[:, 4:] >= 0)
     # non-heating tendencies still zero above the CRM
     assert float(jnp.abs(out[:, :10, 1:3]).max()) == 0.0
+
+
+def test_separate_radiation_phys_model():
+    """separate_radiation (models_phys.py:1665-1690): CRM trunk on 50
+    levels, a radiation BiGRU on gases + padded latent produces heating on
+    all 60 levels and ReLU'd radiation scalars."""
+    m, p, xm, xs, mem, xd = _setup(separate_radiation=True)
+    out, osfc, nm, aux = m.apply(p, xm, xs, mem, xd)
+    assert out.shape[1] == 60
+    assert float(jnp.abs(out[:, :10, 0]).max()) > 0
+    o = np.asarray(osfc)
+    assert np.all(o[:, 0:2] >= 0) and np.all(o[:, 4:] >= 0)
+    assert np.isfinite(np.asarray(out)).all()
+    # grads flow through the radiation RNN
+    g = jax.grad(lambda q: jnp.sum(jnp.square(
+        m.apply(q, xm, xs, mem, xd)[0][:, :10, 0])))(p)
+    rad = sum(float(jnp.abs(a).sum()) for kp, a in
+              jax.tree_util.tree_flatten_with_path(g)[0]
+              if "rnn1_rad" in jax.tree_util.keystr(kp)
+              or "rnn2_rad" in jax.tree_util.keystr(kp))
+    assert rad > 0

@@ -145,16 +145,24 @@ class PhysicalRNNAutoreg(nn.Module):
         # emulation heads (:1688-1690).
         sep = self.separate_radiation and not self.use_physrad
         if self.use_physrad or sep:
-            trunk_in = x_main[:, ic:, :]
+            # radiation handles the gas channels and the 5 radiation
+            # surface inputs; the CRM trunk drops them
+            # (models_phys.py:1581-1584,1607-1610)
+            keep = [c for c in range(x_main.shape[-1])
+                    if c not in self.gas_channels]
+            trunk_in = x_main[:, ic:, keep]
+            x_sfc_crm = jnp.concatenate([x_sfc[:, 0:6], x_sfc[:, 11:]],
+                                        axis=1)
             mem_in = mem_lat
         else:
             trunk_in = x_main
+            x_sfc_crm = x_sfc
             mem_in = jnp.concatenate(
                 [jnp.zeros((B, ic, self.nh_mem), mem_lat.dtype), mem_lat],
                 axis=1)
         h = jnp.tanh(nn.Dense(nh1, name="mlp_initial")(trunk_in))
         h = jnp.concatenate([h, mem_in], axis=-1)
-        hx1 = jnp.tanh(nn.Dense(nh1, name="mlp_surface1")(x_sfc))
+        hx1 = jnp.tanh(nn.Dense(nh1, name="mlp_surface1")(x_sfc_crm))
         up, _ = RNNLayer(nh1, "gru", reverse=True, name="rnn_up")(h, hx1)
         x_toa = jnp.concatenate([x_sfc[:, 1:2], x_sfc[:, 6:7]], axis=1)
         hx2 = nn.Dense(nh2, name="mlp_toa1")(x_toa)

@@ -158,6 +158,8 @@ def main(argv=None):
             ny=y_lev.shape[-1], ny_sfc=y_sfc.shape[-1],
             nneur=tuple(mcfg.get("nneur", (192, 192))),
             nh_mem=mcfg.get("nh_mem", 16),
+            # reference `memory: None` -> non-autoregressive (driver :110)
+            use_memory=str(mcfg.get("memory", "Hidden")).lower() != "none",
             cell=mcfg.get("cell", "gru"),
             add_stochastic_layer=mcfg.get("add_stochastic_layer", False),
             separate_radiation=mcfg.get("separate_radiation", False),

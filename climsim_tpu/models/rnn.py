@@ -45,6 +45,11 @@ class RNNAutoreg(nn.Module):
     ny_sfc: int
     nneur: Sequence[int] = (192, 192)
     nh_mem: int = 16
+    # the reference's `memory: None` mode (driver :110-112): no latent
+    # memory concatenated to the inputs, the output head reads the RNN
+    # stream directly, and the model is NOT autoregressive (the mem
+    # argument passes through untouched so signatures stay uniform)
+    use_memory: bool = True
     cell: str = "gru"            # gru | lstm | ln_lstm | sru
     use_initial_mlp: bool = True
     add_pres: bool = True
@@ -107,7 +112,8 @@ class RNNAutoreg(nn.Module):
             h = jnp.tanh(nn.Dense(nh1, dtype=pol.compute_dtype,
                                   param_dtype=pol.param_dtype,
                                   name="mlp_initial")(h))
-        h = jnp.concatenate([h, mem], axis=-1)
+        if self.use_memory:
+            h = jnp.concatenate([h, mem], axis=-1)
 
         # ---- upward sweep (surface -> TOA): reverse scan, surface MLP init
         hx1 = jnp.tanh(nn.Dense(nh1, dtype=pol.compute_dtype,
@@ -195,14 +201,19 @@ class RNNAutoreg(nn.Module):
         # the intermediate MLP exists only when the memory width differs
         # from the last RNN's width (models.py:249-252: nh_mem ==
         # nneur[-1] -> the RNN output IS the memory)
-        if self.nh_mem == down_out.shape[-1]:
-            new_mem = down_out
+        if not self.use_memory:
+            # memory-None mode: head reads the RNN stream, mem untouched
+            head_in = down_out
+            new_mem = mem
+        elif self.nh_mem == down_out.shape[-1]:
+            head_in = new_mem = down_out
         else:
-            new_mem = nn.Dense(self.nh_mem, dtype=pol.compute_dtype,
-                               param_dtype=pol.param_dtype,
-                               name="mlp_latent")(down_out)
+            head_in = new_mem = nn.Dense(self.nh_mem,
+                                         dtype=pol.compute_dtype,
+                                         param_dtype=pol.param_dtype,
+                                         name="mlp_latent")(down_out)
         out = nn.Dense(self.ny, dtype=pol.compute_dtype,
-                       param_dtype=pol.param_dtype, name="mlp_output")(new_mem)
+                       param_dtype=pol.param_dtype, name="mlp_output")(head_in)
         # with separate radiation the CRM head predicts only PRECSC/PRECC;
         # the radiative scalars come from the radiation RNN (models.py:380)
         ny_sfc_crm = 2 if self.separate_radiation else self.ny_sfc

@@ -685,3 +685,24 @@ def test_timestepped_optimizer_rescales_lr():
     # schedule {0:1, 1:2}: window doubled -> lr doubled
     assert np.isclose(tr.cfg.lr, 2 * lr0)
     assert rec["window"] == 2 and np.isfinite(rec["loss"])
+
+
+def test_memory_none_mode():
+    """The reference's `memory: None` (driver :110-112): no latent memory
+    in the inputs, output head reads the RNN stream, mem passes through
+    untouched — the model is not autoregressive."""
+    g = Grid.from_file(GRID_PATH)
+    tt = lambda a: tuple(float(x) for x in np.asarray(a))
+    model = RNNAutoreg(nx=15, nx_sfc=24, ny=6, ny_sfc=8, nneur=(16, 16),
+                       nh_mem=8, use_memory=False, hyam=tt(g.hyam),
+                       hybm=tt(g.hybm), add_pres=False, output_prune=False)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(0, 1, (4, 60, 15)).astype(np.float32))
+    s = jnp.asarray(rng.normal(0, 1, (4, 24)).astype(np.float32))
+    mem = jnp.asarray(rng.normal(0, 1, (4, 60, 8)).astype(np.float32))
+    p = model.init(K(0), x, s, mem)
+    out, osfc, nm = model.apply(p, x, s, mem)
+    # memory untouched AND has no influence on the outputs
+    np.testing.assert_array_equal(np.asarray(nm), np.asarray(mem))
+    out2, _, _ = model.apply(p, x, s, mem * 100.0)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(out2))

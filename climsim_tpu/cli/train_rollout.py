@@ -162,6 +162,14 @@ def main(argv=None):
             use_memory=str(mcfg.get("memory", "Hidden")).lower() != "none",
             cell=mcfg.get("cell", "gru"),
             add_stochastic_layer=mcfg.get("add_stochastic_layer", False),
+            # AR(1) noise modes (rnn/utils.py:940-959): 0 = uncorrelated,
+            # 1/2 = temporally correlated with vertical structure,
+            # 3 = fully correlated (one draw for all levels); the
+            # reference's tau_t=0.5 is the default correlation
+            ar_noise_rho=mcfg.get(
+                "ar_noise_rho",
+                0.5 if mcfg.get("ar_noise_mode", 0) > 0 else 0.0),
+            ar_noise_vertical=mcfg.get("ar_noise_mode", 0) != 3,
             separate_radiation=mcfg.get("separate_radiation", False),
             use_pallas=mcfg.get("use_pallas", False),
             output_prune=mcfg.get("output_prune", True),
@@ -334,7 +342,8 @@ def main(argv=None):
                     args.append(jnp.asarray(c["x_lev_raw"][t]))
                     out, osfc, mem_e = apply_fn(params, *args)[:3]
                 else:
-                    out, osfc, mem_e = model.apply(params, *args)
+                    # AR-noise models return a 4th eps output
+                    out, osfc, mem_e = model.apply(params, *args)[:3]
                 pl_.append(np.asarray(out) / np.asarray(ysc_lev))
                 ps_.append(np.asarray(osfc) / np.asarray(ysc_sfc))
                 tl_.append(c["y_lev"][t] / np.asarray(ysc_lev))

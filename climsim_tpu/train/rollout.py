@@ -352,8 +352,15 @@ class RolloutTrainer:
                 x = (x - self.xmean_prog) / self.xdiv_prog
             return x
 
+        # AR(1) noise threading across the window (rnn/utils.py:940-959):
+        # stochastic models with ar_noise_rho carry eps through the scan
+        ar_noise = (cfg.ensemble_size > 1
+                    and getattr(self.model, "ar_noise_rho", 0.0) > 0.0
+                    and getattr(self.model, "add_stochastic_layer", False))
+
         def step(carry, inp):
-            mem, prev_out, have_prev, x_pred, x_true_prev, y_true_prev = carry
+            (mem, prev_out, have_prev, x_pred, x_true_prev, y_true_prev,
+             eps_c) = carry
             step_idx = inp[-1]
             inp = inp[:-1]
             if cfg.semi_online:
@@ -395,12 +402,21 @@ class RolloutTrainer:
                     jax.random.fold_in(jax.random.PRNGKey(cfg.seed),
                                        step_idx[0]), cfg.ensemble_size)
 
-                def member(m, k):
-                    return self.model.apply(
-                        params, x_lev, x_sfc, m, deterministic=False,
-                        rngs={"noise": k})
+                if ar_noise:
+                    def member(m, k, e):
+                        return self.model.apply(
+                            params, x_lev, x_sfc, m, deterministic=False,
+                            eps_prev=e, rngs={"noise": k})
 
-                out_e, out_sfc_e, mem = jax.vmap(member)(mem, keys)
+                    out_e, out_sfc_e, mem, eps_c = jax.vmap(member)(
+                        mem, keys, eps_c)
+                else:
+                    def member(m, k):
+                        return self.model.apply(
+                            params, x_lev, x_sfc, m, deterministic=False,
+                            rngs={"noise": k})
+
+                    out_e, out_sfc_e, mem = jax.vmap(member)(mem, keys)
                 from . import probabilistic as P
                 bb = cfg.ens_beta
                 flat = lambda a: a.reshape(a.shape[0],
@@ -511,7 +527,7 @@ class RolloutTrainer:
                 # keep the carry dtype stable (scale division may promote)
                 x_pred = x_pred.astype(x_true_prev.dtype)
             new_carry = (mem, out, jnp.ones(()), x_pred, x_true_prev,
-                         y_true_prev)
+                         y_true_prev, eps_c)
             lev_out = out if cfg.w_bias > 0 else jnp.zeros((0,), out.dtype)
             return new_carry, (cfg.w_main * main + extra, out_sfc, lev_out)
 
@@ -520,7 +536,14 @@ class RolloutTrainer:
         dtp = window["x_lev"].dtype
         prev0 = jnp.zeros_like(window["y_lev"][0])
         zprog = jnp.zeros((B_, Llev, np_), dtp)
-        carry0 = (mem, prev0, jnp.zeros(()), zprog, zprog, zprog)
+        if ar_noise:
+            Le = Llev if getattr(self.model, "ar_noise_vertical", True) \
+                else 1
+            nh3 = self.model.nneur[-1]
+            eps0 = jnp.zeros((cfg.ensemble_size, Le, B_, nh3), dtp)
+        else:
+            eps0 = jnp.zeros((), dtp)
+        carry0 = (mem, prev0, jnp.zeros(()), zprog, zprog, zprog, eps0)
         steps_idx = jnp.arange(W, dtype=jnp.int32)[:, None]
         if cfg.semi_online:
             xs = (window["x_lev"], window["x_sfc"], window["y_lev"],

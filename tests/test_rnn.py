@@ -706,3 +706,29 @@ def test_memory_none_mode():
     np.testing.assert_array_equal(np.asarray(nm), np.asarray(mem))
     out2, _, _ = model.apply(p, x, s, mem * 100.0)
     np.testing.assert_allclose(np.asarray(out), np.asarray(out2))
+
+
+def test_ar_noise_eps_carried_through_window_scan():
+    """AR(1) noise threading (rnn/utils.py:940-959): stochastic ensemble
+    training with ar_noise_rho carries eps across the window scan."""
+    from climsim_tpu.data import keeplev_chunks
+    g = Grid.from_file(GRID_PATH)
+    tt = lambda a: tuple(float(x) for x in np.asarray(a))
+    rng = np.random.default_rng(5)
+    T, B = 4, 4
+    x_lev = rng.normal(0, 1, (T, B, 60, 15)).astype(np.float32)
+    x_sfc = rng.normal(0, 1, (T, B, 24)).astype(np.float32)
+    y_lev = np.tanh(x_lev[..., :6]) * 0.5
+    y_sfc = np.abs(x_sfc[..., :8]) * 0.5
+    sp = rng.uniform(9.6e4, 1.03e5, (T, B)).astype(np.float32)
+    model = RNNAutoreg(nx=15, nx_sfc=24, ny=6, ny_sfc=8, nneur=(12, 12),
+                       nh_mem=4, add_stochastic_layer=True,
+                       ar_noise_rho=0.5, ar_noise_vertical=False,
+                       add_pres=False, output_prune=False)
+    cfg = RolloutConfig(rollout_schedule={0: 2}, ensemble_size=2, lr=1e-3)
+    tr = RolloutTrainer(model, cfg, np.asarray(g.hyai), np.asarray(g.hybi))
+    chunks = lambda: keeplev_chunks(x_lev, x_sfc, y_lev, y_sfc, sp,
+                                    chunk_size=4, shuffle=False)
+    params, opt, mem = tr.init(K(0), next(iter(chunks())))
+    params, opt, mem, rec = tr.run_epoch(params, opt, mem, chunks(), 0)
+    assert np.isfinite(rec["loss"])

@@ -112,10 +112,20 @@ def main(argv=None):
                 if i not in (17, 18, 19, 20, 21)]
         x_sfc = x_sfc[..., keep]
 
-    # normalization from data statistics (per-level optional)
-    xm = x_lev.mean((0, 1)); xsd = x_lev.std((0, 1)) + 1e-8
+    # normalization from data statistics; per-level by default, or one
+    # scalar per channel (reference input_norm_per_level /
+    # output_norm_per_level, autoreg_LSTM.yaml)
+    if dcfg.get("input_norm_per_level", True):
+        xm = x_lev.mean((0, 1)); xsd = x_lev.std((0, 1)) + 1e-8
+    else:
+        xm = x_lev.mean((0, 1, 2)); xsd = x_lev.std((0, 1, 2)) + 1e-8
     xms = x_sfc.mean((0, 1)); xss = x_sfc.std((0, 1)) + 1e-8
-    ysc_lev = 1.0 / (np.abs(y_lev).std((0, 1)) + 1e-12)
+    if dcfg.get("output_norm_per_level", True):
+        ysc_lev = 1.0 / (np.abs(y_lev).std((0, 1)) + 1e-12)
+    else:
+        ysc_lev = np.broadcast_to(
+            1.0 / (np.abs(y_lev).std((0, 1, 2)) + 1e-12),
+            y_lev.shape[2:]).copy()
     ysc_sfc = 1.0 / (np.abs(y_sfc).std((0, 1)) + 1e-12)
     sp = x_sfc[..., 0]
     x_lev_n = (x_lev - xm) / xsd

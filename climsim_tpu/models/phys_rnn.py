@@ -250,13 +250,17 @@ class PhysicalRNNAutoreg(nn.Module):
         g = C.GRAV
         sf = -g                                         # -g d(flux)/dp
         flux1 = nn.Dense(nreg, name="mlp_massflux")(rnn2out)
-        eddy = nn.Dense(nreg, name="mlp_eddy_diff")(rnn2out)
+        # per-region eddy diffusivity only with subgrid temperatures;
+        # otherwise one shared coefficient (models_phys.py:163-166)
+        eddy = nn.Dense(nreg if self.pred_subgrid_temp else 1,
+                        name="mlp_eddy_diff")(rnn2out)
 
         play_crm = play[:, ic:]
         pd0 = (play_crm - play[:, ic - 1:-1])[..., None]
         flux_H = eddy * (C.CP / g) * T_crm * pd0
         zer1 = jnp.zeros((B, 1, nreg), flux_H.dtype)
-        flux_H = jnp.concatenate([zer1, flux_H[:, :-1], zer1], axis=1)
+        zerH = jnp.zeros((B, 1, flux_H.shape[-1]), flux_H.dtype)
+        flux_H = jnp.concatenate([zerH, flux_H[:, :-1], zerH], axis=1)
         flux_t_dp = (sf / C.CP) * (flux_H[:, 1:] - flux_H[:, :-1]) * inv_dp
 
         fm = 3.0e5

@@ -148,6 +148,7 @@ def main(argv=None):
             ice_sedimentation=mcfg.get("ice_sedimentation", True),
             use_physrad=mcfg.get("use_physrad", False),
             separate_radiation=mcfg.get("separate_radiation", False),
+            add_pres=mcfg.get("add_pres", False),
             update_states_for_rad=mcfg.get("update_states_for_rad", True),
             use_mcica=mcfg.get("use_mcica", False),
             use_tc=mcfg.get("use_tc", False),

@@ -103,6 +103,15 @@ class PhysicalRNNAutoreg(nn.Module):
     ng_sw: int = 8
     ilev_crm: int = 10
     qv_channel: int = -1         # channel of qv in x_denorm
+    # append sqrt(p)/314 as the last input channel (reference add_pres,
+    # models_phys.py:1571-1578 + LayerPressure); off by default to keep
+    # the established input contract — the reference confs enable it
+    add_pres: bool = False
+    grav: float = 9.8066500      # models_phys.py:199 (not E3SM's 9.80616)
+    # the phys model's own latent heats (models_phys.py:201-203) — the
+    # metrics.py water-budget values, NOT data_utils' 2.501e6/2.8347e6
+    lv: float = 2.5104e6
+    ls: float = 2.8440e6
     # static coefficients
     hyai: tuple = ()
     hybi: tuple = ()
@@ -135,6 +144,23 @@ class PhysicalRNNAutoreg(nn.Module):
         x_sfc = pol.cast_in(x_sfc)
         mem_lat = pol.cast_in(mem[..., :self.nh_mem])
         P_old = mem[:, -1, -1]                       # stored precip pool
+
+        # ---- pressure geometry from raw ps (needed by the decode AND the
+        # optional normalized pressure input feature, models_phys.py:
+        # 1571-1578 add_pres block)
+        sp = x_sfc[:, 0] * self.sp_div + self.sp_mean
+        hyai = jnp.asarray(self.hyai, x_main.dtype)
+        hybi = jnp.asarray(self.hybi, x_main.dtype)
+        hyam = jnp.asarray(self.hyam, x_main.dtype)
+        hybm = jnp.asarray(self.hybm, x_main.dtype)
+        plev = 1e5 * hyai + sp[:, None] * hybi       # [B, L+1]
+        play = 1e5 * hyam + sp[:, None] * hybm       # [B, L]
+        if self.add_pres:
+            # sqrt(p)/314 normalized pressure appended as the LAST input
+            # channel (LayerPressure norm, rnn/layers.py:101-121); the gas
+            # channels keep their original positions
+            x_main = jnp.concatenate(
+                [x_main, (jnp.sqrt(play) / 314.0)[..., None]], axis=-1)
 
         # ---- bi-RNN trunk. With physical radiation the trunk sees only
         # the 50 CRM levels (models_phys.py:1581-1584); WITHOUT it the
@@ -202,14 +228,6 @@ class PhysicalRNNAutoreg(nn.Module):
                 self.ny_sfc - 2, name="mlp_surface_output_rad")(last_h))
         out_raw = nn.Dense(self.ny, name="mlp_output")(new_mem_lat)
 
-        # ---- pressure geometry (raw ps from sfc channel 0)
-        sp = x_sfc[:, 0] * self.sp_div + self.sp_mean
-        hyai = jnp.asarray(self.hyai, x_main.dtype)
-        hybi = jnp.asarray(self.hybi, x_main.dtype)
-        hyam = jnp.asarray(self.hyam, x_main.dtype)
-        hybm = jnp.asarray(self.hybm, x_main.dtype)
-        plev = 1e5 * hyai + sp[:, None] * hybi       # [B, L+1]
-        play = 1e5 * hyam + sp[:, None] * hybm       # [B, L]
         dp = (plev[:, 1:] - plev[:, :-1])[:, ic:]    # [B, Lc]
         inv_dp = 1.0 / dp[..., None]
 
@@ -247,7 +265,10 @@ class PhysicalRNNAutoreg(nn.Module):
             T_crm = T_gcm
 
         # ---- 2. vertical fluxes (zero BCs at CRM top and surface)
-        g = C.GRAV
+        # the reference phys model hardcodes standard gravity 9.80665
+        # (models_phys.py:199-200), NOT the E3SM shr_const 9.80616 used by
+        # data_utils — kept as a field for exact parity
+        g = self.grav
         sf = -g                                         # -g d(flux)/dp
         flux1 = nn.Dense(nreg, name="mlp_massflux")(rnn2out)
         # per-region eddy diffusivity only with subgrid temperatures;
@@ -318,28 +339,32 @@ class PhysicalRNNAutoreg(nn.Module):
         if self.ice_sedimentation:
             dqn_crm = dqn_crm + sed_qn_dp
         dT_crm = flux_t_dp
-        if self.pred_subgrid_temp:
-            temp = T_crm + dT_crm / ys_t * DT
-            liq_frac_crm = temperature_scaling(temp)
+        # latent-heat branch structure follows the reference exactly
+        # (models_phys.py:573-598): with EITHER subgrid flag the rates stay
+        # per-region and the liquid fraction is the sigmoid MLP (when
+        # predicted) or the T-ramp of the updated subgrid temperature;
+        # otherwise area-summed rates with the grid-mean T-ramp
+        if self.pred_subgrid_liq_frac or self.pred_subgrid_temp:
+            if self.pred_subgrid_liq_frac:
+                liq_frac_crm = jax.nn.sigmoid(
+                    nn.Dense(nreg, name="mlp_liq_frac_crm")(rnn2out))
+            else:
+                temp = T_crm + dT_crm / ys_t * DT
+                liq_frac_crm = temperature_scaling(temp)
             net_cond = (1.0 / C.CP) * (
-                (liq_frac_crm * C.LV + (1 - liq_frac_crm) * C.LSUB)
-                * dq_cond - C.LV * dqv_evap_prec)
+                (liq_frac_crm * self.lv + (1 - liq_frac_crm) * self.ls)
+                * dq_cond - self.lv * dqv_evap_prec)
         else:
             temp = T_gcm[..., 0] + jnp.sum(area_frac * dT_crm, 2) / ys_t * DT
             liq_frac = temperature_scaling(temp)[..., None]
             dq_cond_s = jnp.sum(area_frac * dq_cond, 2, keepdims=True)
             dqv_ep_s = jnp.sum(area_frac * dqv_evap_prec, 2, keepdims=True)
             net_cond = (1.0 / C.CP) * (
-                (liq_frac * C.LV + (1 - liq_frac) * C.LSUB) * dq_cond_s
-                - C.LV * dqv_ep_s)
+                (liq_frac * self.lv + (1 - liq_frac) * self.ls) * dq_cond_s
+                - self.lv * dqv_ep_s)
             liq_frac_crm = liq_frac
         net_cond = (net_cond / ys_qv) * ys_t
         dT_crm = dT_crm + net_cond
-        if self.pred_subgrid_liq_frac:
-            # radiation sees the learned partition; latent-heat bookkeeping
-            # above stays on the T-diagnosed ramp (as the reference)
-            liq_frac_crm = jax.nn.sigmoid(
-                nn.Dense(nreg, name="mlp_liq_frac_crm")(rnn2out))
 
         dT = jnp.sum(area_frac * dT_crm, 2, keepdims=True)
         dqv = jnp.sum(area_frac * dqv_crm, 2, keepdims=True)
@@ -354,7 +379,7 @@ class PhysicalRNNAutoreg(nn.Module):
             dqv = dqv - qv_excess * ys_qv
             dqn = dqn + qv_excess * ys_qn
             lf = temperature_scaling(temp2)
-            dT = dT + (1.0 / C.CP) * (lf * C.LV + (1 - lf) * C.LSUB) \
+            dT = dT + (1.0 / C.CP) * (lf * self.lv + (1 - lf) * self.ls) \
                 * qv_excess * ys_t
 
         # ---- 5. semi-prognostic precipitation (:647-677)
@@ -397,17 +422,19 @@ class PhysicalRNNAutoreg(nn.Module):
         if self.use_physrad:
             # placeholder; the radiation branch fills the rad scalars
             sfc_ml = nn.Dense(self.ny_sfc, name="mlp_surface_output")(last_h)
-            out_sfc = sfc_ml.at[:, 2].set(precsc * self.yscale_precc)
-            out_sfc = out_sfc.at[:, 3].set(precc * self.yscale_precc)
+            # precc/precsc enter the outputs RAW (models_phys.py:678,
+            # 1758) — the normalized-units scale is already baked into
+            # the water path via the yscaled process rates
+            out_sfc = sfc_ml.at[:, 2].set(precsc)
+            out_sfc = out_sfc.at[:, 3].set(precc)
         else:
             # ML radiation emulation (models_phys.py:1688-1690,1758):
             # heating on all 60 levels + ReLU'd radiation scalars around
             # the physically-diagnosed precip pair
             out = out.at[:, :, 0:1].add(dT_rad_ml)
-            pr = self.yscale_precc
             out_sfc = jnp.concatenate(
-                [sfc_rad_ml[:, 0:2], (precsc * pr)[:, None],
-                 (precc * pr)[:, None], sfc_rad_ml[:, 2:]], axis=1)
+                [sfc_rad_ml[:, 0:2], precsc[:, None],
+                 precc[:, None], sfc_rad_ml[:, 2:]], axis=1)
 
         if self.use_physrad:
             from .phys_rad import RadiationModule
@@ -426,6 +453,11 @@ class PhysicalRNNAutoreg(nn.Module):
             else:
                 dqv_src = None
                 T_full = x_denorm[:, :, 0]
+            if self.update_states_for_rad:
+                # subgrid water updated by the per-region tendencies
+                # before radiation sees it (models_phys.py:679-683)
+                qv_crm = nn.relu(qv_crm + DT * dqv_crm / ys_qv)
+                qn_crm = nn.relu(qn_crm + DT * dqn_crm / ys_qn)
             # sub-grid condensate -> grid-mean water paths [g/m2] with the
             # area-weighted liquid fraction split
             qn_mean = jnp.sum(area_frac * qn_crm, -1)           # [B, Lc]

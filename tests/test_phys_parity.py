@@ -225,3 +225,85 @@ def test_physical_rnn_full_forward_parity(subgrid_liq, subgrid_temp):
                                rtol=2e-3, atol=2e-4)
     np.testing.assert_allclose(np.asarray(aux_o["prec_negative"]),
                                pneg_r.numpy(), rtol=2e-3, atol=2e-4)
+
+
+def test_physical_rnn_rollout_parity():
+    """3 coupled steps with the memory (latent + stored-precip pool)
+    threaded between steps on both sides — pins the autoregressive
+    contract of the physics model."""
+    g = Grid.from_file(GRID_PATH)
+    tt = lambda a: tuple(float(x) for x in np.asarray(a))
+    ours = PhysicalRNNAutoreg(
+        nx=NX, nx_sfc=NX_SFC, ny=NY, ny_sfc=NY_SFC, nneur=(NH, NH),
+        nh_mem=NH_MEM, nreg=NREG, use_clear_sky_region=True,
+        pred_subgrid_temp=True, ice_sedimentation=True, store_precip=True,
+        allow_extra_heating=True, add_pres=True,
+        hyai=tt(g.hyai), hybi=tt(g.hybi), hyam=tt(g.hyam),
+        hybm=tt(g.hybm), sp_mean=0.0, sp_div=1.0,
+        yscale_t=YS_T, yscale_qv=YS_QV, yscale_qn=YS_QN,
+        yscale_precc=YS_PREC, qv_channel=NX - 1)
+
+    rng = np.random.default_rng(7)
+    T = 3
+    xm = rng.normal(0, 1, (T, B, L, NX)).astype(np.float32)
+    xs = rng.normal(0, 1, (T, B, NX_SFC)).astype(np.float32)
+    xs[..., 0] = rng.uniform(9.6e4, 1.03e5, (T, B))
+    xd = rng.normal(0, 1, (T, B, L, NX)).astype(np.float32)
+    xd[..., 0] = rng.uniform(210, 300, (T, B, L))
+    xd[..., 2] = rng.uniform(0, 1e-4, (T, B, L))
+    xd[..., 3] = rng.uniform(0, 1e-4, (T, B, L))
+    xd[..., NX - 1] = rng.uniform(1e-6, 1e-2, (T, B, L))
+    mem0 = np.zeros((B, LC, NH_MEM + 1), np.float32)
+
+    params = ours.init(jax.random.PRNGKey(0), jnp.asarray(xm[0]),
+                       jnp.asarray(xs[0]), jnp.asarray(mem0),
+                       jnp.asarray(xd[0]))
+    fp = dict(params["params"])
+    fp["mlp_toa1"] = {
+        "kernel": jnp.zeros_like(fp["mlp_toa1"]["kernel"]),
+        "bias": jnp.zeros_like(fp["mlp_toa1"]["bias"])}
+    params = {"params": fp}
+
+    ref = _ref_model(g)
+    _copy_dense(ref.mlp_initial, fp, "mlp_initial")
+    _copy_dense(ref.mlp_surface1, fp, "mlp_surface1")
+    _copy_dense(ref.mlp_latent, fp, "mlp_latent")
+    _copy_dense(ref.mlp_output, fp, "mlp_output")
+    _copy_gru(ref.rnn1, fp, "rnn_up")
+    _copy_gru(ref.rnn2, fp, "rnn_down")
+    _copy_dense(ref.mlp_output_rad, fp, "mlp_output_rad")
+    _copy_dense(ref.mlp_surface_output_rad, fp, "mlp_surface_output_rad")
+    for n in ["mlp_qv_crm", "mlp_qn_crm", "mlp_qice_crm", "mlp_sed_qn_crm",
+              "mlp_massflux", "mlp_eddy_diff", "mlp_evap_prec_crm",
+              "mlp_evap_cond_vapor_crm", "mlp_mp_aa_crm",
+              "mlp_subgrid_area_frac", "mlp_precip_release", "mlp_t_crm"]:
+        _copy_dense(getattr(ref, n), fp, n)
+    ref.eval()
+
+    try:
+        import importlib
+        importlib.import_module("torch._dynamo").config.disable = True
+    except Exception:
+        pass
+    orig_randn = torch.randn
+    torch.randn = lambda *a, **k: torch.zeros(
+        *a, **{kk: vv for kk, vv in k.items() if kk != "device"})
+    try:
+        mem_o = jnp.asarray(mem0)
+        mem_r = torch.from_numpy(np.swapaxes(mem0, 0, 1).copy())
+        for t in range(T):
+            out_o, sfc_o, mem_o, _ = ours.apply(
+                params, jnp.asarray(xm[t]), jnp.asarray(xs[t]), mem_o,
+                jnp.asarray(xd[t]))
+            with torch.no_grad():
+                out_r, sfc_r, mem_r, _ = ref([
+                    torch.from_numpy(xm[t]), torch.from_numpy(xs[t]),
+                    mem_r, torch.from_numpy(xd[t])])
+            np.testing.assert_allclose(np.asarray(out_o), out_r.numpy(),
+                                       rtol=5e-3, atol=5e-4,
+                                       err_msg=f"step {t}")
+            np.testing.assert_allclose(
+                np.asarray(mem_o), np.swapaxes(mem_r.numpy(), 0, 1),
+                rtol=5e-3, atol=5e-4, err_msg=f"mem step {t}")
+    finally:
+        torch.randn = orig_randn

@@ -386,6 +386,10 @@ class QRNNLayer(nn.Module):
     kernel: int = 2
     causal: bool = True
     reverse: bool = False
+    # candidate activation: the reference uses SIGMOID for z
+    # (log_z = logsigmoid(raw_z), models_torch_kernels.py:1404) — not the
+    # original QRNN paper's tanh, which stays available as an option
+    z_activation: str = "sigmoid"
     # fo-pooling is a first-order LINEAR recurrence c_l = f_l*c_{l-1} +
     # (1-f_l)*z_l, so it admits a parallel prefix (associative_scan,
     # log2(L) whole-tensor steps). Measured on the v5e it LOSES to the
@@ -415,7 +419,8 @@ class QRNNLayer(nn.Module):
                         dtype=self.dtype, param_dtype=self.param_dtype,
                         name="conv")(x_p)
         z, f, o = jnp.split(jnp.swapaxes(gates, 0, 1), 3, axis=-1)
-        z = jnp.tanh(z)
+        z = {"sigmoid": jax.nn.sigmoid,
+             "tanh": jnp.tanh}[self.z_activation](z)
         f = jax.nn.sigmoid(f)
         o = jax.nn.sigmoid(o)
 

@@ -285,3 +285,37 @@ def test_glu_block_parity():
     with torch.no_grad():
         y_ref = ref(torch.from_numpy(x)).numpy()
     np.testing.assert_allclose(np.asarray(y), y_ref, rtol=1e-5, atol=1e-6)
+
+
+def test_qrnn_fo_parity_with_reference():
+    """Our QRNNLayer vs the reference QRNNLayer (mode='fo',
+    models_torch_kernels.py:1358-1425) with copied conv weights: sigmoid
+    z, fo-pooling via the reference's log-space cumsum, causal padding."""
+    from climsim_tpu.models.cells import QRNNLayer
+
+    ref_mod = _load_ref()
+    nx, H, L, B, K_ = 10, 16, 12, 4, 2
+    rng = np.random.default_rng(8)
+    x = rng.standard_normal((B, L, nx)).astype(np.float32)
+
+    ours = QRNNLayer(H, kernel=K_, causal=True)
+    params = ours.init(jax.random.PRNGKey(0), jnp.asarray(x))["params"]
+    h_o, c_o = ours.apply({"params": params}, jnp.asarray(x))
+
+    ref = ref_mod.QRNNLayer(nx, H, K_, mode="fo")
+    ref.eval()
+    k = np.asarray(params["conv"]["kernel"])       # [K, nx, 3H]
+    b = np.asarray(params["conv"]["bias"])         # [3H]
+    w = np.transpose(k, (2, 1, 0))                 # [3H, nx, K]
+    ref.z_conv.weight.data = torch.from_numpy(w[:H].copy())
+    ref.z_conv.bias.data = torch.from_numpy(b[:H].copy())
+    ref.f_conv.weight.data = torch.from_numpy(w[H:2 * H].copy())
+    ref.f_conv.bias.data = torch.from_numpy(b[H:2 * H].copy())
+    ref.o_conv.weight.data = torch.from_numpy(w[2 * H:].copy())
+    ref.o_conv.bias.data = torch.from_numpy(b[2 * H:].copy())
+
+    with torch.no_grad():
+        h_r = ref.forward(torch.from_numpy(x.copy()),
+                          torch.zeros(B, H))
+    np.testing.assert_allclose(np.asarray(h_o), h_r.numpy(),
+                               rtol=1e-4, atol=1e-5)

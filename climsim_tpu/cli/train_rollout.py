@@ -133,13 +133,25 @@ def main(argv=None):
     y_lev_n = y_lev * ysc_lev
     y_sfc_n = y_sfc * ysc_sfc
 
+    # prev-step channels (reference include_prev_inputs/outputs,
+    # rnn/utils.py:2095-2148: 6 input / 5 output level channels of the
+    # previous timestep concatenated onto each step's inputs)
+    def _nprev(key, default_n):
+        v = dcfg.get(key, 0)
+        if v is True:
+            return default_n          # reference channel counts
+        return int(v or 0)
+
+    ipi = _nprev("include_prev_inputs", 6)
+    ipo = _nprev("include_prev_outputs", 5)
+
     mcfg = cfg.get("model", {})
     model_type = mcfg.get("type", "rnn")      # rnn | physrnn
     if model_type == "physrnn":
         from ..models.phys_rnn import PhysicalRNNAutoreg
         ysl = np.asarray(ysc_lev, np.float32).reshape(-1, ysc_lev.shape[-1]).mean(0)
         model = PhysicalRNNAutoreg(
-            nx=x_lev.shape[-1], nx_sfc=x_sfc.shape[-1],
+            nx=x_lev.shape[-1] + ipi + ipo, nx_sfc=x_sfc.shape[-1],
             ny=y_lev.shape[-1], ny_sfc=y_sfc.shape[-1],
             nneur=tuple(mcfg.get("nneur", (128, 128))),
             nh_mem=mcfg.get("nh_mem", 16),
@@ -165,7 +177,7 @@ def main(argv=None):
         model = None
     if model is None:
         model = RNNAutoreg(
-            nx=x_lev.shape[-1], nx_sfc=x_sfc.shape[-1],
+            nx=x_lev.shape[-1] + ipi + ipo, nx_sfc=x_sfc.shape[-1],
             ny=y_lev.shape[-1], ny_sfc=y_sfc.shape[-1],
             nneur=tuple(mcfg.get("nneur", (192, 192))),
             nh_mem=mcfg.get("nh_mem", 16),
@@ -266,12 +278,18 @@ def main(argv=None):
     ntr = n_train_steps if n_train_steps is not None else \
         int(x_lev.shape[0] * (1 - dcfg.get("val_frac", 0.2)))
 
+
     def chunks(lo, hi, shuffle):
         n = (hi if hi is not None else x_lev.shape[0]) - lo
+        # prev-step channels consume the first step of each split
+        if ipi or ipo:
+            n = n - 1
         it = keeplev_chunks(x_lev_n[lo:hi], x_sfc_n[lo:hi],
                             y_lev_n[lo:hi], y_sfc_n[lo:hi], sp[lo:hi],
                             chunk_size=max(1, min(chunk, n)),
-                            shuffle=shuffle)
+                            shuffle=shuffle,
+                            include_prev_inputs=ipi,
+                            include_prev_outputs=ipo)
         if not need_raw:
             yield from it
             return
@@ -282,7 +300,8 @@ def main(argv=None):
         cs = max(1, min(chunk, n))
         for i, c in enumerate(keeplev_chunks(
                 x_lev_n[lo:hi], x_sfc_n[lo:hi], y_lev_n[lo:hi],
-                y_sfc_n[lo:hi], sp[lo:hi], chunk_size=cs, shuffle=False)):
+                y_sfc_n[lo:hi], sp[lo:hi], chunk_size=cs, shuffle=False,
+                include_prev_inputs=ipi, include_prev_outputs=ipo)):
             # raw snapshot taken after the humidity rewrites but before
             # the cloud transforms (the reference's x_lev_b_denorm)
             c["x_lev_raw"] = x_lev_raw_src[lo:hi][i * cs:(i + 1) * cs]

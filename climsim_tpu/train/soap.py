@@ -1,22 +1,37 @@
 """SOAP optimizer (ShampoO with Adam in the Preconditioner's eigenbasis).
 
-TPU-native optax implementation of the algorithm the reference vendors in
-rnn/soap.py:11-430 (arXiv 2409.11321) and recommends as the default for
-rollout training (train_rnn_rollout_torchscript_hydra.py:13,683-684).
+TPU-native optax implementation, step-for-step equivalent to the
+reference's vendored torch SOAP (rnn/soap.py:11-430, arXiv 2409.11321),
+the default optimizer of the rollout trainer
+(train_rnn_rollout_torchscript_hydra.py:13,683-684). Semantics mirrored
+exactly (and pinned by tests/test_soap_parity.py):
 
-Per 2-D parameter W [m, n]:
-  L <- b2p*L + (1-b2p) * G @ G.T ;  R <- b2p*R + (1-b2p) * G.T @ G
-  every ``precondition_frequency`` steps: QL, QR <- eigh(L), eigh(R)
-  G' = QL.T @ G @ QR ; Adam moments run on G'
-  update = QL @ (m_hat / (sqrt(v_hat)+eps)) @ QR.T
+* the FIRST step only initializes the preconditioner from the gradient
+  and applies NO parameter update (soap.py:148-152 "first step is
+  skipped so that we never use the current gradients in the projection");
+* per step: project the gradient into the eigenbasis, run Adam moments
+  there (denom = sqrt(v)+eps, step-size bias correction
+  lr*sqrt(1-b2^t)/(1-b1^t)), project the update back, then decoupled
+  weight decay (:160-204);
+* the preconditioner accumulators L, R are lerped with the RAW gradient
+  AFTER the update (:208-213), so the current gradient never enters its
+  own projection;
+* every ``precondition_frequency`` steps the eigenbases refresh by one
+  power iteration + QR (:373-430): estimated eigenvalues sort the old
+  basis columns descending, ``exp_avg_sq`` is PERMUTED accordingly, and
+  ``exp_avg`` is exactly re-projected (projected back in the old basis
+  before the refresh, forward in the new — :268-306);
+* the initial eigenbasis is a full eigh with columns flipped to
+  descending eigenvalue order (:337-372).
 
-Non-matrix parameters fall back to plain Adam. Higher-rank parameters are
-reshaped to 2-D by merging leading axes. The periodic eigendecompositions
-run under ``lax.cond`` so the jitted step has a single program; eigh on
-(<=1024)^2 matrices is cheap relative to a training step.
+Non-matrix (ndim<2) parameters run plain Adam in the same loop, including
+the first-step skip (reference precondition_1d=False default). Higher-rank
+parameters are merged to 2-D. The periodic refresh runs under
+``lax.cond`` so the jitted step stays a single program.
 """
 from __future__ import annotations
 
+import math
 from typing import NamedTuple
 
 import jax
@@ -25,8 +40,8 @@ import optax
 
 
 class _SoapParamState(NamedTuple):
-    exp_avg: jnp.ndarray
-    exp_avg_sq: jnp.ndarray
+    exp_avg: jnp.ndarray      # stored in eigenbasis coordinates (2-D path)
+    exp_avg_sq: jnp.ndarray   # eigenbasis coordinates (2-D path)
     L: jnp.ndarray | None
     R: jnp.ndarray | None
     QL: jnp.ndarray | None
@@ -43,8 +58,16 @@ def _as2d(g):
         return None
     if g.ndim == 2:
         return g.shape
-    import math
     return (math.prod(g.shape[:-1]), g.shape[-1])
+
+
+def _eigh_desc(M):
+    """eigh basis with columns in DESCENDING eigenvalue order
+    (reference get_orthogonal_matrix, soap.py:337-372)."""
+    M32 = M.astype(jnp.float32) + 1e-30 * jnp.eye(M.shape[0],
+                                                  dtype=jnp.float32)
+    _, Q = jnp.linalg.eigh(M32)
+    return jnp.flip(Q, axis=1)
 
 
 def soap(learning_rate: float = 3e-3, b1: float = 0.95, b2: float = 0.95,
@@ -68,49 +91,92 @@ def soap(learning_rate: float = 3e-3, b1: float = 0.95, b2: float = 0.95,
         return SoapState(count=jnp.zeros([], jnp.int32), inner=inner)
 
     def update_fn(grads, state, params=None):
-        count = state.count + 1
-        # optax-style schedule support: callable learning_rate(step)
+        count = state.count + 1            # calls so far (first call = 1)
+        step = count - 1                   # reference state["step"]
+        live = (step > 0).astype(jnp.float32)
         lr_t = learning_rate(count) if callable(learning_rate) \
             else learning_rate
+
+        # bias corrections use the post-increment reference step counter
+        bc1 = 1.0 - b1 ** jnp.maximum(step, 1)
+        bc2 = 1.0 - b2 ** jnp.maximum(step, 1)
+        step_size = lr_t * jnp.sqrt(bc2) / bc1
 
         def upd(g, s, p):
             shape2d = _as2d(g)
             if s.L is None:
-                # plain Adam path
-                m = b1 * s.exp_avg + (1 - b1) * g
-                v = b2 * s.exp_avg_sq + (1 - b2) * g * g
-                mh = m / (1 - b1 ** count)
-                vh = v / (1 - b2 ** count)
-                u = mh / (jnp.sqrt(vh) + eps)
+                # plain-Adam path, same first-step skip (the reference
+                # `continue` happens before the moment update too)
+                m = live * (b1 * s.exp_avg + (1 - b1) * g) \
+                    + (1 - live) * s.exp_avg
+                v = live * (b2 * s.exp_avg_sq + (1 - b2) * g * g) \
+                    + (1 - live) * s.exp_avg_sq
+                u = step_size * (m / (jnp.sqrt(v) + eps))
                 if weight_decay and p is not None:
-                    u = u + weight_decay * p
-                return -lr_t * u, _SoapParamState(
-                    m, v, None, None, None, None)
+                    # decoupled wd acts on the POST-update parameter
+                    # (soap.py:195-204: p.add_(p, alpha=-lr*wd) AFTER the
+                    # gradient step)
+                    u = u + lr_t * weight_decay * (p - u)
+                return -live * u, _SoapParamState(m, v, None, None,
+                                                  None, None)
 
             g2 = g.reshape(shape2d)
+
+            # ---- parameter update with the CURRENT basis (grad never
+            # enters its own projection)
+            gp = s.QL.T @ g2 @ s.QR
+            m = b1 * s.exp_avg + (1 - b1) * gp
+            v = b2 * s.exp_avg_sq + (1 - b2) * gp * gp
+            m = live * m + (1 - live) * s.exp_avg
+            v = live * v + (1 - live) * s.exp_avg_sq
+            u2 = s.QL @ (m / (jnp.sqrt(v) + eps)) @ s.QR.T
+            u = step_size * u2.reshape(g.shape)
+            if weight_decay and p is not None:
+                # decoupled wd on the POST-update parameter (soap.py:204)
+                u = u + lr_t * weight_decay * (p - u)
+            u = -live * u
+
+            # ---- post-update preconditioner accumulation (soap.py:
+            # 268-306): exp_avg back to original space, GG lerp, optional
+            # basis refresh, exp_avg into the (new) basis
+            m_back = s.QL @ m @ s.QR.T
             L = shampoo_beta * s.L + (1 - shampoo_beta) * (g2 @ g2.T)
             R = shampoo_beta * s.R + (1 - shampoo_beta) * (g2.T @ g2)
 
-            def refresh(_):
-                # eigh in f32 for stability; eigenvectors sorted ascending
-                _, ql = jnp.linalg.eigh(L.astype(jnp.float32))
-                _, qr = jnp.linalg.eigh(R.astype(jnp.float32))
-                return ql.astype(g2.dtype), qr.astype(g2.dtype)
+            def init_basis(_):
+                return _eigh_desc(L).astype(g2.dtype), \
+                    _eigh_desc(R).astype(g2.dtype), v
 
-            QL, QR = jax.lax.cond(
-                (count % precondition_frequency) == 1,
-                refresh, lambda _: (s.QL, s.QR), operand=None)
+            def qr_refresh(_):
+                # power iteration + QR with descending eigenvalue sort;
+                # exp_avg_sq permuted along each axis (soap.py:373-430)
+                L32 = L.astype(jnp.float32)
+                R32 = R.astype(jnp.float32)
+                QL32 = s.QL.astype(jnp.float32)
+                QR32 = s.QR.astype(jnp.float32)
+                estL = jnp.diag(QL32.T @ L32 @ QL32)
+                sortL = jnp.argsort(-estL)
+                estR = jnp.diag(QR32.T @ R32 @ QR32)
+                sortR = jnp.argsort(-estR)
+                v_perm = v[sortL][:, sortR]
+                QLn, _ = jnp.linalg.qr(L32 @ QL32[:, sortL])
+                QRn, _ = jnp.linalg.qr(R32 @ QR32[:, sortR])
+                return QLn.astype(g2.dtype), QRn.astype(g2.dtype), v_perm
 
-            gp = QL.T @ g2 @ QR
-            m = b1 * s.exp_avg + (1 - b1) * gp
-            v = b2 * s.exp_avg_sq + (1 - b2) * gp * gp
-            mh = m / (1 - b1 ** count)
-            vh = v / (1 - b2 ** count)
-            u2 = QL @ (mh / (jnp.sqrt(vh) + eps)) @ QR.T
-            u = u2.reshape(g.shape)
-            if weight_decay and p is not None:
-                u = u + weight_decay * p
-            return -lr_t * u, _SoapParamState(m, v, L, R, QL, QR)
+            def keep(_):
+                return s.QL, s.QR, v
+
+            is_first = step == 0
+            is_refresh = jnp.logical_and(step > 0,
+                                         (step % precondition_frequency)
+                                         == 0)
+            QLn, QRn, v_new = jax.lax.cond(
+                is_first, init_basis,
+                lambda _: jax.lax.cond(is_refresh, qr_refresh, keep,
+                                       operand=None),
+                operand=None)
+            m_new = QLn.T @ m_back @ QRn
+            return u, _SoapParamState(m_new, v_new, L, R, QLn, QRn)
 
         params_tree = params if params is not None else grads
         flat_g, treedef = jax.tree_util.tree_flatten(grads)

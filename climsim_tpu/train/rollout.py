@@ -192,6 +192,15 @@ def make_optimizer(cfg: RolloutConfig):
         return optax.adam(lr)
     if cfg.optimizer == "adamw":
         return optax.adamw(lr, weight_decay=cfg.weight_decay)
+    if cfg.optimizer in ("adamwschedulefree", "schedulefree"):
+        # the reference's schedulefree.AdamWScheduleFree option (driver
+        # :679-681) — the true Defazio et al. schedule-free algorithm.
+        # NOTE: for evaluation/checkpointing at the averaged iterate use
+        # optax.contrib.schedule_free_eval_params(state, params).
+        import optax.contrib as oc
+        return oc.schedule_free_adamw(
+            lr if not callable(lr) else cfg.lr,
+            weight_decay=cfg.weight_decay)
     if cfg.optimizer == "soap":
         from .soap import soap
         return soap(lr, weight_decay=cfg.weight_decay)

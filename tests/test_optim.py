@@ -144,3 +144,33 @@ def test_offline_loop_plateau_and_early_stop():
                      epochs=2, loss="mse")
     state3, hist3 = fit(model, vset, cfg3, batches, val_batches=batches)
     assert np.isfinite(hist3[-1]["train_loss"])
+
+
+def test_schedulefree_adamw_learns():
+    """The reference's adamwschedulefree option (driver :679-681), via the
+    true optax.contrib schedule-free algorithm."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from climsim_tpu.train.rollout import RolloutConfig, make_optimizer
+    import optax
+
+    cfg = RolloutConfig(optimizer="adamwschedulefree", lr=1e-2)
+    tx = make_optimizer(cfg)
+    W = jnp.asarray(np.random.default_rng(0).standard_normal((8, 4)),
+                    jnp.float32)
+    params = {"w": jnp.zeros((8, 4), jnp.float32)}
+    st = tx.init(params)
+
+    @jax.jit
+    def step(params, st):
+        loss, g = jax.value_and_grad(
+            lambda p: jnp.mean((p["w"] - W) ** 2))(params)
+        up, st = tx.update(g, st, params)
+        return optax.apply_updates(params, up), st, loss
+
+    l0 = None
+    for i in range(60):
+        params, st, loss = step(params, st)
+        l0 = l0 if l0 is not None else float(loss)
+    assert float(loss) < 0.2 * l0

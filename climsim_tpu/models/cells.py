@@ -66,7 +66,11 @@ class LSTMCell(nn.Module):
 
 
 class LayerNormLSTMCell(nn.Module):
-    """LSTM with layer-normalized gates (models_torch_kernels.py:718)."""
+    """LSTM with layer-normalized gates — the DETERMINISTIC analog of the
+    reference's noise-conditioned StochasticLayerNormLSTMLayer
+    (models_torch_kernels.py:718; the reference has no plain LN-LSTM, so
+    this uses standard per-feature LayerNorm; the exact noise-conditioned
+    variant is StochasticLayerNormLSTMCell / 'sln_lstm')."""
 
     hidden: int
     dtype: Any = None

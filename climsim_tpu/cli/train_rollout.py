@@ -149,7 +149,23 @@ def main(argv=None):
     model_type = mcfg.get("type", "rnn")      # rnn | physrnn
     if model_type == "physrnn":
         from ..models.phys_rnn import PhysicalRNNAutoreg
-        ysl = np.asarray(ysc_lev, np.float32).reshape(-1, ysc_lev.shape[-1]).mean(0)
+        ysl2 = np.asarray(ysc_lev, np.float32)
+        ysl = ysl2.reshape(-1, ysl2.shape[-1]).mean(0)
+        if ysl2.ndim == 2 and mcfg.get("per_level_yscale", False):
+            # per-level yscale columns (the reference's yscale_lev[:, c]),
+            # clipped to 100x around the column median — near-zero
+            # tendency stds (quiet stratosphere levels) otherwise produce
+            # degenerate 1e12 scales that overflow the decode. Intended
+            # for REAL ClimSim norm files (smooth columns); synthetic-data
+            # columns can still destabilize early training — prefer the
+            # scalar default there.
+            def ycol(c):
+                col = ysl2[:, c]
+                med = float(np.median(col))
+                return tuple(float(v) for v in
+                             np.clip(col, med / 100.0, med * 100.0))
+        else:
+            ycol = lambda c: float(ysl[c])
         model = PhysicalRNNAutoreg(
             nx=x_lev.shape[-1] + ipi + ipo, nx_sfc=x_sfc.shape[-1],
             ny=y_lev.shape[-1], ny_sfc=y_sfc.shape[-1],
@@ -170,8 +186,7 @@ def main(argv=None):
             hyai=tt(grid.hyai), hybi=tt(grid.hybi),
             hyam=tt(grid.hyam), hybm=tt(grid.hybm),
             sp_mean=float(xms[0]), sp_div=float(xss[0]),
-            yscale_t=float(ysl[0]), yscale_qv=float(ysl[1]),
-            yscale_qn=float(ysl[2]),
+            yscale_t=ycol(0), yscale_qv=ycol(1), yscale_qn=ycol(2),
             yscale_precc=float(np.asarray(ysc_sfc)[3]))
     else:
         model = None

@@ -292,7 +292,17 @@ class PhysicalRNNAutoreg(nn.Module):
         flux_qv_dp = sf * (fqv[:, 1:] - fqv[:, :-1]) * inv_dp
         flux_qn_dp = sf * (fqn[:, 1:] - fqn[:, :-1]) * inv_dp
 
-        ys_t, ys_qv, ys_qn = self.yscale_t, self.yscale_qv, self.yscale_qn
+        # yscales: scalars or per-level columns of length 60 (the
+        # reference uses yscale_lev[:, c] columns); arrays are sliced to
+        # the CRM levels and shaped for [B, Lc, nreg] / [B, Lc] contexts
+        ys_t_full = jnp.asarray(self.yscale_t, x_main.dtype)
+        ys_qv_full = jnp.asarray(self.yscale_qv, x_main.dtype)
+        ys_qn_full = jnp.asarray(self.yscale_qn, x_main.dtype)
+        crm3 = lambda a: a if a.ndim == 0 else a[ic:].reshape(1, -1, 1)
+        crm2 = lambda a: a if a.ndim == 0 else a[ic:].reshape(1, -1)
+        ys_t, ys_qv, ys_qn = crm3(ys_t_full), crm3(ys_qv_full), \
+            crm3(ys_qn_full)
+        ys_t2, ys_qv2 = crm2(ys_t_full), crm2(ys_qv_full)
         if self.ice_sedimentation:
             qice_crm = jax.nn.softplus(
                 nn.Dense(nreg, name="mlp_qice_crm")(latent))
@@ -355,7 +365,8 @@ class PhysicalRNNAutoreg(nn.Module):
                 (liq_frac_crm * self.lv + (1 - liq_frac_crm) * self.ls)
                 * dq_cond - self.lv * dqv_evap_prec)
         else:
-            temp = T_gcm[..., 0] + jnp.sum(area_frac * dT_crm, 2) / ys_t * DT
+            temp = T_gcm[..., 0] \
+                + jnp.sum(area_frac * dT_crm, 2) / ys_t2 * DT
             liq_frac = temperature_scaling(temp)[..., None]
             dq_cond_s = jnp.sum(area_frac * dq_cond, 2, keepdims=True)
             dqv_ep_s = jnp.sum(area_frac * dqv_evap_prec, 2, keepdims=True)
@@ -448,7 +459,7 @@ class PhysicalRNNAutoreg(nn.Module):
                 else:
                     dT_src = dT[..., 0]
                     dqv_src = dqv[..., 0]
-                T_new_crm = nn.relu(T_gcm[..., 0] + DT * (dT_src / ys_t))
+                T_new_crm = nn.relu(T_gcm[..., 0] + DT * (dT_src / ys_t2))
                 T_full = x_denorm[:, :, 0].at[:, ic:].set(T_new_crm)
             else:
                 dqv_src = None
@@ -519,7 +530,7 @@ class PhysicalRNNAutoreg(nn.Module):
                 # qv updated like T (models_phys.py:1733-1737; applies
                 # because our gas optics is trainable, not frozen RRTMGP)
                 qv_col = qv_col.at[:, ic:].set(nn.relu(
-                    qv_col[:, ic:] + DT * (dqv_src / ys_qv)))
+                    qv_col[:, ic:] + DT * (dqv_src / ys_qv2)))
             qv_col = jnp.clip(qv_col, 0.0, 0.05)
             vmr_col = qv_col / (1.0 - qv_col) * 1.608079364
             gases = {"o3": jnp.full((B, L), 2e-6, x_main.dtype),
@@ -553,7 +564,9 @@ class PhysicalRNNAutoreg(nn.Module):
                 learned_cloud_optics=self.learned_cloud_optics,
                 name="radiation")(T_full, play, plev, gases, clouds,
                                   sfc_rad)
-            out = out.at[:, :, 0].add(heating * ys_t)
+            ys_t_line = ys_t_full if ys_t_full.ndim == 0 \
+                else ys_t_full.reshape(1, -1)
+            out = out.at[:, :, 0].add(heating * ys_t_line)
             out_sfc = out_sfc.at[:, 0].set(scalars["NETSW"])
             out_sfc = out_sfc.at[:, 1].set(scalars["FLWDS"])
             out_sfc = out_sfc.at[:, 4].set(scalars["SOLS"])

@@ -307,3 +307,90 @@ def test_physical_rnn_rollout_parity():
                 rtol=5e-3, atol=5e-4, err_msg=f"mem step {t}")
     finally:
         torch.randn = orig_randn
+
+
+def test_physical_rnn_parity_per_level_yscales():
+    """Per-level yscale columns (the reference's yscale_lev[:, c]): parity
+    with VARYING columns instead of constants."""
+    g = Grid.from_file(GRID_PATH)
+    tt = lambda a: tuple(float(x) for x in np.asarray(a))
+    rng = np.random.default_rng(11)
+    col_t = (YS_T * rng.uniform(0.5, 2.0, L)).astype(np.float32)
+    col_qv = (YS_QV * rng.uniform(0.5, 2.0, L)).astype(np.float32)
+    col_qn = (YS_QN * rng.uniform(0.5, 2.0, L)).astype(np.float32)
+
+    ours = PhysicalRNNAutoreg(
+        nx=NX, nx_sfc=NX_SFC, ny=NY, ny_sfc=NY_SFC, nneur=(NH, NH),
+        nh_mem=NH_MEM, nreg=NREG, use_clear_sky_region=True,
+        pred_subgrid_temp=True, ice_sedimentation=True, store_precip=True,
+        allow_extra_heating=True, add_pres=True,
+        hyai=tt(g.hyai), hybi=tt(g.hybi), hyam=tt(g.hyam),
+        hybm=tt(g.hybm), sp_mean=0.0, sp_div=1.0,
+        yscale_t=tuple(col_t), yscale_qv=tuple(col_qv),
+        yscale_qn=tuple(col_qn), yscale_precc=YS_PREC,
+        qv_channel=NX - 1)
+
+    xm = rng.normal(0, 1, (B, L, NX)).astype(np.float32)
+    xs = rng.normal(0, 1, (B, NX_SFC)).astype(np.float32)
+    xs[:, 0] = rng.uniform(9.6e4, 1.03e5, B)
+    mem = rng.normal(0, 1, (B, LC, NH_MEM + 1)).astype(np.float32)
+    mem[:, :, -1] = np.abs(mem[:, :, -1]) * 1e-3
+    xd = rng.normal(0, 1, (B, L, NX)).astype(np.float32)
+    xd[..., 0] = rng.uniform(210, 300, (B, L))
+    xd[..., 2] = rng.uniform(0, 1e-4, (B, L))
+    xd[..., 3] = rng.uniform(0, 1e-4, (B, L))
+    xd[..., NX - 1] = rng.uniform(1e-6, 1e-2, (B, L))
+
+    params = ours.init(jax.random.PRNGKey(0), jnp.asarray(xm),
+                       jnp.asarray(xs), jnp.asarray(mem), jnp.asarray(xd))
+    fp = dict(params["params"])
+    fp["mlp_toa1"] = {
+        "kernel": jnp.zeros_like(fp["mlp_toa1"]["kernel"]),
+        "bias": jnp.zeros_like(fp["mlp_toa1"]["bias"])}
+    params = {"params": fp}
+
+    ref = _ref_model(g)
+    # overwrite the reference's yscale_lev with the varying columns
+    ylev = np.ones((L, NY), np.float32)
+    ylev[:, 0] = col_t
+    ylev[:, 1] = col_qv
+    ylev[:, 2] = col_qn
+    ref.yscale_lev.data = torch.from_numpy(ylev)
+    _copy_dense(ref.mlp_initial, fp, "mlp_initial")
+    _copy_dense(ref.mlp_surface1, fp, "mlp_surface1")
+    _copy_dense(ref.mlp_latent, fp, "mlp_latent")
+    _copy_dense(ref.mlp_output, fp, "mlp_output")
+    _copy_gru(ref.rnn1, fp, "rnn_up")
+    _copy_gru(ref.rnn2, fp, "rnn_down")
+    _copy_dense(ref.mlp_output_rad, fp, "mlp_output_rad")
+    _copy_dense(ref.mlp_surface_output_rad, fp, "mlp_surface_output_rad")
+    for n in ["mlp_qv_crm", "mlp_qn_crm", "mlp_qice_crm", "mlp_sed_qn_crm",
+              "mlp_massflux", "mlp_eddy_diff", "mlp_evap_prec_crm",
+              "mlp_evap_cond_vapor_crm", "mlp_mp_aa_crm",
+              "mlp_subgrid_area_frac", "mlp_precip_release", "mlp_t_crm"]:
+        _copy_dense(getattr(ref, n), fp, n)
+    ref.eval()
+
+    out_o, sfc_o, mem_o, aux_o = ours.apply(
+        params, jnp.asarray(xm), jnp.asarray(xs), jnp.asarray(mem),
+        jnp.asarray(xd))
+    try:
+        import importlib
+        importlib.import_module("torch._dynamo").config.disable = True
+    except Exception:
+        pass
+    orig_randn = torch.randn
+    torch.randn = lambda *a, **k: torch.zeros(
+        *a, **{kk: vv for kk, vv in k.items() if kk != "device"})
+    try:
+        with torch.no_grad():
+            out_r, sfc_r, mem_r, pneg_r = ref([
+                torch.from_numpy(xm), torch.from_numpy(xs),
+                torch.from_numpy(np.swapaxes(mem, 0, 1).copy()),
+                torch.from_numpy(xd)])
+    finally:
+        torch.randn = orig_randn
+    np.testing.assert_allclose(np.asarray(out_o), out_r.numpy(),
+                               rtol=2e-3, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(sfc_o), sfc_r.numpy(),
+                               rtol=2e-3, atol=2e-4)

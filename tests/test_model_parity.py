@@ -213,3 +213,55 @@ def test_rnn_autoreg_rollout_parity_with_reference():
     np.testing.assert_allclose(np.asarray(mem_o),
                                np.swapaxes(mem_r.numpy(), 0, 1),
                                rtol=1e-3, atol=1e-4)
+
+
+def test_postprocess_mp_minus2_parity_with_reference():
+    """mp_mode -2 (total-water + cloud-fraction decomposition) parity vs
+    the reference Base_RNN_autoreg.postprocessing (models.py:273-339).
+    Predicted liquid fractions are placed INSIDE the +-0.2 clamp band so
+    the reference's leftover clamp-discarding line (:320, documented in
+    our docstring) is value-neutral."""
+    from climsim_tpu.models.rnn import postprocess_mp, temperature_scaling
+
+    g = Grid.from_file(GRID_PATH)
+    ref_models = _load_ref_models_module()
+    NY2 = 6
+    cfg = _DictConfig(
+        ny=NY2, nlev=L, nx=NX, nx_sfc=NX_SFC, ny_sfc=NY_SFC,
+        nneur=[NH, NH], nh_mem=NH_MEM, use_initial_mlp=True,
+        add_pres=True, output_prune=True, use_lstm=False,
+        add_stochastic_layer=False, ensemble_size=1, mp_mode=-2,
+        separate_radiation=False, concat=False, autoregressive=True,
+    )
+    co = _coeffs(g)
+    co["yscale_lev"] = np.ones((L, NY2), np.float32) * 2.0
+    ref = ref_models.RNN_autoreg(cfg, co, torch.device("cpu"))
+
+    rng = np.random.default_rng(4)
+    xd = rng.normal(0, 1, (B, L, NX)).astype(np.float32)
+    xd[..., 0] = rng.uniform(210, 300, (B, L))     # T
+    xd[..., 2] = rng.uniform(0, 1e-4, (B, L))      # qliq
+    xd[..., 3] = rng.uniform(0, 1e-4, (B, L))      # qice
+    xd[..., -1] = rng.uniform(1e-6, 1e-2, (B, L))  # qv (last channel)
+
+    out = rng.normal(0, 1e-3, (B, L, NY2)).astype(np.float32)
+    # place the predicted liq fraction inside the clamp band around the
+    # T-diagnosed ramp of T_new
+    ys = 2.0
+    T_new = xd[..., 0] + (out[..., 0] / ys) * 1200.0
+    diag = np.clip((T_new - 253.16) * 0.05, 0.0, 1.0)
+    out[..., 3] = np.clip(diag + rng.uniform(-0.1, 0.1, (B, L)),
+                          0.0, 1.0) * ys
+    out_sfc = rng.normal(0, 1, (B, NY_SFC)).astype(np.float32)
+
+    with torch.no_grad():
+        o_r, os_r = ref.postprocessing(torch.from_numpy(out.copy()),
+                                       torch.from_numpy(out_sfc.copy()),
+                                       torch.from_numpy(xd.copy()))
+    o_o, os_o = postprocess_mp(
+        jnp.asarray(out), jnp.asarray(out_sfc), jnp.asarray(xd),
+        jnp.full((1, L, NY2), 2.0), jnp.ones(NY_SFC), mp_mode=-2)
+    np.testing.assert_allclose(np.asarray(o_o), o_r.numpy(),
+                               rtol=1e-4, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(os_o), os_r.numpy(),
+                               rtol=1e-5, atol=1e-7)

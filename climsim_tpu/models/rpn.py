@@ -15,13 +15,36 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
+import flax.linen as nn
+
 from .common import Policy, F32
-from .mlp import MLP
+
+
+class _RPNMLP(nn.Module):
+    """The reference RPN's MLP exactly (rpn_model_v1_data.py:37-59):
+    leaky-ReLU with slope 0.15 on hidden layers, PLAIN linear output —
+    no ReLU'd scalar head (unlike the other MLP baselines)."""
+
+    out_dim: int
+    features: tuple
+    policy: Policy = F32
+
+    @nn.compact
+    def __call__(self, x):
+        h = self.policy.cast_in(x)
+        for i, w in enumerate(self.features):
+            h = nn.Dense(w, dtype=self.policy.compute_dtype,
+                         param_dtype=self.policy.param_dtype,
+                         name=f"dense_{i}")(h)
+            h = jnp.where(h > 0, h, 0.15 * h)
+        y = nn.Dense(self.out_dim, dtype=self.policy.compute_dtype,
+                     param_dtype=self.policy.param_dtype, name="head")(h)
+        return self.policy.cast_out(y)
 
 
 def _make_mlp(out_dim, features, policy):
-    return MLP(features=tuple(features), out_dim=out_dim,
-               n_scalar_head=8, policy=policy)
+    return _RPNMLP(out_dim=out_dim, features=tuple(features),
+                   policy=policy)
 
 
 class RPNEnsemble:

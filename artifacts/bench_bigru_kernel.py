@@ -1,0 +1,101 @@
+"""On-chip sweep: fused Pallas BiGRU kernel vs XLA scan at flagship shapes.
+
+Level-major layout, hoisted up projection precomputed (both paths see the
+same [L, B, 3H] input, so this isolates the recurrent sweeps + fused down
+projection). bench.py methodology: N on-device iterations serialized in
+one jitted lax.scan, scalar fetch as the sync, trivial-fetch subtracted.
+
+Run serialized on the one chip:  timeout 1800 python artifacts/bench_bigru_kernel.py
+"""
+import os
+import sys
+import time
+
+os.environ.setdefault("PALLAS_AXON_REMOTE_COMPILE", "1")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+
+cache = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                     "tests", ".jax_cache")
+os.makedirs(cache, exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", cache)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+from climsim_tpu.ops.pallas_rnn import fused_bigru_lbh, _bigru_reference_lbh
+
+B, L, H = 6144, 60, 192
+N = 30
+
+
+def make_args(dtype):
+    ks = jax.random.split(jax.random.PRNGKey(0), 9)
+    s = 0.3
+    shapes = [(L, B, 3 * H), (B, H), (B, H), (H, 3 * H), (3 * H,),
+              (H, 3 * H), (3 * H,), (H, 3 * H), (3 * H,)]
+    return tuple(jax.random.normal(k, sh, jnp.float32).astype(dtype) * s
+                 for k, sh in zip(ks, shapes))
+
+
+def measure(fn, args, label):
+    @jax.jit
+    def loop(args):
+        def body(carry, _):
+            h0u = carry
+            down, lasth = fn(args[0], h0u, *args[2:])
+            return lasth, ()
+        lasth, _ = jax.lax.scan(body, args[1], None, length=N)
+        return jnp.sum(lasth[0].astype(jnp.float32))
+
+    triv = jax.jit(lambda a: jnp.sum(a[1][0].astype(jnp.float32)))
+    t0 = time.perf_counter()
+    float(triv(args))
+    float(loop(args))
+    print(f"# {label}: compiled in {time.perf_counter()-t0:.1f}s",
+          flush=True)
+
+    t0 = time.perf_counter()
+    for _ in range(3):
+        float(triv(args))
+    fetch = (time.perf_counter() - t0) / 3
+
+    times = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        float(loop(args))
+        times.append(time.perf_counter() - t0)
+    dt = max(min(times) - fetch, 1e-9)
+    cols = B * N / dt
+    print(f"{label}: {cols:,.0f} cols/s  ({dt/N*1e3:.3f} ms/fwd)",
+          flush=True)
+    return cols
+
+
+def main():
+    print(f"devices: {jax.devices()}", flush=True)
+    results = {}
+    args = make_args(jnp.bfloat16)
+    try:
+        results["scan-bf16"] = measure(
+            _bigru_reference_lbh, args, "scan-bf16")
+    except Exception as e:
+        print(f"scan-bf16 FAILED: {type(e).__name__}: {e}", flush=True)
+    for bb, acc32 in ((None, True), (None, False), (512, True),
+                      (512, False)):
+        label = f"pallas-bf16-bb{bb or 'auto'}-{'f32' if acc32 else 'bf16'}g"
+        try:
+            results[label] = measure(
+                lambda xp, h0u, h0d, *w, _bb=bb, _a=acc32: fused_bigru_lbh(
+                    xp, h0u, h0d, *w, _bb, False, _a),
+                args, label)
+        except Exception as e:
+            print(f"{label} FAILED: {type(e).__name__}: {e}", flush=True)
+    print("\nsummary:")
+    for k, v in sorted(results.items(), key=lambda kv: -kv[1]):
+        print(f"  {k:26s} {v:>12,.0f} cols/s")
+
+
+if __name__ == "__main__":
+    main()

@@ -104,9 +104,10 @@ def measure(model, params, xm, xs, mem, B, N=40):
 
 def main():
     best, variant = None, "scan"
-    # the pallas variant currently loses to the XLA scan at these shapes
-    # (and bf16 tiling fails Mosaic) — excluded to keep bench wall-time low
-    for use_pallas, bf16, name in ((False, True, "scan-bf16"),
+    # the level-major fused pallas kernel (auto 512-row VMEM tiles) beats
+    # the XLA scan ~1.4x at these shapes (PERFORMANCE.md)
+    for use_pallas, bf16, name in ((True, True, "pallas-bf16"),
+                                   (False, True, "scan-bf16"),
                                    (False, False, "scan-f32")):
         try:
             cols = measure(*build(use_pallas, bf16))

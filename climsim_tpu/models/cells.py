@@ -312,12 +312,16 @@ class FusedBiGRULayer(nn.Module):
     """
 
     hidden: int
-    block_b: int = 64
+    block_b: Any = None      # None = auto VMEM-budget tile sizing
+    # f32 gate arithmetic inside the kernel; False runs gates in the
+    # input dtype (bf16: 2x VPU packing, matches the XLA bf16 scan's
+    # carried-hidden numerics)
+    acc32: bool = True
     force_reference: bool = False
 
     @nn.compact
     def __call__(self, x, h0_up, h0_dn):
-        from ..ops.pallas_rnn import fused_bigru, _bigru_reference
+        from ..ops.pallas_rnn import fused_bigru_lbh, _bigru_reference_lbh
 
         H = self.hidden
         nx = x.shape[-1]
@@ -333,7 +337,9 @@ class FusedBiGRULayer(nn.Module):
         bhh_dn = self.param("bhh_dn", zeros, (3 * H,), jnp.float32)
 
         dt = x.dtype
-        xp = (jnp.einsum("blx,xh->blh", x, win1.astype(dt))
+        # hoisted up-sweep projection, written level-major so the kernel
+        # streams it without an HBM transpose in front
+        xp = (jnp.einsum("blx,xh->lbh", x, win1.astype(dt))
               + bin1.astype(dt))
         args = (xp, h0_up.astype(dt), h0_dn.astype(dt), whh_up.astype(dt),
                 bhh_up.astype(dt), win2.astype(dt), bin2.astype(dt),
@@ -341,8 +347,11 @@ class FusedBiGRULayer(nn.Module):
         use_kernel = (not self.force_reference) and \
             jax.default_backend() == "tpu"
         if use_kernel:
-            return fused_bigru(*args, self.block_b, False)
-        return _bigru_reference(*args)
+            down, lasth = fused_bigru_lbh(*args, self.block_b, False,
+                                          self.acc32)
+        else:
+            down, lasth = _bigru_reference_lbh(*args)
+        return jnp.swapaxes(down, 0, 1), lasth
 
 
 class GLU(nn.Module):

@@ -58,6 +58,9 @@ class RNNAutoreg(nn.Module):
     add_stochastic_layer: bool = False
     stochastic_cell: str = "sgru"
     use_pallas: bool = False     # fused BiGRU kernel (gru cell only)
+    # gate arithmetic precision inside the fused kernel (see
+    # cells.FusedBiGRULayer.acc32)
+    pallas_acc32: bool = True
     # AR(1) noise threading (rnn/utils.py:940-959 noise modes; the wrapper
     # signature's eps_prev, save_wrapper_mem_prevtend_ftorch.py:333-360):
     # eps_new = rho*eps_prev + sqrt(1-rho^2)*N(0,1) drives the stochastic
@@ -129,7 +132,8 @@ class RNNAutoreg(nn.Module):
                      and not self.add_stochastic_layer and nh1 == nh2)
         if use_fused:
             down_out, last_h = FusedBiGRULayer(
-                nh1, name="bigru_fused")(h, hx1, hx2)
+                nh1, acc32=self.pallas_acc32,
+                name="bigru_fused")(h, hx1, hx2)
         elif self.cell == "qrnn":
             # QRNN fo-pooling sweeps (no serial recurrent matmul) — the
             # reference's QRNN cells (models_torch_kernels.py:1358-1546)

@@ -42,6 +42,61 @@ def test_fused_bigru_ragged_batch():
                                rtol=2e-5, atol=1e-6)
 
 
+def test_fused_bigru_bf16():
+    """bf16 storage path (the serving dtype): kernel == reference in the
+    same dtype regime (f32 carried hidden, bf16 matmul inputs)."""
+    args = _make(B=16, dtype=jnp.bfloat16)
+    down_k, last_k = fused_bigru(*args, 8, True)
+    down_r, last_r = _bigru_reference(*args)
+    assert down_k.dtype == jnp.bfloat16
+    np.testing.assert_allclose(np.asarray(down_k, np.float32),
+                               np.asarray(down_r, np.float32),
+                               rtol=0.05, atol=0.02)
+    np.testing.assert_allclose(np.asarray(last_k, np.float32),
+                               np.asarray(last_r, np.float32),
+                               rtol=0.05, atol=0.02)
+
+
+def test_fused_bigru_bf16_gates():
+    """acc32=False (bf16 gate arithmetic, the serving fast path) stays
+    close to the f32-gate kernel."""
+    from climsim_tpu.ops.pallas_rnn import fused_bigru_lbh
+    args = _make(B=16, dtype=jnp.bfloat16)
+    xp = jnp.swapaxes(args[0], 0, 1)
+    down_f, last_f = fused_bigru_lbh(xp, *args[1:], 8, True, True)
+    down_h, last_h = fused_bigru_lbh(xp, *args[1:], 8, True, False)
+    np.testing.assert_allclose(np.asarray(down_h, np.float32),
+                               np.asarray(down_f, np.float32),
+                               rtol=0.1, atol=0.05)
+    np.testing.assert_allclose(np.asarray(last_h, np.float32),
+                               np.asarray(last_f, np.float32),
+                               rtol=0.1, atol=0.05)
+
+
+def test_fused_layer_fallback_matches_scan_path():
+    """RNNAutoreg(use_pallas=True) falls back to the lbh reference off-TPU
+    and must agree with the plain scan path's BiGRU math given the same
+    weights (structure differs, so compare the layer directly)."""
+    from climsim_tpu.models.cells import FusedBiGRULayer
+    B, L, nx, H = 4, 60, 24, 32
+    ks = jax.random.split(K(3), 3)
+    x = jax.random.normal(ks[0], (B, L, nx)) * 0.3
+    h0u = jax.random.normal(ks[1], (B, H)) * 0.3
+    h0d = jax.random.normal(ks[2], (B, H)) * 0.3
+    layer = FusedBiGRULayer(H)
+    p = layer.init(K(4), x, h0u, h0d)
+    down, lasth = layer.apply(p, x, h0u, h0d)
+    w = p["params"]
+    xp = jnp.einsum("blx,xh->blh", x, w["win1"]) + w["bin1"]
+    down_r, last_r = _bigru_reference(
+        xp, h0u, h0d, w["whh_up"], w["bhh_up"], w["win2"], w["bin2"],
+        w["whh_dn"], w["bhh_dn"])
+    np.testing.assert_allclose(np.asarray(down), np.asarray(down_r),
+                               rtol=2e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(lasth), np.asarray(last_r),
+                               rtol=2e-5, atol=1e-6)
+
+
 def test_fused_bigru_gradients():
     args = _make(B=8, H=16)
 

@@ -46,9 +46,10 @@ class FakeGrid:
         return jnp.full((ps.shape[0], NLEV), 1e3)
 
 
-def build(use_pallas: bool):
+def build(use_pallas: bool, emulator_pallas: bool = False):
     model = RNNAutoreg(nx=6, nx_sfc=24, ny=6, ny_sfc=8, nneur=(192, 192),
-                       nh_mem=16, add_pres=False, policy=BF16)
+                       nh_mem=16, add_pres=False, policy=BF16,
+                       use_pallas=emulator_pallas)
     xm = jnp.ones((NCOL, NLEV, 6), jnp.float32) * 0.1
     xs = jnp.ones((NCOL, 24), jnp.float32) * 0.1
     mem0 = jnp.zeros((NCOL, NLEV, 16), jnp.float32)
@@ -105,17 +106,18 @@ def measure(loop, state, mem, x_sfc):
 
 
 def main():
-    for use_pallas in (False, True):
+    for stencil, emul in ((False, False), (True, False), (True, True)):
         try:
-            t = measure(*build(use_pallas))
+            t = measure(*build(stencil, emul))
             # SYPD = simulated years per wall-clock day
             sypd = (1200.0 / t) / (365.0 * 86400.0) * 86400.0
-            print(f"use_pallas={use_pallas}: {t*1e3:.2f} ms/coupled-step "
+            print(f"stencil_pallas={stencil} emulator_pallas={emul}: "
+                  f"{t*1e3:.2f} ms/coupled-step "
                   f"({NCOL/t/1e3:.0f}k cols/s, {sypd:.0f} SYPD high-res)",
                   flush=True)
         except Exception as e:
-            print(f"use_pallas={use_pallas} failed: "
-                  f"{type(e).__name__}: {e}", flush=True)
+            print(f"stencil_pallas={stencil} emulator_pallas={emul} "
+                  f"failed: {type(e).__name__}: {e}", flush=True)
 
 
 if __name__ == "__main__":

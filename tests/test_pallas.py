@@ -115,6 +115,27 @@ def test_fused_bigru_gradients():
                                    rtol=1e-4, atol=1e-5)
 
 
+def test_fused_bigru_gradients_ragged_batch():
+    """Backward kernel with a ragged last tile: the weight-grad reductions
+    must mask the padding rows (B=20 with 8-row tiles -> 4 valid rows in
+    the last tile)."""
+    args = _make(B=20, H=16)
+
+    def loss_k(*a):
+        d, l = fused_bigru(*a, 8, True)
+        return jnp.sum(jnp.square(d)) + jnp.sum(l * l)
+
+    def loss_r(*a):
+        d, l = _bigru_reference(*a)
+        return jnp.sum(jnp.square(d)) + jnp.sum(l * l)
+
+    gk = jax.grad(loss_k, argnums=tuple(range(9)))(*args)
+    gr = jax.grad(loss_r, argnums=tuple(range(9)))(*args)
+    for a, b in zip(gk, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-5)
+
+
 def test_fv_stencil_kernel_matches_reference():
     """Pallas FV kernel (interpret mode) == the jnp fv_advect_2d per level,
     incl. mass conservation."""

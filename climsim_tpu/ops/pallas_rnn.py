@@ -250,12 +250,15 @@ def _bwd(block_b, interpret, acc32, res, g):
         pass
     if interpret:
         return _bigru_bwd_pallas_lbh(res, d_down, d_lasth, None, interpret)
-    if on_tpu and xp.dtype == jnp.bfloat16:
+    if on_tpu:
         # hand-written BPTT kernel (replay + both backward sweeps in
         # VMEM; weight grads accumulate across tiles): 2.08x over the
-        # scan VJP at flagship shapes. Gated to bf16 batches that tile
-        # evenly: one f32 ragged-batch config crashed the v5e worker
-        # (under investigation); ragged/f32 falls back to the scan VJP.
+        # scan VJP at flagship shapes. On-chip parity verified for f32
+        # (<=5e-4) and bf16 (precision-class) with contractive weights.
+        # Gated to batches that tile evenly: one RAGGED f32 config
+        # crashed the v5e worker (kernel fault); ragged batches fall
+        # back to the scan VJP (the interpret-mode ragged path is
+        # correct, so this is a Mosaic-level fault, not a logic one).
         L, B, threeH = xp.shape
         bt = _auto_block_b_bwd(B, L, threeH // 3, xp.dtype.itemsize)
         if B % bt == 0:

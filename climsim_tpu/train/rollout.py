@@ -774,6 +774,19 @@ def make_fused_chunk_step(trainer: RolloutTrainer, W: int, mesh=None,
     else:
         jit_kwargs = dict(donate_argnums=(0, 1, 2))
 
+    on_tpu = False
+    try:
+        on_tpu = jax.default_backend() == "tpu"
+    except Exception:
+        pass
+    if on_tpu and getattr(trainer.model, "use_pallas", False):
+        # embedded pallas custom calls get XLA's default ~16 MB scoped
+        # VMEM in a big program (the standalone kernel limit does not
+        # reach the outer module); raise it so the fused BiGRU's tiles
+        # fit alongside XLA's own VMEM-resident buffers
+        jit_kwargs["compiler_options"] = {
+            "xla_tpu_scoped_vmem_limit_kib": 114688}
+
     @functools.partial(jax.jit, **jit_kwargs)
     def chunk_step(params, opt_state, mem, windows, mix_mask):
         def body(carry, window):

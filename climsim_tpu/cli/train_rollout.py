@@ -64,7 +64,8 @@ def main(argv=None):
     else:
         x_lev, x_sfc, y_lev, y_sfc = S.make_timeseries(
             jax.random.PRNGKey(dcfg.get("seed", 0)),
-            S.SyntheticConfig(vset_name=vset.name), grid,
+            S.SyntheticConfig(vset_name=vset.name,
+                              ncol=dcfg.get("ncol", 384)), grid,
             dcfg.get("steps", 24), flat=False)
         x_lev, x_sfc = np.asarray(x_lev), np.asarray(x_sfc)
         y_lev, y_sfc = np.asarray(y_lev), np.asarray(y_sfc)

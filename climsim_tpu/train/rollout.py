@@ -785,7 +785,7 @@ def make_fused_chunk_step(trainer: RolloutTrainer, W: int, mesh=None,
         # reach the outer module); raise it so the fused BiGRU's tiles
         # fit alongside XLA's own VMEM-resident buffers
         jit_kwargs["compiler_options"] = {
-            "xla_tpu_scoped_vmem_limit_kib": 114688}
+            "xla_tpu_scoped_vmem_limit_kib": 130048}
 
     @functools.partial(jax.jit, **jit_kwargs)
     def chunk_step(params, opt_state, mem, windows, mix_mask):

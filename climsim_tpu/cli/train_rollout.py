@@ -134,6 +134,22 @@ def main(argv=None):
     y_lev_n = y_lev * ysc_lev
     y_sfc_n = y_sfc * ysc_sfc
 
+    # device-resident epoch data: upload the normalized series once and
+    # chunk on-device (keeplev_chunks gathers jnp arrays in place), so
+    # epochs stop re-transferring the dataset — through the TPU tunnel
+    # that transfer dominated large-batch epoch time. auto = resident
+    # when the series fits comfortably in HBM alongside training state.
+    dev_cache = dcfg.get("device_cache", "auto")
+    total_bytes = sum(a.size * 4 for a in (x_lev_n, x_sfc_n, y_lev_n,
+                                           y_sfc_n))
+    if dev_cache == "auto":
+        dev_cache = total_bytes <= 4 * 1024**3
+    if dev_cache:
+        put = lambda a: jax.device_put(jnp.asarray(a, jnp.float32))
+        x_lev_n, x_sfc_n = put(x_lev_n), put(x_sfc_n)
+        y_lev_n, y_sfc_n = put(y_lev_n), put(y_sfc_n)
+        sp = put(sp)
+
     # prev-step channels (reference include_prev_inputs/outputs,
     # rnn/utils.py:2095-2148: 6 input / 5 output level channels of the
     # previous timestep concatenated onto each step's inputs)

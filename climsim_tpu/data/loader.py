@@ -44,15 +44,19 @@ def keeplev_chunks(x_lev, x_sfc, y_lev, y_sfc, sp, chunk_size: int,
     reference's "first time index cannot be zero" contract.
     """
     rng = np.random.default_rng(seed)
+    # device-resident series (jnp arrays) chunk on-device: the gather and
+    # concatenates run on the accelerator and the training loop never
+    # re-uploads the epoch's data through the host
+    xp = jnp if isinstance(x_lev, jnp.ndarray) else np
     offset = 1 if (include_prev_inputs or include_prev_outputs) else 0
     for idx in chunkize(x_lev.shape[0] - offset, chunk_size, rng, shuffle):
         idx = idx + offset
         xl = x_lev[idx]
         if include_prev_outputs:
-            xl = np.concatenate(
+            xl = xp.concatenate(
                 [xl, y_lev[idx - 1][..., :include_prev_outputs]], axis=-1)
         if include_prev_inputs:
-            xl = np.concatenate(
+            xl = xp.concatenate(
                 [xl, x_lev[idx - 1][..., :include_prev_inputs]], axis=-1)
         yield {"x_lev": xl, "x_sfc": x_sfc[idx],
                "y_lev": y_lev[idx], "y_sfc": y_sfc[idx], "sp": sp[idx]}

@@ -149,6 +149,8 @@ def main(argv=None):
         x_lev_n, x_sfc_n = put(x_lev_n), put(x_sfc_n)
         y_lev_n, y_sfc_n = put(y_lev_n), put(y_sfc_n)
         sp = put(sp)
+        # the raw-state snapshots ride along in physrnn / raw-loss runs
+        x_lev_raw_src = put(x_lev_raw_src)
 
     # prev-step channels (reference include_prev_inputs/outputs,
     # rnn/utils.py:2095-2148: 6 input / 5 output level channels of the
@@ -198,6 +200,7 @@ def main(argv=None):
             use_mcica=mcfg.get("use_mcica", False),
             use_tc=mcfg.get("use_tc", False),
             use_qv_variability=mcfg.get("use_qv_variability", False),
+            use_pallas=mcfg.get("use_pallas", False),
             learned_cloud_optics=mcfg.get("learned_cloud_optics", False),
             ng_lw=mcfg.get("ng_lw", 8), ng_sw=mcfg.get("ng_sw", 8),
             hyai=tt(grid.hyai), hybi=tt(grid.hybi),

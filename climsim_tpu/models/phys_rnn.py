@@ -29,7 +29,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from .. import constants as C
-from .cells import RNNLayer
+from .cells import RNNLayer, FusedBiGRULayer
 from .common import Policy, F32
 from .rnn import temperature_scaling, temperature_scaling_precip
 from ..physics import thermo
@@ -124,6 +124,10 @@ class PhysicalRNNAutoreg(nn.Module):
     yscale_qv: float = 1.0
     yscale_qn: float = 1.0
     yscale_precc: float = 1.0
+    # fused pallas BiGRU kernel for the trunk sweeps (ops/pallas_rnn;
+    # requires nneur[0] == nneur[1]; owns its own param layout)
+    use_pallas: bool = False
+    pallas_acc32: bool = True
     policy: Policy = F32
 
     @nn.compact
@@ -189,11 +193,17 @@ class PhysicalRNNAutoreg(nn.Module):
         h = jnp.tanh(nn.Dense(nh1, name="mlp_initial")(trunk_in))
         h = jnp.concatenate([h, mem_in], axis=-1)
         hx1 = jnp.tanh(nn.Dense(nh1, name="mlp_surface1")(x_sfc_crm))
-        up, _ = RNNLayer(nh1, "gru", reverse=True, name="rnn_up")(h, hx1)
         x_toa = jnp.concatenate([x_sfc[:, 1:2], x_sfc[:, 6:7]], axis=1)
         hx2 = nn.Dense(nh2, name="mlp_toa1")(x_toa)
-        rnn2out_full, last_h = RNNLayer(nh2, "gru", reverse=False,
-                                        name="rnn_down")(up, hx2)
+        if self.use_pallas and nh1 == nh2:
+            rnn2out_full, last_h = FusedBiGRULayer(
+                nh1, acc32=self.pallas_acc32, name="bigru_fused")(
+                h, hx1, hx2)
+        else:
+            up, _ = RNNLayer(nh1, "gru", reverse=True, name="rnn_up")(
+                h, hx1)
+            rnn2out_full, last_h = RNNLayer(nh2, "gru", reverse=False,
+                                            name="rnn_down")(up, hx2)
 
         new_mem_full = nn.Dense(self.nh_mem, name="mlp_latent")(rnn2out_full)
         if self.use_physrad:

@@ -47,6 +47,25 @@ def test_shapes_and_finiteness():
     assert np.isfinite(np.asarray(osfc)).all()
 
 
+def test_fused_trunk_runs_and_differentiates():
+    """use_pallas=True swaps the trunk sweeps for the fused BiGRU layer
+    (reference fallback off-TPU); forward finite, grads flow."""
+    m, p, xm, xs, mem, xd = _setup(use_pallas=True)
+    out, osfc, nm, aux = m.apply(p, xm, xs, mem, xd)
+    assert out.shape == (6, 60, 5)
+    assert np.isfinite(np.asarray(out)).all()
+    assert "bigru_fused" in p["params"]
+
+    def loss(p):
+        out, osfc, nm, aux = m.apply(p, xm, xs, mem, xd)
+        return jnp.mean(out ** 2) + jnp.mean(osfc ** 2)
+
+    g = jax.grad(loss)(p)
+    gn = jax.tree_util.tree_reduce(
+        lambda a, x: a + float(jnp.sum(jnp.square(x))), g, 0.0)
+    assert np.isfinite(gn) and gn > 0
+
+
 def test_positivity_by_construction():
     """The ordered clamp chain guarantees qv/qn stay non-negative after one
     timestep (models_phys.py:535-559 semantics)."""

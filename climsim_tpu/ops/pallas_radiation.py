@@ -177,6 +177,245 @@ def lw_solver_noscat_fused(trans_lw, source_dn, source_up, source_sfc,
     return back(fdn), back(fup)
 
 
+# ------------------------------------------------------- backward kernels
+#
+# Hand-written VJPs for both solvers: replay the forward recurrences for
+# the tile in VMEM scratch, then walk them backward accumulating input
+# gradients — the whole BPTT stays on the VPU with zero HBM round-trips.
+# No batch reductions (no weight grads), so ragged tiles need no masking:
+# padding rows produce garbage grads that the block crop discards.
+
+
+def _adding_sw_bwd_kernel(toa_ref, ad_ref, adir_ref, R_ref, T_ref, rd_ref,
+                          tdd_ref, tdir_ref, dfup_ref, dfdiff_ref,
+                          dfdir_ref,
+                          dtoa_ref, dad_ref, dadir_ref, dR_ref, dT_ref,
+                          drd_ref, dtdd_ref, dtdir_ref,
+                          albs, albdirs, fdir_s, fdiff_s, galb, galbdir,
+                          *, nlev: int):
+    one = jnp.asarray(1.0, R_ref.dtype)
+
+    # ---- replay up sweep (albedos below every half-level)
+    albs[nlev] = ad_ref[:, :]
+    albdirs[nlev] = adir_ref[:, :]
+
+    def up(i, carry):
+        alb, albdir = carry
+        j = nlev - 1 - i
+        Rj, Tj = R_ref[j], T_ref[j]
+        inv = one / (one - alb * Rj)
+        albdir_new = rd_ref[j] + (tdir_ref[j] * albdir
+                                  + tdd_ref[j] * alb) * Tj * inv
+        alb_new = Rj + Tj * Tj * alb * inv
+        albs[j] = alb_new
+        albdirs[j] = albdir_new
+        return alb_new, albdir_new
+
+    jax.lax.fori_loop(0, nlev, up, (ad_ref[:, :], adir_ref[:, :]))
+
+    # ---- replay down sweep (direct/diffuse downwelling fluxes)
+    fdir_s[0] = toa_ref[:, :]
+    fdiff_s[0] = jnp.zeros_like(toa_ref[:, :])
+
+    def down(j, carry):
+        fdndir, fdndiff = carry
+        Rj, Tj, tdj = R_ref[j], T_ref[j], tdir_ref[j]
+        fdndiff = (Tj * fdndiff + fdndir * (tdj * albdirs[j + 1] * Rj
+                                            + tdd_ref[j])) \
+            / (one - Rj * albs[j + 1])
+        fdndir = fdndir * tdj
+        fdir_s[j + 1] = fdndir
+        fdiff_s[j + 1] = fdndiff
+        return fdndir, fdndiff
+
+    jax.lax.fori_loop(0, nlev, down, (fdir_s[0], fdiff_s[0]))
+
+    # ---- half-level albedo grads from fup[j] = fdir[j]*albdir[j]
+    #      + fdiff[j]*alb[j] (whole-array, no loop)
+    galb[...] = dfup_ref[...] * fdiff_s[...]
+    galbdir[...] = dfup_ref[...] * fdir_s[...]
+
+    # ---- down sweep backward (j = nlev-1 .. 0); carry = total grads on
+    #      (fdndir[j+1], fdndiff[j+1])
+    gdir0 = dfdir_ref[nlev] + dfup_ref[nlev] * albdirs[nlev]
+    gdiff0 = dfdiff_ref[nlev] + dfup_ref[nlev] * albs[nlev]
+
+    def dnb(i, carry):
+        gdir, gdiff = carry
+        j = nlev - 1 - i
+        Rj, Tj, tdj, tddj = R_ref[j], T_ref[j], tdir_ref[j], tdd_ref[j]
+        alb1, adir1 = albs[j + 1], albdirs[j + 1]
+        denom = one - Rj * alb1
+        fdirj, fdiffj = fdir_s[j], fdiff_s[j]
+        fdiff1 = fdiff_s[j + 1]
+        K = tdj * adir1 * Rj + tddj
+        dN = gdiff / denom
+        dT_ref[j] = dN * fdiffj
+        dtdd_ref[j] = dN * fdirj
+        dtdir_ref[j] = gdir * fdirj + dN * fdirj * adir1 * Rj
+        dR_ref[j] = dN * fdirj * tdj * adir1 \
+            + gdiff * fdiff1 * alb1 / denom
+        galb[j + 1] += gdiff * fdiff1 * Rj / denom
+        galbdir[j + 1] += dN * fdirj * tdj * Rj
+        gdir_next = gdir * tdj + dN * K \
+            + dfdir_ref[j] + dfup_ref[j] * albdirs[j]
+        gdiff_next = dN * Tj + dfdiff_ref[j] + dfup_ref[j] * albs[j]
+        return gdir_next, gdiff_next
+
+    gdir, gdiff = jax.lax.fori_loop(0, nlev, dnb, (gdir0, gdiff0))
+    dtoa_ref[:, :] = gdir      # fdndiff[0] == 0 (constant): grad dropped
+
+    # ---- up sweep backward (j = 0 .. nlev-1); carry = total grads on
+    #      (alb[j], albdir[j])
+    def upb(j, carry):
+        ga, gd = carry
+        Rj, Tj, tdj, tddj = R_ref[j], T_ref[j], tdir_ref[j], tdd_ref[j]
+        A1, Adir1 = albs[j + 1], albdirs[j + 1]
+        inv = one / (one - A1 * Rj)
+        M = tdj * Adir1 + tddj * A1
+        drd_ref[j] = gd
+        dtdir_ref[j] += gd * Adir1 * Tj * inv
+        dtdd_ref[j] += gd * A1 * Tj * inv
+        dT_ref[j] += ga * 2.0 * Tj * A1 * inv + gd * M * inv
+        TAinv = Tj * A1 * inv
+        dR_ref[j] += ga * (one + TAinv * TAinv) \
+            + gd * M * Tj * A1 * inv * inv
+        Tinv = Tj * inv
+        gA1 = ga * Tj * Tinv * inv \
+            + gd * (tddj * Tinv + M * Tinv * Rj * inv)
+        gAdir1 = gd * tdj * Tinv
+        return gA1 + galb[j + 1], gAdir1 + galbdir[j + 1]
+
+    ga, gd = jax.lax.fori_loop(0, nlev, upb, (galb[0], galbdir[0]))
+    dad_ref[:, :] = ga
+    dadir_ref[:, :] = gd
+
+
+def adding_sw_bwd_fused(args, cts, block_b: int = 128,
+                        interpret: bool = False):
+    """Gradients of adding_sw w.r.t. all eight inputs via the fused VMEM
+    backward kernel. args = the forward inputs; cts = (dfup, dfdiff,
+    dfdir) [B, nlev+1, ng]."""
+    (toa, ad, adir, R, T, rd, tdd, tdir) = args
+    dfup, dfdiff, dfdir = cts
+    B, nlev, ng = R.shape
+    dt = jnp.result_type(toa, R, T)
+    to_k = lambda a: jnp.transpose(a.astype(dt), (1, 2, 0))
+    sfc_k = lambda a: jnp.transpose(a.astype(dt), (1, 0))
+
+    nb = -(-B // block_b)
+    bB = min(block_b, B)
+    lay = pl.BlockSpec((nlev, ng, bB), lambda i: (0, 0, i))
+    sfc = pl.BlockSpec((ng, bB), lambda i: (0, i))
+    half = pl.BlockSpec((nlev + 1, ng, bB), lambda i: (0, 0, i))
+    lay_shape = jax.ShapeDtypeStruct((nlev, ng, B), dt)
+    sfc_shape = jax.ShapeDtypeStruct((ng, B), dt)
+    scr = pltpu.VMEM((nlev + 1, ng, bB), dt)
+    outs = pl.pallas_call(
+        functools.partial(_adding_sw_bwd_kernel, nlev=nlev),
+        grid=(nb,),
+        in_specs=[sfc, sfc, sfc, lay, lay, lay, lay, lay,
+                  half, half, half],
+        out_specs=[sfc, sfc, sfc, lay, lay, lay, lay, lay],
+        out_shape=[sfc_shape, sfc_shape, sfc_shape,
+                   lay_shape, lay_shape, lay_shape, lay_shape, lay_shape],
+        scratch_shapes=[scr] * 6,
+        interpret=interpret,
+    )(sfc_k(toa), sfc_k(ad), sfc_k(adir), to_k(R), to_k(T), to_k(rd),
+      to_k(tdd), to_k(tdir), to_k(dfup), to_k(dfdiff), to_k(dfdir))
+    back_l = lambda a: jnp.transpose(a, (2, 0, 1))
+    back_s = lambda a: jnp.transpose(a, (1, 0))
+    (dtoa, dad, dadir, dR, dT, drd, dtdd, dtdir) = outs
+    return (back_s(dtoa).astype(toa.dtype), back_s(dad).astype(ad.dtype),
+            back_s(dadir).astype(adir.dtype), back_l(dR).astype(R.dtype),
+            back_l(dT).astype(T.dtype), back_l(drd).astype(rd.dtype),
+            back_l(dtdd).astype(tdd.dtype),
+            back_l(dtdir).astype(tdir.dtype))
+
+
+def _lw_noscat_bwd_kernel(trans_ref, sdn_ref, sup_ref, ssfc_ref, emis_ref,
+                          dfdn_ref, dfup_ref,
+                          dtrans_ref, dsdn_ref, dsup_ref, dssfc_ref,
+                          demis_ref, fdn_s, fup_s, *, nlev: int):
+    one = jnp.asarray(1.0, trans_ref.dtype)
+    # ---- replay both accumulations
+    fdn_s[0] = jnp.zeros_like(ssfc_ref[:, :])
+
+    def down(j, fdn):
+        fdn = trans_ref[j] * fdn + sdn_ref[j]
+        fdn_s[j + 1] = fdn
+        return fdn
+
+    fdn_sfc = jax.lax.fori_loop(0, nlev, down, fdn_s[0])
+    fup = emis_ref[:, :] * ssfc_ref[:, :] + (one - emis_ref[:, :]) * fdn_sfc
+    fup_s[nlev] = fup
+
+    def up(i, fup):
+        j = nlev - 1 - i
+        fup = trans_ref[j] * fup + sup_ref[j]
+        fup_s[j] = fup
+        return fup
+
+    jax.lax.fori_loop(0, nlev, up, fup)
+
+    # ---- up accumulation backward (ascending)
+    def upb(j, g):
+        dsup_ref[j] = g
+        dtrans_ref[j] = g * fup_s[j + 1]
+        return dfup_ref[j + 1] + g * trans_ref[j]
+
+    g = jax.lax.fori_loop(0, nlev, upb, dfup_ref[0])
+    demis_ref[:, :] = g * (ssfc_ref[:, :] - fdn_s[nlev])
+    dssfc_ref[:, :] = g * emis_ref[:, :]
+
+    # ---- down accumulation backward (descending)
+    def dnb(i, h):
+        j = nlev - 1 - i
+        dsdn_ref[j] = h
+        dtrans_ref[j] += h * fdn_s[j]
+        return dfdn_ref[j] + h * trans_ref[j]
+
+    jax.lax.fori_loop(0, nlev, dnb,
+                      dfdn_ref[nlev] + g * (one - emis_ref[:, :]))
+
+
+def lw_solver_noscat_bwd_fused(args, cts, block_b: int = 128,
+                               interpret: bool = False):
+    """Gradients of lw_solver_noscat w.r.t. all five inputs."""
+    (trans, sdn, sup, ssfc, emis) = args
+    dfdn, dfup = cts
+    B, nlev, ng = trans.shape
+    dt = jnp.result_type(trans, sdn, sup, ssfc)
+    to_k = lambda a: jnp.transpose(a.astype(dt), (1, 2, 0))
+    sfc_k = lambda a: jnp.transpose(a.astype(dt), (1, 0))
+
+    nb = -(-B // block_b)
+    bB = min(block_b, B)
+    lay = pl.BlockSpec((nlev, ng, bB), lambda i: (0, 0, i))
+    sfc = pl.BlockSpec((ng, bB), lambda i: (0, i))
+    half = pl.BlockSpec((nlev + 1, ng, bB), lambda i: (0, 0, i))
+    lay_shape = jax.ShapeDtypeStruct((nlev, ng, B), dt)
+    sfc_shape = jax.ShapeDtypeStruct((ng, B), dt)
+    outs = pl.pallas_call(
+        functools.partial(_lw_noscat_bwd_kernel, nlev=nlev),
+        grid=(nb,),
+        in_specs=[lay, lay, lay, sfc, sfc, half, half],
+        out_specs=[lay, lay, lay, sfc, sfc],
+        out_shape=[lay_shape, lay_shape, lay_shape, sfc_shape, sfc_shape],
+        scratch_shapes=[pltpu.VMEM((nlev + 1, ng, bB), dt)] * 2,
+        interpret=interpret,
+    )(to_k(trans), to_k(sdn), to_k(sup), sfc_k(ssfc), sfc_k(emis),
+      to_k(dfdn), to_k(dfup))
+    back_l = lambda a: jnp.transpose(a, (2, 0, 1))
+    back_s = lambda a: jnp.transpose(a, (1, 0))
+    (dtrans, dsdn, dsup, dssfc, demis) = outs
+    return (back_l(dtrans).astype(trans.dtype),
+            back_l(dsdn).astype(sdn.dtype),
+            back_l(dsup).astype(sup.dtype),
+            back_s(dssfc).astype(ssfc.dtype),
+            back_s(demis).astype(emis.dtype))
+
+
 # ---------------------------------------------------------------- fast paths
 
 def _on_tpu() -> bool:
@@ -210,6 +449,8 @@ def _sw_fwd(*args):
 
 
 def _sw_bwd(args, cts):
+    if _on_tpu():
+        return adding_sw_bwd_fused(args, cts)
     from ..physics.radiation import adding_sw
     _, vjp = jax.vjp(adding_sw, *args)
     return vjp(cts)
@@ -239,6 +480,8 @@ def _lw_fwd(*args):
 
 
 def _lw_bwd(args, cts):
+    if _on_tpu():
+        return lw_solver_noscat_bwd_fused(args, cts)
     from ..physics.radiation import lw_solver_noscat
     _, vjp = jax.vjp(lw_solver_noscat, *args)
     return vjp(cts)

@@ -201,6 +201,57 @@ def test_pallas_lw_noscat_parity():
                                rtol=1e-5, atol=1e-5)
 
 
+def test_pallas_adding_sw_backward_kernel():
+    """Hand-written SW adding backward kernel (interpret) == the scan
+    solver's VJP for all eight inputs."""
+    from climsim_tpu.physics import radiation as R
+    from climsim_tpu.ops.pallas_radiation import adding_sw_bwd_fused
+
+    rng = np.random.default_rng(3)
+    B, L, ng = 24, 20, 4
+    mu0 = rng.uniform(0.2, 1.0, (B, 1, 1))
+    od = jnp.asarray(rng.uniform(0.01, 2.0, (B, L, ng)))
+    ssa = rng.uniform(0.3, 0.999, (B, L, ng))
+    g = rng.uniform(0.0, 0.8, (B, L, ng))
+    rd, td, rdir, tdd, tdir = R.calc_ref_trans_sw(mu0, od, ssa, g)
+    args = (jnp.asarray(rng.uniform(100, 1300, (B, ng))),
+            jnp.asarray(rng.uniform(0.05, 0.8, (B, ng))),
+            jnp.asarray(rng.uniform(0.05, 0.8, (B, ng))),
+            rd, td, rdir, tdd, tdir)
+    cts = tuple(jnp.asarray(rng.normal(0, 1, (B, L + 1, ng)))
+                for _ in range(3))
+    got = adding_sw_bwd_fused(args, cts, block_b=16, interpret=True)
+    _, vjp = jax.vjp(R.adding_sw, *args)
+    exp = vjp(cts)
+    names = "toa ad adir R T rd tdd tdir".split()
+    for nm, a, b in zip(names, got, exp):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-7, err_msg=nm)
+
+
+def test_pallas_lw_backward_kernel():
+    """Hand-written LW no-scat backward kernel (interpret) == scan VJP."""
+    from climsim_tpu.physics import radiation as R
+    from climsim_tpu.ops.pallas_radiation import lw_solver_noscat_bwd_fused
+
+    rng = np.random.default_rng(4)
+    B, L, ng = 20, 15, 3
+    args = (jnp.asarray(rng.uniform(0.3, 0.99, (B, L, ng))),
+            jnp.asarray(np.abs(rng.normal(10, 3, (B, L, ng)))),
+            jnp.asarray(np.abs(rng.normal(10, 3, (B, L, ng)))),
+            jnp.asarray(np.abs(rng.normal(400, 20, (B, ng)))),
+            jnp.asarray(rng.uniform(0.9, 1.0, (B, ng))))
+    cts = (jnp.asarray(rng.normal(0, 1, (B, L + 1, ng))),
+           jnp.asarray(rng.normal(0, 1, (B, L + 1, ng))))
+    got = lw_solver_noscat_bwd_fused(args, cts, block_b=8, interpret=True)
+    _, vjp = jax.vjp(R.lw_solver_noscat, *args)
+    exp = vjp(cts)
+    names = "trans sdn sup ssfc emis".split()
+    for nm, a, b in zip(names, got, exp):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-7, err_msg=nm)
+
+
 def test_fast_solvers_differentiable():
     """The custom-VJP fast solvers fall back to the scan primal off-TPU
     and differentiate through the scan VJP; grads match direct scan

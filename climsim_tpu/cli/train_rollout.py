@@ -141,7 +141,7 @@ def main(argv=None):
     # when the series fits comfortably in HBM alongside training state.
     dev_cache = dcfg.get("device_cache", "auto")
     total_bytes = sum(a.size * 4 for a in (x_lev_n, x_sfc_n, y_lev_n,
-                                           y_sfc_n))
+                                           y_sfc_n, x_lev_raw_src, sp))
     if dev_cache == "auto":
         dev_cache = total_bytes <= 4 * 1024**3
     if dev_cache:
@@ -314,7 +314,7 @@ def main(argv=None):
         int(x_lev.shape[0] * (1 - dcfg.get("val_frac", 0.2)))
 
 
-    def chunks(lo, hi, shuffle):
+    def chunks(lo, hi, shuffle, seed=0):
         n = (hi if hi is not None else x_lev.shape[0]) - lo
         # prev-step channels consume the first step of each split
         if ipi or ipo:
@@ -322,7 +322,7 @@ def main(argv=None):
         it = keeplev_chunks(x_lev_n[lo:hi], x_sfc_n[lo:hi],
                             y_lev_n[lo:hi], y_sfc_n[lo:hi], sp[lo:hi],
                             chunk_size=max(1, min(chunk, n)),
-                            shuffle=shuffle,
+                            shuffle=shuffle, seed=seed,
                             include_prev_inputs=ipi,
                             include_prev_outputs=ipo)
         if not need_raw:
@@ -333,13 +333,17 @@ def main(argv=None):
         # recovering them by matching sp blocks is fragile — use
         # unshuffled contiguous chunks instead
         cs = max(1, min(chunk, n))
+        off = 1 if (ipi or ipo) else 0
         for i, c in enumerate(keeplev_chunks(
                 x_lev_n[lo:hi], x_sfc_n[lo:hi], y_lev_n[lo:hi],
                 y_sfc_n[lo:hi], sp[lo:hi], chunk_size=cs, shuffle=False,
                 include_prev_inputs=ipi, include_prev_outputs=ipo)):
             # raw snapshot taken after the humidity rewrites but before
-            # the cloud transforms (the reference's x_lev_b_denorm)
-            c["x_lev_raw"] = x_lev_raw_src[lo:hi][i * cs:(i + 1) * cs]
+            # the cloud transforms (the reference's x_lev_b_denorm);
+            # prev-step channels shift the chunk start by one step, so
+            # the raw slice must shift with it
+            c["x_lev_raw"] = x_lev_raw_src[lo:hi][off + i * cs:
+                                                  off + (i + 1) * cs]
             yield c
 
     if model_type == "physrnn":
@@ -427,11 +431,13 @@ def main(argv=None):
     for epoch in range(start_epoch, cfg.get("epochs", 10)):
         if fused:
             params, opt_state, mem, rec = run_epoch_fused(
-                trainer, params, opt_state, mem, chunks(0, ntr, True),
+                trainer, params, opt_state, mem,
+                chunks(0, ntr, True, seed=epoch),
                 epoch)
         else:
             params, opt_state, mem, rec = trainer.run_epoch(
-                params, opt_state, mem, chunks(0, ntr, True), epoch)
+                params, opt_state, mem,
+                chunks(0, ntr, True, seed=epoch), epoch)
         if epoch >= cfg.get("val_epoch_start", 0):
             # validation skipped before val_epoch_start (driver :953)
             _, _, _, vrec = trainer.run_epoch(

@@ -313,9 +313,11 @@ class FusedBiGRULayer(nn.Module):
 
     hidden: int
     block_b: Any = None      # None = auto VMEM-budget tile sizing
-    # f32 gate arithmetic inside the kernel; False runs gates in the
-    # input dtype (bf16: 2x VPU packing, matches the XLA bf16 scan's
-    # carried-hidden numerics)
+    # f32 gate arithmetic inside the kernel. False would run the gates
+    # in the input dtype (2x VPU packing) but currently FAILS Mosaic
+    # verification on real TPU (f32 scalar broadcasts inside the
+    # sigmoid/tanh lowering, see docs/kernels.md) — only the
+    # interpret-mode path works; leave True on hardware.
     acc32: bool = True
     force_reference: bool = False
 
@@ -344,8 +346,8 @@ class FusedBiGRULayer(nn.Module):
         args = (xp, h0_up.astype(dt), h0_dn.astype(dt), whh_up.astype(dt),
                 bhh_up.astype(dt), win2.astype(dt), bin2.astype(dt),
                 whh_dn.astype(dt), bhh_dn.astype(dt))
-        use_kernel = (not self.force_reference) and \
-            jax.default_backend() == "tpu"
+        from ..ops import on_tpu
+        use_kernel = (not self.force_reference) and on_tpu()
         if use_kernel:
             down, lasth = fused_bigru_lbh(*args, self.block_b, False,
                                           self.acc32)

@@ -58,8 +58,9 @@ class RNNAutoreg(nn.Module):
     add_stochastic_layer: bool = False
     stochastic_cell: str = "sgru"
     use_pallas: bool = False     # fused BiGRU kernel (gru cell only)
-    # gate arithmetic precision inside the fused kernel (see
-    # cells.FusedBiGRULayer.acc32)
+    # gate arithmetic precision inside the fused kernel; False is
+    # currently interpret-mode-only (Mosaic lowering bug on hardware —
+    # see cells.FusedBiGRULayer.acc32)
     pallas_acc32: bool = True
     # AR(1) noise threading (rnn/utils.py:940-959 noise modes; the wrapper
     # signature's eps_prev, save_wrapper_mem_prevtend_ftorch.py:333-360):

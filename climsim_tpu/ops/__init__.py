@@ -3,3 +3,14 @@ from .pallas_stencil import fv_advect_levels, fv_advect_tracers
 
 __all__ = ["fused_bigru", "PallasBiGRU", "fv_advect_levels",
            "fv_advect_tracers"]
+
+
+def on_tpu() -> bool:
+    """True when the default JAX backend is a TPU (the axon tunnel
+    registers as platform 'tpu'). Shared gate for the kernel fast
+    paths."""
+    import jax
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:
+        return False

@@ -419,10 +419,8 @@ def lw_solver_noscat_bwd_fused(args, cts, block_b: int = 128,
 # ---------------------------------------------------------------- fast paths
 
 def _on_tpu() -> bool:
-    try:
-        return jax.default_backend() == "tpu"
-    except Exception:
-        return False
+    from . import on_tpu
+    return on_tpu()
 
 
 @jax.custom_vjp

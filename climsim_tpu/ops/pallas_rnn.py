@@ -241,16 +241,17 @@ def _fwd(xp, h0_up, h0_dn, whh_up, bhh_up, win2, bin2, whh_dn,
 
 
 def _bwd(block_b, interpret, acc32, res, g):
+    # NOTE: both backward paths linearize the f32-gate forward. With
+    # acc32=False the primal ran bf16 gates, so the gradients belong to
+    # the f32-gate function — a grad-of-nearby-function approximation
+    # (standard for bf16 training; the flag is interpret-mode-only on
+    # hardware anyway, see FusedBiGRULayer.acc32).
     d_down, d_lasth = g
     xp = res[0]
-    on_tpu = False
-    try:
-        on_tpu = jax.default_backend() == "tpu"
-    except Exception:
-        pass
+    from . import on_tpu
     if interpret:
         return _bigru_bwd_pallas_lbh(res, d_down, d_lasth, None, interpret)
-    if on_tpu:
+    if on_tpu():
         # hand-written BPTT kernel (replay + both backward sweeps in
         # VMEM; weight grads accumulate across tiles): 2.08x over the
         # scan VJP at flagship shapes. On-chip parity verified for f32

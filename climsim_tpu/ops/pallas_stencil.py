@@ -168,10 +168,8 @@ def _fv_reference(qs, u, v, dt_dx, dt_dy):
 
 
 def _on_tpu() -> bool:
-    try:
-        return jax.default_backend() == "tpu"
-    except Exception:
-        return False
+    from . import on_tpu
+    return on_tpu()
 
 
 def _fv_tracers_primal(qs, u, v, dt_dx, dt_dy):

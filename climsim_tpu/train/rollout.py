@@ -774,12 +774,8 @@ def make_fused_chunk_step(trainer: RolloutTrainer, W: int, mesh=None,
     else:
         jit_kwargs = dict(donate_argnums=(0, 1, 2))
 
-    on_tpu = False
-    try:
-        on_tpu = jax.default_backend() == "tpu"
-    except Exception:
-        pass
-    if on_tpu and getattr(trainer.model, "use_pallas", False):
+    from ..ops import on_tpu
+    if on_tpu() and getattr(trainer.model, "use_pallas", False):
         # embedded pallas custom calls get XLA's default ~16 MB scoped
         # VMEM in a big program (the standalone kernel limit does not
         # reach the outer module); raise it so the fused BiGRU's tiles

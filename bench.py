@@ -43,7 +43,9 @@ _enable_compile_cache()
 # Recorded round-1 value (columns/s/chip, memory-BiGRU forward, scan-bf16
 # on one v5e chip). vs_baseline = value / BASELINE_VALUE.
 # NOTE: tunnel throughput varies +-40% between processes; baseline set to
-# a conservative mid-range value (best observed: 1.63e6)
+# a conservative mid-range value. Best observed: scan-bf16 1.63e6;
+# pallas-bf16 full-model 1.64e6 in a process where scan=1.06e6 (1.55x),
+# kernel-level 2.58e6.
 BASELINE_VALUE = 1.0e6
 
 

@@ -166,6 +166,14 @@ def main(argv=None):
 
     mcfg = cfg.get("model", {})
     model_type = mcfg.get("type", "rnn")      # rnn | physrnn
+
+    def _policy(mcfg):
+        # mixed-precision compute policy (the reference trains under AMP
+        # autocast, rnn/utils.py:832-834; bf16 needs no GradScaler —
+        # params/optimizer state stay f32)
+        from ..models import BF16, F32
+        return BF16 if str(mcfg.get("policy", "f32")).lower() == "bf16" \
+            else F32
     if model_type == "physrnn":
         from ..models.phys_rnn import PhysicalRNNAutoreg
         ysl2 = np.asarray(ysc_lev, np.float32)
@@ -207,7 +215,8 @@ def main(argv=None):
             hyam=tt(grid.hyam), hybm=tt(grid.hybm),
             sp_mean=float(xms[0]), sp_div=float(xss[0]),
             yscale_t=ycol(0), yscale_qv=ycol(1), yscale_qn=ycol(2),
-            yscale_precc=float(np.asarray(ysc_sfc)[3]))
+            yscale_precc=float(np.asarray(ysc_sfc)[3]),
+            policy=_policy(mcfg))
     else:
         model = None
     if model is None:
@@ -234,7 +243,8 @@ def main(argv=None):
             add_pres=mcfg.get("add_pres", True),
             scan_unroll=mcfg.get("scan_unroll", 1),
             hyam=tt(grid.hyam), hybm=tt(grid.hybm),
-            sp_mean=float(xms[0]), sp_div=float(xss[0]))
+            sp_mean=float(xms[0]), sp_div=float(xss[0]),
+            policy=_policy(mcfg))
 
     rcfg = cfg.get("rollout", {})
     ocfg = cfg.get("optimizer", {})

@@ -140,8 +140,16 @@ def main(argv=None):
     # that transfer dominated large-batch epoch time. auto = resident
     # when the series fits comfortably in HBM alongside training state.
     dev_cache = dcfg.get("device_cache", "auto")
-    total_bytes = sum(a.size * 4 for a in (x_lev_n, x_sfc_n, y_lev_n,
-                                           y_sfc_n, x_lev_raw_src, sp))
+    # raw level state is only consumed by physrnn forwards and the
+    # state-consistency loss terms — don't burn HBM on it otherwise
+    _lcfg0 = cfg.get("loss", {})
+    need_raw = (cfg.get("model", {}).get("type", "rnn") == "physrnn"
+                or _lcfg0.get("w_rh", 0.0) > 0
+                or _lcfg0.get("w_qvpos", 0.0) > 0
+                or _lcfg0.get("w_qnpos", 0.0) > 0)
+    cached = (x_lev_n, x_sfc_n, y_lev_n, y_sfc_n, sp) + \
+        ((x_lev_raw_src,) if need_raw else ())
+    total_bytes = sum(a.size * 4 for a in cached)
     if dev_cache == "auto":
         dev_cache = total_bytes <= 4 * 1024**3
     if dev_cache:
@@ -149,8 +157,9 @@ def main(argv=None):
         x_lev_n, x_sfc_n = put(x_lev_n), put(x_sfc_n)
         y_lev_n, y_sfc_n = put(y_lev_n), put(y_sfc_n)
         sp = put(sp)
-        # the raw-state snapshots ride along in physrnn / raw-loss runs
-        x_lev_raw_src = put(x_lev_raw_src)
+        if need_raw:
+            # the raw-state snapshots ride along in physrnn / raw-loss runs
+            x_lev_raw_src = put(x_lev_raw_src)
 
     # prev-step channels (reference include_prev_inputs/outputs,
     # rnn/utils.py:2095-2148: 6 input / 5 output level channels of the
@@ -296,9 +305,9 @@ def main(argv=None):
         timestepped_optimizer=ocfg.get("timestepped", False),
     )
     # raw level state is needed by the physics model's forward AND by the
-    # state-consistency loss terms (rh / qv / qn positivity)
-    need_raw = (model_type == "physrnn"
-                or rc.w_rh > 0 or rc.w_qvpos > 0 or rc.w_qnpos > 0)
+    # state-consistency loss terms (computed above, pre device-cache)
+    assert need_raw == (model_type == "physrnn" or rc.w_rh > 0
+                        or rc.w_qvpos > 0 or rc.w_qnpos > 0)
     rc.pass_x_raw = need_raw
     apply_fn = None
     if model_type == "physrnn":

@@ -195,7 +195,14 @@ class PhysicalRNNAutoreg(nn.Module):
         hx1 = jnp.tanh(nn.Dense(nh1, name="mlp_surface1")(x_sfc_crm))
         x_toa = jnp.concatenate([x_sfc[:, 1:2], x_sfc[:, 6:7]], axis=1)
         hx2 = nn.Dense(nh2, name="mlp_toa1")(x_toa)
-        if self.use_pallas and nh1 == nh2:
+        if self.use_pallas and nh1 != nh2:
+            # the fused kernel requires nh1 == nh2 and owns a DIFFERENT
+            # parameter tree (bigru_fused vs rnn_up/rnn_down) — a silent
+            # fallback would silently change the checkpoint layout
+            raise ValueError(
+                f"use_pallas=True requires nneur[0] == nneur[1]; got "
+                f"({nh1}, {nh2}). Set use_pallas=False for unequal sweeps.")
+        if self.use_pallas:
             rnn2out_full, last_h = FusedBiGRULayer(
                 nh1, acc32=self.pallas_acc32, name="bigru_fused")(
                 h, hx1, hx2)

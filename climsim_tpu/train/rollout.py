@@ -210,6 +210,18 @@ def make_optimizer(cfg: RolloutConfig):
     raise ValueError(cfg.optimizer)
 
 
+def _vmem_jit_kwargs(model) -> dict:
+    """jit kwargs shared by every step that may embed the fused pallas
+    BiGRU: inside a large XLA program the custom call gets the default
+    ~16 MB scoped VMEM (the standalone kernel limit does not propagate),
+    which can OOM the 256-512-row auto tiles. Raise it whenever the model
+    runs the pallas path on a real TPU."""
+    from ..ops import on_tpu
+    if on_tpu() and getattr(model, "use_pallas", False):
+        return {"compiler_options": {"xla_tpu_scoped_vmem_limit_kib": 130048}}
+    return {}
+
+
 class RolloutTrainer:
     """Drives window-scan updates of an RNNAutoreg-style model.
 
@@ -599,7 +611,8 @@ class RolloutTrainer:
         if key in self._step_cache:
             return self._step_cache[key]
 
-        @partial(jax.jit, donate_argnums=(0, 1), static_argnums=())
+        @partial(jax.jit, donate_argnums=(0, 1), static_argnums=(),
+                 **_vmem_jit_kwargs(self.model))
         def step(params, opt_state, mem, window, mix_mask):
             def loss_fn(p):
                 return self._window_loss(p, window, mem, mix_mask)
@@ -618,7 +631,7 @@ class RolloutTrainer:
         if key in self._eval_cache:
             return self._eval_cache[key]
 
-        @jax.jit
+        @partial(jax.jit, **_vmem_jit_kwargs(self.model))
         def step(params, mem, window, mix_mask):
             loss, new_mem = self._window_loss(params, window, mem, mix_mask,
                                               train=False)
@@ -774,14 +787,7 @@ def make_fused_chunk_step(trainer: RolloutTrainer, W: int, mesh=None,
     else:
         jit_kwargs = dict(donate_argnums=(0, 1, 2))
 
-    from ..ops import on_tpu
-    if on_tpu() and getattr(trainer.model, "use_pallas", False):
-        # embedded pallas custom calls get XLA's default ~16 MB scoped
-        # VMEM in a big program (the standalone kernel limit does not
-        # reach the outer module); raise it so the fused BiGRU's tiles
-        # fit alongside XLA's own VMEM-resident buffers
-        jit_kwargs["compiler_options"] = {
-            "xla_tpu_scoped_vmem_limit_kib": 130048}
+    jit_kwargs.update(_vmem_jit_kwargs(trainer.model))
 
     @functools.partial(jax.jit, **jit_kwargs)
     def chunk_step(params, opt_state, mem, windows, mix_mask):

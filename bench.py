@@ -1,31 +1,37 @@
-"""Benchmark: atmos columns/s/chip on the flagship emulator forward step.
+"""Benchmark: atmos columns/s/chip on the ONLINE HYBRID COUPLED STEP.
 
-Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line {"metric", "value", "unit", "vs_baseline", ...}.
 
-Flagship = the fork-core memory BiGRU emulator (RNNAutoreg, 192/192 hidden,
-nh_mem 16, v4_rnn feature set) — the model the online hybrid loop runs per
-coupled step. Measured with the fused Pallas BiGRU kernel when it compiles
-on the platform, else the scan path.
+This measures the BASELINE.json headline metric directly: one 20-minute
+coupled step of the hybrid system — flagship memory-BiGRU emulator
+(RNNAutoreg 192/192, nh_mem 16, bf16 compute) + finite-volume advection
++ state advance + water fixer — on the high-res-scale proxy grid
+(21,600 columns, 120x180) and at the canonical low-res batch
+(384 columns, 16x24). Step semantics mirror the reference's online
+coupling contract (rnn/save_wrapper_mem_prevtend_ftorch.py:430-510:
+raw-units state in, tendencies applied by the host, memory threaded).
 
-Methodology: this environment reaches the TPU through a tunnel where
-``block_until_ready`` does not synchronize with execution, so the model is
-iterated N times on device inside one jitted ``lax.scan`` (serialized via a
-data dependency) returning a scalar; the host fetch of that scalar is the
-sync, and a trivial-fetch cost is subtracted.
+Methodology: ``block_until_ready`` does not synchronize through the TPU
+tunnel, so N coupled steps run on device inside one jitted ``lax.scan``
+(serialized by the autoregressive data dependency) returning a scalar;
+the host fetch of that scalar is the sync, and the trivial-fetch cost is
+subtracted. >=5 repeats; the MEDIAN is the number of record (tunnel
+throughput varies between processes; the same-process pallas/XLA ratio
+is reported as the variance-immune companion number).
 
-The reference publishes no throughput numbers (SURVEY.md §6);
-vs_baseline compares against this project's recorded value below.
+vs_baseline compares against this project's round-1 recorded value
+(16.6 ms / 21,600 columns = 1.30e6 cols/s, PERFORMANCE.md); the
+reference publishes no throughput numbers (SURVEY.md §6).
 """
 import json
-import sys
 import os
+import statistics
+import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-# persistent compile cache (shared with the test suite's tests/.jax_cache
-# sibling): big programs through the remote-compile tunnel take minutes;
-# warm runs skip that entirely
+
 def _enable_compile_cache():
     try:
         import jax
@@ -38,101 +44,170 @@ def _enable_compile_cache():
     except Exception:
         pass
 
+
 _enable_compile_cache()
 
-# Recorded round-1 value (columns/s/chip, memory-BiGRU forward, scan-bf16
-# on one v5e chip). vs_baseline = value / BASELINE_VALUE.
-# NOTE: tunnel throughput varies +-40% between processes; baseline set to
-# a conservative mid-range value. Best observed: scan-bf16 1.63e6;
-# pallas-bf16 full-model 1.64e6 in a process where scan=1.06e6 (1.55x),
-# kernel-level 2.58e6.
-BASELINE_VALUE = 1.0e6
+# Round-1 value of record: hybrid coupled step, 21,600 columns, bf16
+# emulator + fused pallas stencil on one v5e chip (PERFORMANCE.md).
+BASELINE_VALUE = 1.30e6   # columns/s/chip
+N_STEPS = 20
+REPEATS = 7
 
 
-def build(use_pallas: bool, bf16: bool = False):
+def build(ncol_shape, stencil_pallas: bool, emulator_pallas: bool):
     import jax
     import jax.numpy as jnp
     import numpy as np
-    from climsim_tpu.grid import Grid
     from climsim_tpu.models.rnn import RNNAutoreg
-    from climsim_tpu.models import BF16, F32
+    from climsim_tpu.models import BF16
+    from climsim_tpu.online import HybridLoop, HostLoopConfig
 
-    g = Grid.from_file(
-        "/root/reference/grid_info/ClimSim_low-res_grid-info.nc")
-    hyam = tuple(float(x) for x in np.asarray(g.hyam))
-    hybm = tuple(float(x) for x in np.asarray(g.hybm))
-    model = RNNAutoreg(nx=15, nx_sfc=24, ny=6, ny_sfc=8, nneur=(192, 192),
-                       nh_mem=16, use_pallas=use_pallas, hyam=hyam,
-                       hybm=hybm, sp_mean=9.8e4, sp_div=1e4,
-                       policy=BF16 if bf16 else F32)
-    B, L = 6144, 60     # 16 timesteps x 384 columns
-    xm = jnp.ones((B, L, 15), jnp.float32) * 0.1
-    xs = jnp.ones((B, 24), jnp.float32) * 0.1
-    mem = jnp.zeros((B, L, 16), jnp.float32)
-    params = model.init(jax.random.PRNGKey(0), xm, xs, mem)
-    return model, params, xm, xs, mem, B
+    nlat, nlon, nlev = ncol_shape
+    ncol = nlat * nlon
+    model = RNNAutoreg(nx=6, nx_sfc=24, ny=6, ny_sfc=8, nneur=(192, 192),
+                       nh_mem=16, add_pres=False, policy=BF16,
+                       use_pallas=emulator_pallas)
+    xm = jnp.ones((ncol, nlev, 6), jnp.float32) * 0.1
+    xs = jnp.ones((ncol, 24), jnp.float32) * 0.1
+    mem0 = jnp.zeros((ncol, nlev, 16), jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), xm, xs, mem0)
+
+    xscale = jnp.asarray([250.0, 1e-3, 1e-5, 1e-5, 10.0, 10.0])
+    yscale = jnp.asarray([1e-5, 1e-8, 1e-9, 1e-9, 1e-5, 1e-5])
+
+    def emulator(x_main_raw, x_sfc_raw, mem):
+        xn = (x_main_raw / xscale).astype(jnp.float32)
+        out, out_sfc, mem = model.apply(params, xn, x_sfc_raw, mem)
+        return out * yscale, out_sfc, mem
+
+    class ProxyGrid:
+        def __init__(self):
+            rng = np.random.default_rng(0)
+            self.lat = np.repeat(np.linspace(-88, 88, nlat), nlon) \
+                + rng.uniform(-0.1, 0.1, ncol)
+            self.lon = np.tile(np.linspace(0, 360 - 360 / nlon, nlon), nlat)
+
+        def mass_weights(self, ps):
+            return jnp.ones((ps.shape[0], nlev))
+
+        def layer_thickness(self, ps):
+            return jnp.full((ps.shape[0], nlev), 1e3)
+
+    cfg = HostLoopConfig(nlat=nlat, nlon=nlon, scheme="fv",
+                         use_pallas=stencil_pallas, fix_water=True)
+    loop = HybridLoop(emulator, ProxyGrid(), cfg)
+
+    rng = np.random.default_rng(1)
+    state = {
+        "T": jnp.asarray(rng.uniform(220, 300, (ncol, nlev)), jnp.float32),
+        "qv": jnp.asarray(np.abs(rng.normal(1e-3, 3e-4, (ncol, nlev))),
+                          jnp.float32),
+        "qc": jnp.asarray(np.abs(rng.normal(1e-5, 3e-6, (ncol, nlev))),
+                          jnp.float32),
+        "qi": jnp.asarray(np.abs(rng.normal(1e-5, 3e-6, (ncol, nlev))),
+                          jnp.float32),
+        "u": jnp.asarray(rng.normal(0, 10, (ncol, nlev)), jnp.float32),
+        "v": jnp.asarray(rng.normal(0, 3, (ncol, nlev)), jnp.float32),
+    }
+    x_sfc = jnp.concatenate([jnp.full((ncol, 1), 1e5),
+                             jnp.ones((ncol, 23))], axis=1)
+    return loop, state, mem0, x_sfc, ncol
 
 
-def measure(model, params, xm, xs, mem, B, N=40):
+def measure(loop, state, mem, x_sfc, ncol, repeats=REPEATS):
+    """Median seconds per coupled step over `repeats` timed runs."""
     import jax
     import jax.numpy as jnp
 
     @jax.jit
-    def loop(params, xm, xs, mem):
-        def body(carry, _):
-            mem = carry
-            out, out_sfc, mem = model.apply(params, xm, xs, mem)
-            return mem, ()
-        mem, _ = jax.lax.scan(body, mem, None, length=N)
-        return jnp.sum(mem[0, 0])
+    def run(state, mem):
+        st, m, diags = loop.rollout(state, mem, x_sfc, N_STEPS)
+        return diags["mean_T"][-1]
 
     triv = jax.jit(lambda m: jnp.sum(m[0, 0]))
     float(triv(mem))
-    float(loop(params, xm, xs, mem))   # compile
-
+    float(run(state, mem))            # compile + warm
     t0 = time.perf_counter()
     for _ in range(3):
         float(triv(mem))
     fetch = (time.perf_counter() - t0) / 3
 
     times = []
-    for _ in range(5):
+    for _ in range(repeats):
         t0 = time.perf_counter()
-        float(loop(params, xm, xs, mem))
-        times.append(time.perf_counter() - t0)
-    dt = max(min(times) - fetch, 1e-9)
-    return B * N / dt
+        float(run(state, mem))
+        times.append(max(time.perf_counter() - t0 - fetch, 1e-9))
+    per_step = [t / N_STEPS for t in times]
+    med = statistics.median(per_step)
+    spread = (max(per_step) - min(per_step)) / med
+    return med, spread
 
 
 def main():
-    best, variant = None, "scan"
-    # the level-major fused pallas kernel (auto 512-row VMEM tiles) beats
-    # the XLA scan ~1.4x at these shapes (PERFORMANCE.md)
-    for use_pallas, bf16, name in ((True, True, "pallas-bf16"),
-                                   (False, True, "scan-bf16"),
-                                   (False, False, "scan-f32")):
+    HI = (120, 180, 60)   # 21,600 columns (high-res ncol)
+    LO = (16, 24, 60)     # 384 columns  (low-res canonical batch)
+
+    results = {}
+    # pallas stencil + pallas emulator is the production config; fall back
+    # if either fails to compile on this platform
+    hi_best, hi_cfg, hi_spread = None, None, None
+    for stencil, emul in ((True, True), (True, False), (False, False)):
         try:
-            cols = measure(*build(use_pallas, bf16))
-            print(f"# {name}: {cols:,.0f} cols/s", file=sys.stderr)
-            if best is None or cols > best:
-                best, variant = cols, name
-        except Exception as e:
-            print(f"# {name} variant failed: {type(e).__name__}: {e}",
+            med, spread = measure(*build(HI, stencil, emul))
+            cols = HI[0] * HI[1] / med
+            name = f"stencil={'pallas' if stencil else 'xla'}+" \
+                   f"emu={'pallas' if emul else 'scan'}"
+            print(f"# hybrid 21600 cols [{name}]: {med*1e3:.2f} ms/step "
+                  f"({cols:,.0f} cols/s, spread {spread:.0%})",
                   file=sys.stderr)
-    if best is None:
-        print(json.dumps({"metric": "atmos columns/s/chip (RNN emulator)",
+            results[name] = cols
+            if hi_best is None or cols > hi_best:
+                hi_best, hi_cfg, hi_spread = cols, (stencil, emul), spread
+        except Exception as e:
+            print(f"# hybrid 21600 variant ({stencil},{emul}) failed: "
+                  f"{type(e).__name__}: {e}", file=sys.stderr)
+
+    lo_cols = None
+    if hi_cfg is not None:
+        try:
+            med, _ = measure(*build(LO, *hi_cfg))
+            lo_cols = LO[0] * LO[1] / med
+            print(f"# hybrid 384 cols: {med*1e3:.3f} ms/step "
+                  f"({lo_cols:,.0f} cols/s)", file=sys.stderr)
+        except Exception as e:
+            print(f"# hybrid 384 failed: {type(e).__name__}: {e}",
+                  file=sys.stderr)
+
+    if hi_best is None:
+        print(json.dumps({"metric": "atmos columns/s/chip "
+                          "(online hybrid coupled step, 21600 cols)",
                           "value": 0.0, "unit": "columns/s",
                           "vs_baseline": 0.0}))
         return
 
-    vs = 1.0 if BASELINE_VALUE is None else best / BASELINE_VALUE
-    print(json.dumps({
-        "metric": f"atmos columns/s/chip (memory-BiGRU emulator fwd, "
-                  f"{variant})",
-        "value": round(best, 1),
+    # variance-immune companion: same-process pallas/xla ratio
+    ratio = None
+    a = results.get("stencil=pallas+emu=pallas") or \
+        results.get("stencil=pallas+emu=scan")
+    b = results.get("stencil=xla+emu=scan")
+    if a and b:
+        ratio = round(a / b, 3)
+
+    # simulated years per wall day: 1200 simulated s per step / 365 days
+    sypd = (1200.0 * hi_best / (HI[0] * HI[1])) / 365.0
+    out = {
+        "metric": "atmos columns/s/chip (online hybrid coupled step, "
+                  "21600 cols, bf16 BiGRU emulator + FV advection)",
+        "value": round(hi_best, 1),
         "unit": "columns/s",
-        "vs_baseline": round(vs, 3),
-    }))
+        "vs_baseline": round(hi_best / BASELINE_VALUE, 3),
+        "median_of": REPEATS,
+        "spread": round(hi_spread, 3) if hi_spread is not None else None,
+        "pallas_vs_xla_same_process": ratio,
+        "cols_per_s_384": round(lo_cols, 1) if lo_cols else None,
+        "sypd_highres": round(sypd, 1),
+    }
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -41,17 +41,37 @@ def main(argv=None):
     # ---- data: keeplev H5 if given, else synthetic
     dcfg = cfg.get("data", {})
     n_train_steps = None
+    # out-of-core streaming (reference shared-memory cache analog,
+    # rnn/utils.py:2033-2061): stats fit on a bounded sample; epochs read
+    # time-contiguous chunks through a double-buffered background thread
+    stream = bool(dcfg.get("stream", False))
+    stream_read = stream_T = None
     if dcfg.get("h5_path"):
         B = dcfg.get("ncol", 384)
 
-        def load(path):
-            d = KeeplevReader(path).load_all()
-            T = d["input_lev"].shape[0] // B
+        def load(path, max_steps=None):
+            r = KeeplevReader(path)
+            T = r.n // B
+            if max_steps is not None:
+                T = min(T, max_steps)
+                d = r.load_slice(0, T * B)
+            else:
+                d = r.load_all()
             resh = lambda a: a[:T * B].reshape((T, B) + a.shape[1:])
             return (resh(d["input_lev"]), resh(d["input_sca"]),
                     resh(d["output_lev"]), resh(d["output_sca"]))
 
-        x_lev, x_sfc, y_lev, y_sfc = load(dcfg["h5_path"])
+        if stream:
+            if dcfg.get("val_h5_path"):
+                raise ValueError("data.stream does not support a separate "
+                                 "val_h5_path; use val_frac over one store")
+            reader = KeeplevReader(dcfg["h5_path"])
+            stream_read = reader.load_slice
+            stream_T = reader.n // B
+            x_lev, x_sfc, y_lev, y_sfc = load(
+                dcfg["h5_path"], int(dcfg.get("stats_steps", 64)))
+        else:
+            x_lev, x_sfc, y_lev, y_sfc = load(dcfg["h5_path"])
         if dcfg.get("val_h5_path"):
             # separate validation file (the reference's val_data_fname):
             # appended after the training steps so the existing
@@ -77,18 +97,19 @@ def main(argv=None):
                "include_q_input", "v4_to_v5_inputs",
                "cld_inp_transformation", "qinput_prune",
                "qinput_prune_lev")
-    x_lev_raw_src = x_lev
+    pcfg = None
+    lbd_qc = lbd_qi = lbd_qn = None
     if any(k in dcfg for k in pp_keys):
         from ..data.preprocess import (PreprocessConfig,
                                        preprocess_level_inputs)
         from ..data.normalization import fit_exp_lambdas, load_exp_lambdas
         pcfg = PreprocessConfig(**{k: dcfg[k] for k in pp_keys
                                    if k in dcfg})
-        lbd_qc = lbd_qi = lbd_qn = None
         if pcfg.cld_inp_transformation == "exp":
             # lambda tables: load from reference txt when given, else fit
             # from the data (online_testing cloud_exponential_
-            # transformation.ipynb procedure)
+            # transformation.ipynb procedure; for streams, fit on the
+            # stats sample)
             if dcfg.get("lbd_qn_path"):
                 lbd_qn = load_exp_lambdas(dcfg["lbd_qn_path"])
             if dcfg.get("lbd_qc_path"):
@@ -102,16 +123,25 @@ def main(argv=None):
                     lbd_qc = fit_exp_lambdas(x_lev[..., 2])
                 if lbd_qi is None:
                     lbd_qi = fit_exp_lambdas(x_lev[..., 3])
-        x_lev, x_lev_raw_src, x_sfc = preprocess_level_inputs(
-            x_lev, x_sfc, np.asarray(grid.hyam), np.asarray(grid.hybm),
-            pcfg, lbd_qc=lbd_qc, lbd_qi=lbd_qi, lbd_qn=lbd_qn)
 
-    if dcfg.get("remove_past_sfc_inputs"):
-        # drop the pbuf_* previous-physics surface channels (reference
-        # driver :433-437: indices 17-21 of the v4_rnn scalar block)
-        keep = [i for i in range(x_sfc.shape[-1])
-                if i not in (17, 18, 19, 20, 21)]
-        x_sfc = x_sfc[..., keep]
+    def prep_raw(xl, xs):
+        """Input preprocessing chain shared by the in-memory path and the
+        per-chunk stream transform; returns (x_lev, x_lev_raw, x_sfc)."""
+        xr = xl
+        if pcfg is not None:
+            from ..data.preprocess import preprocess_level_inputs
+            xl, xr, xs = preprocess_level_inputs(
+                xl, xs, np.asarray(grid.hyam), np.asarray(grid.hybm),
+                pcfg, lbd_qc=lbd_qc, lbd_qi=lbd_qi, lbd_qn=lbd_qn)
+        if dcfg.get("remove_past_sfc_inputs"):
+            # drop the pbuf_* previous-physics surface channels (reference
+            # driver :433-437: indices 17-21 of the v4_rnn scalar block)
+            keep = [i for i in range(xs.shape[-1])
+                    if i not in (17, 18, 19, 20, 21)]
+            xs = xs[..., keep]
+        return xl, xr, xs
+
+    x_lev, x_lev_raw_src, x_sfc = prep_raw(x_lev, x_sfc)
 
     # normalization from data statistics; per-level by default, or one
     # scalar per channel (reference input_norm_per_level /
@@ -152,6 +182,8 @@ def main(argv=None):
     total_bytes = sum(a.size * 4 for a in cached)
     if dev_cache == "auto":
         dev_cache = total_bytes <= 4 * 1024**3
+    if stream:
+        dev_cache = False      # chunks move through the bounded pipeline
     if dev_cache:
         put = lambda a: jax.device_put(jnp.asarray(a, jnp.float32))
         x_lev_n, x_sfc_n = put(x_lev_n), put(x_sfc_n)
@@ -329,11 +361,48 @@ def main(argv=None):
                              apply_fn=apply_fn, mem_shape=mem_shape)
 
     chunk = dcfg.get("chunk_size", 8)
+    n_steps_total = stream_T if stream else x_lev.shape[0]
     ntr = n_train_steps if n_train_steps is not None else \
-        int(x_lev.shape[0] * (1 - dcfg.get("val_frac", 0.2)))
+        int(n_steps_total * (1 - dcfg.get("val_frac", 0.2)))
 
+    if stream:
+        # normalize AFTER the raw predecessor row is available so the
+        # prev-step channels are assembled from normalized arrays exactly
+        # as the in-memory path does
+        xm_a, xsd_a = np.asarray(xm), np.asarray(xsd)
+        xms_a, xss_a = np.asarray(xms), np.asarray(xss)
+        ysl_a, yss_a = np.asarray(ysc_lev), np.asarray(ysc_sfc)
 
-    def chunks(lo, hi, shuffle, seed=0):
+        def raw_tf(xl, xs, yl, ys, off):
+            xl, xr, xs = prep_raw(xl, xs)
+            xln = (xl - xm_a) / xsd_a
+            xsn = (xs - xms_a) / xss_a
+            yln = yl * ysl_a
+            ysn = ys * yss_a
+            xl_c = xln[off:] if off else xln
+            if ipo:
+                xl_c = np.concatenate([xl_c, yln[:-1][..., :ipo]], axis=-1)
+            if ipi:
+                xl_c = np.concatenate([xl_c, xln[:-1][..., :ipi]], axis=-1)
+            d = {"x_lev": xl_c, "x_sfc": xsn[off:], "y_lev": yln[off:],
+                 "y_sfc": ysn[off:], "sp": xs[off:, :, 0]}
+            if need_raw:
+                d["x_lev_raw"] = xr[off:]
+            return d
+
+        def chunks(lo, hi, shuffle, seed=0):
+            from ..data import stream_keeplev_chunks
+            hi = n_steps_total if hi is None else hi
+            n = hi - lo - (1 if (ipi or ipo) else 0)
+            yield from stream_keeplev_chunks(
+                stream_read, n_steps_total, B,
+                chunk_size=max(1, min(chunk, n)), seed=seed,
+                shuffle=shuffle, include_prev_inputs=ipi,
+                include_prev_outputs=ipo, raw_transform=raw_tf,
+                prefetch=int(dcfg.get("stream_prefetch", 2)),
+                to_device=True, t_start=lo, t_stop=hi)
+
+    def _mem_chunks(lo, hi, shuffle, seed=0):
         n = (hi if hi is not None else x_lev.shape[0]) - lo
         # prev-step channels consume the first step of each split
         if ipi or ipo:
@@ -364,6 +433,9 @@ def main(argv=None):
             c["x_lev_raw"] = x_lev_raw_src[lo:hi][off + i * cs:
                                                   off + (i + 1) * cs]
             yield c
+
+    if not stream:
+        chunks = _mem_chunks
 
     if model_type == "physrnn":
         first = next(iter(chunks(0, ntr, False)))

@@ -21,6 +21,8 @@ RV = 461.0            # specific gas constant, water vapor [J kg-1 K-1]
 T0_FREEZE = 273.16    # freezing temperature (triple point)        [K]
 T_ICE_RAMP = 253.16   # below this: pure-ice saturation / ramp low [K]
 
+EARTH_RADIUS = 6.37122e6  # SHR_CONST_REARTH                       [m]
+
 P0 = 1.0e5            # hybrid-coordinate reference pressure       [Pa]
 DT_STEP = 1200.0      # E3SM-MMF coupling timestep (20 minutes)    [s]
 

@@ -62,6 +62,103 @@ def keeplev_chunks(x_lev, x_sfc, y_lev, y_sfc, sp, chunk_size: int,
                "y_lev": y_lev[idx], "y_sfc": y_sfc[idx], "sp": sp[idx]}
 
 
+def stream_keeplev_chunks(read_rows, n_steps: int, ncol: int,
+                          chunk_size: int, *, seed: int = 0,
+                          shuffle: bool = True,
+                          include_prev_inputs: int = 0,
+                          include_prev_outputs: int = 0,
+                          transform=None, raw_transform=None,
+                          prefetch: int = 2, to_device: bool = False,
+                          t_start: int = 0,
+                          t_stop: int | None = None) -> Iterator[dict]:
+    """Out-of-core chunk stream: train on datasets far larger than host
+    RAM + HBM (the role of the reference's worker processes + shared-
+    memory ``mp.Array`` cache, rnn/utils.py:2033-2061,2119 — rebuilt as a
+    bounded-memory pipeline instead of a full-RAM cache).
+
+    ``read_rows(start_row, stop_row)`` fetches flattened (time x col)
+    rows from any backing store (h5store.KeeplevReader.load_slice,
+    tsstore.TsKeeplevStore.read_rows) and returns the keeplev dict
+    {input_lev, input_sca, output_lev, output_sca}. Chunks are
+    time-CONTIGUOUS (autoregression) in shuffled order; a background
+    thread reads + preprocesses chunk k+1 while chunk k trains, and
+    ``to_device=True`` additionally device_puts inside the reader thread
+    so the H2D copy overlaps compute too. Peak host memory is
+    O(prefetch x chunk bytes), independent of dataset size.
+
+    ``transform(x_lev, x_sfc, y_lev, y_sfc) -> dict`` applies the
+    normalization/feature chain per chunk (arrays arrive time-major
+    [cs, B, ...]); the default packs raw arrays with sp = x_sfc[..., 0].
+    Prev-step channels follow keeplev_chunks semantics (chunks start at
+    t >= 1 so every step has a predecessor). When the feature chain must
+    see the raw predecessor row (e.g. to normalize BEFORE assembling
+    prev-step channels), pass ``raw_transform(xl, xs, yl, ys, offset) ->
+    dict`` instead: it receives the FULL window [cs+offset, B, ...] and
+    owns the whole assembly. ``t_start``/``t_stop`` restrict the stream
+    to a step range (train/val splits over one store).
+    """
+    import queue as _queue
+    import threading
+
+    rng = np.random.default_rng(seed)
+    offset = 1 if (include_prev_inputs or include_prev_outputs) else 0
+    t_stop = n_steps if t_stop is None else min(t_stop, n_steps)
+    span = t_stop - t_start - offset
+    starts = [int(i[0]) + t_start + offset
+              for i in chunkize(span, chunk_size, rng, shuffle)]
+
+    def default_transform(xl, xs, yl, ys):
+        return {"x_lev": xl, "x_sfc": xs, "y_lev": yl, "y_sfc": ys,
+                "sp": xs[..., 0]}
+
+    tf = transform if transform is not None else default_transform
+    q: _queue.Queue = _queue.Queue(maxsize=max(1, prefetch))
+    SENTINEL = object()
+
+    def reader():
+        try:
+            for t0 in starts:
+                lo = (t0 - offset) * ncol
+                hi = (t0 + chunk_size) * ncol
+                d = read_rows(lo, hi)
+                resh = lambda a: np.asarray(a).reshape(
+                    (chunk_size + offset, ncol) + a.shape[1:])
+                xl = resh(d["input_lev"])
+                xs = resh(d["input_sca"])
+                yl = resh(d["output_lev"])
+                ys = resh(d["output_sca"])
+                if raw_transform is not None:
+                    out = raw_transform(xl, xs, yl, ys, offset)
+                else:
+                    xl_c, xs_c = xl[offset:], xs[offset:]
+                    if include_prev_outputs:
+                        xl_c = np.concatenate(
+                            [xl_c, yl[:-1][..., :include_prev_outputs]],
+                            axis=-1)
+                    if include_prev_inputs:
+                        xl_c = np.concatenate(
+                            [xl_c, xl[:-1][..., :include_prev_inputs]],
+                            axis=-1)
+                    out = tf(xl_c, xs_c, yl[offset:], ys[offset:])
+                if to_device:
+                    out = jax.device_put(out)
+                q.put(out)
+            q.put(SENTINEL)
+        except BaseException as e:      # surface reader errors to consumer
+            q.put(e)
+
+    th = threading.Thread(target=reader, daemon=True)
+    th.start()
+    while True:
+        item = q.get()
+        if item is SENTINEL:
+            break
+        if isinstance(item, BaseException):
+            raise item
+        yield item
+    th.join()
+
+
 def prefetch_to_device(iterator, size: int = 2):
     """Double-buffered host->device pipeline: device_put the next batch while
     the current one computes."""

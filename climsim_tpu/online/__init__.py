@@ -1,7 +1,10 @@
 from .advection import (build_proxy_grid, to_grid, to_columns, fv_advect_2d,
-                        semi_lagrangian_2d, conservation_fixer)
+                        fv_advect_2d_sphere, semi_lagrangian_2d,
+                        conservation_fixer, SphericalMetric,
+                        spherical_metric)
 from .host_loop import HybridLoop, HostLoopConfig
 
 __all__ = ["build_proxy_grid", "to_grid", "to_columns", "fv_advect_2d",
-           "semi_lagrangian_2d", "conservation_fixer", "HybridLoop",
-           "HostLoopConfig"]
+           "fv_advect_2d_sphere", "semi_lagrangian_2d",
+           "conservation_fixer", "SphericalMetric", "spherical_metric",
+           "HybridLoop", "HostLoopConfig"]

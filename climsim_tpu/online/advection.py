@@ -24,9 +24,88 @@ with :mod:`climsim_tpu.parallel.halo` providing the latitude ghost rows
 """
 from __future__ import annotations
 
+from dataclasses import dataclass
+
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+from ..constants import EARTH_RADIUS
+
+
+@dataclass(frozen=True)
+class SphericalMetric:
+    """Per-row metric factors for flux-form FV transport on the sphere.
+
+    The real-geography analog of the reference's per-cell areas
+    (climsim_utils/data_utils.py:74): cells of a latitude-band proxy grid
+    get dx = a*cos(phi)*dlon and per-band dphi from the actual column
+    latitudes, so zonal transport speeds up toward the poles and the
+    conserved integral is the PHYSICAL area integral sum(q*cosc*dphi*dlon)
+    (x a^2), not the raster sum.
+
+    Arrays (numpy float32, static per loop):
+      dtdx   [nlat]    dt / (a cos(phi_i) dlon)      (zonal courant / m/s)
+      dtdy   [nlat]    dt / (a dphi_i)               (merid. courant / m/s)
+      cf_fac [nlat+1]  dt / (a dphi_face)            (merid. courant / m/s)
+      wf     [nlat+1]  cos(phi_face) * dphi_face     (face flux weight)
+      wc     [nlat]    1 / (cos(phi_i) * dphi_i)     (cell update weight)
+      cosc   [nlat]    cos(phi_i)                    (center cosine)
+      cell_w [nlat]    cos(phi_i) * dphi_i * dlon    (relative cell area)
+
+    Pole faces have cos(+-90 deg) = 0, so pole-crossing fluxes vanish
+    identically and conservation survives cos(phi) -> 0. Zonal courant
+    numbers are clamped to +-cfl_max inside the sweeps: near the poles
+    dx -> 0 makes fixed-dlon cells arbitrarily thin, and clamping the
+    courant (rather than the velocity) keeps the scheme stable AND
+    conservative (fluxes still telescope) at the cost of slowed transport
+    in rows where |u| dt > cfl_max * dx.
+    """
+    dtdx: np.ndarray
+    dtdy: np.ndarray
+    cf_fac: np.ndarray
+    wf: np.ndarray
+    wc: np.ndarray
+    cosc: np.ndarray
+    cell_w: np.ndarray
+    cfl_max: float = 0.9
+
+    @property
+    def nlat(self) -> int:
+        return self.dtdx.shape[0]
+
+
+def spherical_metric(band_lats_deg: np.ndarray, nlon: int, dt: float,
+                     radius: float = EARTH_RADIUS,
+                     cfl_max: float = 0.9) -> SphericalMetric:
+    """Build the metric from the proxy grid's band-mean latitudes
+    (ascending, degrees). Face latitudes are midpoints between band
+    centers with the poles closing the ends."""
+    lat = np.asarray(band_lats_deg, np.float64)
+    assert np.all(np.diff(lat) > 0), "band latitudes must be ascending"
+    phi = np.deg2rad(lat)
+    phi_f = np.concatenate([[-np.pi / 2],
+                            0.5 * (phi[:-1] + phi[1:]),
+                            [np.pi / 2]])
+    dphi = np.diff(phi_f)                               # [nlat]
+    # face-local dphi for courant numbers: distance between the adjacent
+    # cell centers (edge faces reuse the edge cell's dphi — their flux is
+    # zeroed by cos(+-90) anyway)
+    dphi_f = np.concatenate([[dphi[0]], np.diff(phi), [dphi[-1]]])
+    dlon = 2.0 * np.pi / nlon
+    cosc = np.cos(phi)
+    cosf = np.cos(phi_f)
+    cosf[0] = cosf[-1] = 0.0                            # exact pole closure
+    f32 = lambda a: np.asarray(a, np.float32)
+    return SphericalMetric(
+        dtdx=f32(dt / (radius * cosc * dlon)),
+        dtdy=f32(dt / (radius * dphi)),
+        cf_fac=f32(dt / (radius * dphi_f)),
+        wf=f32(cosf * dphi_f),
+        wc=f32(1.0 / (cosc * dphi)),
+        cosc=f32(cosc),
+        cell_w=f32(cosc * dphi * dlon),
+        cfl_max=cfl_max)
 
 
 def build_proxy_grid(lat: np.ndarray, lon: np.ndarray, nlat: int, nlon: int):
@@ -190,6 +269,76 @@ def fv_advect_2d_halo(q_ext: jnp.ndarray, u_ext: jnp.ndarray,
     return interior - dt_dy * (faces[1:] - faces[:-1])
 
 
+def _courant_flux_1d(q, c):
+    """Periodic van-Leer interface fluxes in COURANT units: c[i] is the
+    (already clamped) courant number at the left face of cell i; returns
+    Fc[i] = c * q_face, so the update is q - (roll(Fc,-1) - Fc)."""
+    qm = jnp.roll(q, 1)
+    qmm = jnp.roll(q, 2)
+    qp = jnp.roll(q, -1)
+    slope_m = _mc_limited_slope(qmm, qm, q)
+    slope_0 = _mc_limited_slope(qm, q, qp)
+    q_face_pos = qm + 0.5 * (1.0 - c) * slope_m
+    q_face_neg = q - 0.5 * (1.0 + c) * slope_0
+    return jnp.where(c >= 0.0, c * q_face_pos, c * q_face_neg)
+
+
+def fv_advect_2d_sphere_halo(q_ext: jnp.ndarray, u_ext: jnp.ndarray,
+                             v_ext: jnp.ndarray, m: SphericalMetric,
+                             row0, halo: int = 2) -> jnp.ndarray:
+    """Halo-aware spherical flux-form FV step (see :class:`SphericalMetric`
+    for the discretization and its conservation property).
+
+    q/u/v_ext: [nlat_local + 2*halo, nlon], winds in m/s. ``row0`` is the
+    global index of the first interior row (0 for single device; traced
+    under shard_map). Pole faces carry cos(phi)=0 so no is_south/is_north
+    flags are needed — the pole closure is part of the metric.
+    """
+    n = q_ext.shape[0] - 2 * halo
+    cfl = m.cfl_max
+    # per-row metric slices: padded-by-halo global arrays indexed so that
+    # extended local row r corresponds to global row row0 - halo + r
+    dtdx_pad = jnp.asarray(np.pad(m.dtdx, halo, mode="edge"))
+    dtdx_ext = jax.lax.dynamic_slice(dtdx_pad, (row0,), (q_ext.shape[0],))
+    cf_fac = jax.lax.dynamic_slice(jnp.asarray(m.cf_fac), (row0,), (n + 1,))
+    wf = jax.lax.dynamic_slice(jnp.asarray(m.wf), (row0,), (n + 1,))
+    wc = jax.lax.dynamic_slice(jnp.asarray(m.wc), (row0,), (n,))
+
+    # zonal sweep on every row incl. ghosts, per-row courant
+    def zonal(qrow, urow, dtdx):
+        c = jnp.clip(urow * dtdx, -cfl, cfl)
+        Fc = _courant_flux_1d(qrow, c)
+        return qrow - (jnp.roll(Fc, -1) - Fc)
+
+    q_ext = jax.vmap(zonal)(q_ext, u_ext, dtdx_ext)
+
+    # meridional faces j = 0..n between interior rows j-1 and j
+    qmm = q_ext[halo - 2:halo + n - 1]
+    qm = q_ext[halo - 1:halo + n]
+    q0 = q_ext[halo:halo + n + 1]
+    qp = q_ext[halo + 1:halo + n + 2]
+    vf = v_ext[halo:halo + n + 1]          # face velocity convention as flat
+    slope_m = _mc_limited_slope(qmm, qm, q0)
+    slope_0 = _mc_limited_slope(qm, q0, qp)
+    c = jnp.clip(vf * cf_fac[:, None], -cfl, cfl)
+    q_face_pos = qm + 0.5 * (1.0 - c) * slope_m
+    q_face_neg = q0 - 0.5 * (1.0 + c) * slope_0
+    faces = jnp.where(c >= 0.0, c * q_face_pos, c * q_face_neg)
+    flux = wf[:, None] * faces             # cos(phi_f) dphi_f * c * q_face
+    interior = q_ext[halo:halo + n]
+    return interior - wc[:, None] * (flux[1:] - flux[:-1])
+
+
+def fv_advect_2d_sphere(q: jnp.ndarray, u: jnp.ndarray, v: jnp.ndarray,
+                        m: SphericalMetric) -> jnp.ndarray:
+    """Single-device spherical FV step on the full [nlat, nlon] grid;
+    identical numerics to the halo path with clamped ghost rows, so
+    sharded and unsharded execution are bit-identical."""
+    ext = lambda a: jnp.concatenate([a[:1], a[:1], a, a[-1:], a[-1:]],
+                                    axis=0)
+    return fv_advect_2d_sphere_halo(ext(q), ext(u), ext(v), m, 0)
+
+
 def vertical_advect_column(q: jnp.ndarray, w: jnp.ndarray,
                            dp: jnp.ndarray, dt: float) -> jnp.ndarray:
     """Conservative vertical transport in pressure coordinates per column:
@@ -210,20 +359,33 @@ def vertical_advect_column(q: jnp.ndarray, w: jnp.ndarray,
 
 
 def diagnose_omega(u, v, dt_dx, dt_dy, dp, gather_idx, scatter_idx,
-                   nlat: int, nlon: int):
+                   nlat: int, nlon: int,
+                   metric: SphericalMetric | None = None):
     """Diagnostic pressure velocity from horizontal divergence (continuity
     in pressure coordinates): omega(l+1/2) = -sum_{k<=l} div_k * dp_k.
 
-    u/v [ncol, L] winds in CFL units per step; returns omega at interfaces
-    [ncol, L+1] in (Pa per step) units compatible with
-    :func:`vertical_advect_column` at dt=1."""
+    u/v [ncol, L] winds; with ``metric=None`` they are in CFL units per
+    step and dt_dx/dt_dy are the constant flat-raster factors; with a
+    :class:`SphericalMetric` they are in m/s and the divergence carries
+    the spherical terms div = (1/(a cos phi))(du/dlon + d(v cos phi)/dphi).
+    Returns omega at interfaces [ncol, L+1] in (Pa per step) units
+    compatible with :func:`vertical_advect_column` at dt=1."""
     ug = to_grid(u, gather_idx, nlat, nlon)
     vg = to_grid(v, gather_idx, nlat, nlon)
-    # centered divergence on the proxy grid (periodic lon, clamped lat)
-    dudx = (jnp.roll(ug, -1, axis=1) - jnp.roll(ug, 1, axis=1)) * 0.5 * dt_dx
-    # clamped (one-sided at poles) centered meridional difference
-    dvdy = (jnp.concatenate([vg[1:], vg[-1:]], axis=0)
-            - jnp.concatenate([vg[:1], vg[:-1]], axis=0)) * 0.5 * dt_dy
+    clampdiff = lambda a: (jnp.concatenate([a[1:], a[-1:]], axis=0)
+                           - jnp.concatenate([a[:1], a[:-1]], axis=0)) * 0.5
+    if metric is not None:
+        ex = lambda a: jnp.asarray(a)[:, None, None]
+        dudx = (jnp.roll(ug, -1, axis=1)
+                - jnp.roll(ug, 1, axis=1)) * 0.5 * ex(metric.dtdx)
+        # (1/cos phi) d(v cos phi)/dphi, one-sided at the pole rows
+        dvdy = clampdiff(vg * ex(metric.cosc)) \
+            * ex(metric.dtdy) / ex(metric.cosc)
+    else:
+        # centered divergence on the flat raster (periodic lon, clamped)
+        dudx = (jnp.roll(ug, -1, axis=1)
+                - jnp.roll(ug, 1, axis=1)) * 0.5 * dt_dx
+        dvdy = clampdiff(vg) * dt_dy
     div = to_columns(dudx + dvdy, scatter_idx)            # [ncol, L]
     col_int = jnp.cumsum(div * dp, axis=1)                # [ncol, L]
     zero = jnp.zeros_like(col_int[:, :1])

@@ -34,13 +34,19 @@ class HostLoopConfig:
     nlon: int = 24
     dt: float = C.DT_STEP
     scheme: str = "fv"          # fv | semi_lagrangian | none
+    # 'sphere' (default): real-geography metric terms from the grid file's
+    # latitudes — per-row dx = a cos(phi) dlon, per-band dphi, cos(phi)
+    # face factors, exact pole closure (advection.SphericalMetric; the
+    # reference's real per-cell areas, climsim_utils/data_utils.py:74).
+    # 'flat': the round-1 uniform raster with constant dx/dy below.
+    geometry: str = "sphere"
     # fused pallas stencil (ops/pallas_stencil.fv_advect_tracers): all
     # prognostic fields advected in one kernel per level, u/v loaded once
     use_pallas: bool = False
     vertical_advection: bool = False  # omega-diagnosed vertical transport
     fix_water: bool = True      # multiplicative tracer mass fixer
-    # winds -> CFL conversion: proxy-grid cell sizes (m). ne4 low-res cells
-    # are ~O(1000 km); the advecting CFL stays < 1 for |u| < dx/dt.
+    # flat-geometry winds -> CFL conversion: proxy-grid cell sizes (m).
+    # ne4 low-res cells are ~O(1000 km); CFL stays < 1 for |u| < dx/dt.
     dx: float = 1.2e6
     dy: float = 1.2e6
 
@@ -71,10 +77,19 @@ class HybridLoop:
         self.cfg = cfg
         lat = np.asarray(grid.lat)
         lon = np.asarray(grid.lon)
-        self.gather_idx, self.scatter_idx = adv.build_proxy_grid(
+        gather_np, scatter_np = adv.build_proxy_grid(
             lat, lon, cfg.nlat, cfg.nlon)
-        self.gather_idx = jnp.asarray(self.gather_idx)
-        self.scatter_idx = jnp.asarray(self.scatter_idx)
+        self.gather_idx = jnp.asarray(gather_np)
+        self.scatter_idx = jnp.asarray(scatter_np)
+        # spherical metric from the ACTUAL column latitudes: band-mean
+        # latitude per proxy row (the bands are built latitude-sorted)
+        self.metric = None
+        if cfg.geometry == "sphere":
+            band_lats = lat[gather_np].reshape(cfg.nlat, cfg.nlon).mean(1)
+            self.metric = adv.spherical_metric(band_lats, cfg.nlon, cfg.dt)
+        # per-column area weights for PHYSICAL-units conservation
+        # (reference area_wgt = area/mean(area), data_utils.py:74)
+        self.area_wgt = getattr(grid, "area_wgt", None)
         # feature_builder(state dict) -> (x_main_raw, x_sfc_raw); default
         # passes the prognostic channels straight through
         self.feature_builder = feature_builder
@@ -89,8 +104,16 @@ class HybridLoop:
         fg = adv.to_grid(field, self.gather_idx, cfg.nlat, cfg.nlon)
         ug = adv.to_grid(u, self.gather_idx, cfg.nlat, cfg.nlon)
         vg = adv.to_grid(v, self.gather_idx, cfg.nlat, cfg.nlon)
-        # vmap over levels; velocities in CFL units
-        if cfg.scheme == "fv":
+        if self.metric is not None:
+            m = self.metric
+            if cfg.scheme == "fv":
+                step = lambda q, uu, vv: adv.fv_advect_2d_sphere(q, uu, vv,
+                                                                 m)
+            else:
+                # per-row index-space displacements on the sphere
+                step = lambda q, uu, vv: adv.semi_lagrangian_2d(
+                    q, uu, vv, m.dtdx[:, None], m.dtdy[:, None])
+        elif cfg.scheme == "fv":
             step = lambda q, uu, vv: adv.fv_advect_2d(
                 q, uu, vv, cfg.dt_dx, cfg.dt_dy)
         else:
@@ -109,12 +132,15 @@ class HybridLoop:
             return dict(fields)
         if not (cfg.use_pallas and cfg.scheme == "fv"):
             return {k: self.advect(f, u, v) for k, f in fields.items()}
-        from ..ops import fv_advect_tracers
+        from ..ops import fv_advect_tracers, fv_advect_tracers_sphere
         names = list(fields)
         tg = lambda a: adv.to_grid(a, self.gather_idx, cfg.nlat,
                                    cfg.nlon).transpose(2, 0, 1)
         qs = jnp.stack([tg(fields[k]) for k in names])  # [ntrac,L,nlat,nlon]
-        out = fv_advect_tracers(qs, tg(u), tg(v), cfg.dt_dx, cfg.dt_dy)
+        if self.metric is not None:
+            out = fv_advect_tracers_sphere(qs, tg(u), tg(v), self.metric)
+        else:
+            out = fv_advect_tracers(qs, tg(u), tg(v), cfg.dt_dx, cfg.dt_dy)
         return {k: adv.to_columns(out[i].transpose(1, 2, 0),
                                   self.scatter_idx)
                 for i, k in enumerate(names)}
@@ -147,9 +173,14 @@ class HybridLoop:
         if cfg.vertical_advection and cfg.scheme != "none":
             # continuity-diagnosed omega -> conservative vertical transport
             dp = self.grid.layer_thickness(x_sfc[:, 0])
-            omega = adv.diagnose_omega(
-                u * (dt / cfg.dx), v * (dt / cfg.dy), 1.0, 1.0, dp,
-                self.gather_idx, self.scatter_idx, cfg.nlat, cfg.nlon)
+            if self.metric is not None:
+                omega = adv.diagnose_omega(
+                    u, v, 1.0, 1.0, dp, self.gather_idx, self.scatter_idx,
+                    cfg.nlat, cfg.nlon, metric=self.metric)
+            else:
+                omega = adv.diagnose_omega(
+                    u * (dt / cfg.dx), v * (dt / cfg.dy), 1.0, 1.0, dp,
+                    self.gather_idx, self.scatter_idx, cfg.nlat, cfg.nlon)
             T = adv.vertical_advect_column(T, omega, dp, 1.0)
             qv = adv.vertical_advect_column(qv, omega, dp, 1.0)
             qc = adv.vertical_advect_column(qc, omega, dp, 1.0)
@@ -162,7 +193,12 @@ class HybridLoop:
         qi_a, u_a, v_a = adv_out["qi"], adv_out["u"], adv_out["v"]
 
         if cfg.fix_water and cfg.scheme != "none":
+            # PHYSICAL-units column mass: dp/g x per-column area weight
+            # (the reference weights every integral by real cell areas,
+            # climsim_utils/data_utils.py:74)
             w = self.grid.mass_weights(x_sfc[:, 0])  # dp/g from raw ps
+            if self.area_wgt is not None:
+                w = w * self.area_wgt[:, None]
             qv_a = adv.conservation_fixer(qv_a, qv, w)
             qc_a = adv.conservation_fixer(qc_a, qc, w)
             qi_a = adv.conservation_fixer(qi_a, qi, w)
@@ -229,6 +265,8 @@ def sharded_hybrid_step(loop: HybridLoop, mesh, axis: str = "col",
             "v": state_like["v"] + dt * ptend[..., 5],
         }
 
+    metric = loop.metric
+
     def local_step(state_g, mem, x_sfc_g):
         # state_g: [nlat_local, nlon, nlev] per field
         nlat_l, nlon, nlev = state_g["T"].shape
@@ -238,6 +276,7 @@ def sharded_hybrid_step(loop: HybridLoop, mesh, axis: str = "col",
         nsh = jax.lax.axis_size(axis)
         is_south = idx == 0
         is_north = idx == nsh - 1
+        row0 = idx * nlat_l      # first global row owned by this shard
 
         if overlap:
             # 1. kick off the input halo exchange — independent of the
@@ -281,8 +320,12 @@ def sharded_hybrid_step(loop: HybridLoop, mesh, axis: str = "col",
             get_ext = lambda k: exchange_halo(upd[k], axis, 2)
 
         def advect_field(f_ext):
-            step1 = lambda q, uu, vv: adv.fv_advect_2d_halo(
-                q, uu, vv, cfg.dt_dx, cfg.dt_dy, is_south, is_north)
+            if metric is not None:
+                step1 = lambda q, uu, vv: adv.fv_advect_2d_sphere_halo(
+                    q, uu, vv, metric, row0)
+            else:
+                step1 = lambda q, uu, vv: adv.fv_advect_2d_halo(
+                    q, uu, vv, cfg.dt_dx, cfg.dt_dy, is_south, is_north)
             return jax.vmap(step1, in_axes=2, out_axes=2)(f_ext, u_ext,
                                                           v_ext)
 

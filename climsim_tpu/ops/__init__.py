@@ -1,8 +1,9 @@
 from .pallas_rnn import fused_bigru, PallasBiGRU
-from .pallas_stencil import fv_advect_levels, fv_advect_tracers
+from .pallas_stencil import (fv_advect_levels, fv_advect_tracers,
+                             fv_advect_tracers_sphere)
 
 __all__ = ["fused_bigru", "PallasBiGRU", "fv_advect_levels",
-           "fv_advect_tracers"]
+           "fv_advect_tracers", "fv_advect_tracers_sphere"]
 
 
 def on_tpu() -> bool:

@@ -201,3 +201,113 @@ def _fv_tracers_bwd(dt_dx, dt_dy, res, ct):
 
 
 fv_advect_tracers.defvjp(_fv_tracers_fwd, _fv_tracers_bwd)
+
+
+# --------------------------------------------------------------------------
+# spherical-metric variant: same fused multi-tracer program with per-row
+# metric factors (online/advection.SphericalMetric) resident in VMEM —
+# real-geography dx = a cos(phi) dlon, cos(phi) face weights, exact pole
+# closure, courant clamping for the thin polar rows.
+# --------------------------------------------------------------------------
+
+def _fv_tracers_sphere_kernel(q_ref, u_ref, v_ref, dtdx_ref, cf_ref,
+                              wf_ref, wc_ref, out_ref, *, cfl: float):
+    """One level, all tracers on the sphere: q_ref [ntrac, 1, nlat, nlon],
+    u/v_ref [1, nlat, nlon], metric rows [nlat, 1] / faces [nlat+1, 1]."""
+    q = q_ref[:, 0]                 # [ntrac, nlat, nlon]
+    u = u_ref[0]                    # [nlat, nlon]
+    v = v_ref[0]
+    dtdx = dtdx_ref[...]            # [nlat, 1] broadcasts over lon
+    cf_fac = cf_ref[...]            # [nlat+1, 1]
+    wf = wf_ref[...]                # [nlat+1, 1]
+    wc = wc_ref[...]                # [nlat, 1]
+
+    # ---- zonal sweep in courant units (per-row dtdx, clamped)
+    nlon = q.shape[-1]
+    qm = pltpu.roll(q, 1, 2)
+    qmm = pltpu.roll(q, 2, 2)
+    qp = pltpu.roll(q, nlon - 1, 2)
+    slope_m = _mc_slope(qmm, qm, q)
+    slope_0 = _mc_slope(qm, q, qp)
+    c = jnp.clip(u * dtdx, -cfl, cfl)
+    f_pos = qm + 0.5 * (1.0 - c) * slope_m
+    f_neg = q - 0.5 * (1.0 + c) * slope_0
+    Fc = jnp.where(c >= 0.0, c * f_pos, c * f_neg)
+    q = q - (pltpu.roll(Fc, nlon - 1, 2) - Fc)
+
+    # ---- meridional sweep with cos(phi) face weights
+    ext = jnp.concatenate([q[:, :1], q[:, :1], q, q[:, -1:], q[:, -1:]],
+                          axis=1)
+    v_ext = jnp.concatenate([v[:1], v[:1], v, v[-1:], v[-1:]], axis=0)
+    qmm = ext[:, :-3]
+    qm = ext[:, 1:-2]
+    q0 = ext[:, 2:-1]
+    qp = ext[:, 3:]
+    vf = v_ext[2:-1]                # [nlat+1, nlon]
+    slope_m = _mc_slope(qmm, qm, q0)
+    slope_0 = _mc_slope(qm, q0, qp)
+    c = jnp.clip(vf * cf_fac, -cfl, cfl)
+    f_pos = qm + 0.5 * (1.0 - c) * slope_m
+    f_neg = q0 - 0.5 * (1.0 + c) * slope_0
+    faces = jnp.where(c >= 0.0, c * f_pos, c * f_neg)
+    flux = wf * faces               # pole faces: wf = cos(+-90) dphi = 0
+    out_ref[:, 0] = q - wc * (flux[:, 1:] - flux[:, :-1])
+
+
+def _fv_sphere_fwd_impl(qs, u, v, m, interpret):
+    ntrac, nlev, nlat, nlon = qs.shape
+    qspec = pl.BlockSpec((ntrac, 1, nlat, nlon), lambda i: (0, i, 0, 0),
+                         memory_space=pltpu.VMEM)
+    wspec = pl.BlockSpec((1, nlat, nlon), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM)
+    rspec = pl.BlockSpec((nlat, 1), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM)
+    fspec = pl.BlockSpec((nlat + 1, 1), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM)
+    kern = functools.partial(_fv_tracers_sphere_kernel, cfl=m.cfl_max)
+    col = lambda a: jnp.asarray(a).reshape(-1, 1)
+    return pl.pallas_call(
+        kern,
+        grid=(nlev,),
+        in_specs=[qspec, wspec, wspec, rspec, fspec, fspec, rspec],
+        out_specs=qspec,
+        out_shape=jax.ShapeDtypeStruct(qs.shape, qs.dtype),
+        interpret=interpret,
+    )(qs, u, v, col(m.dtdx), col(m.cf_fac), col(m.wf), col(m.wc))
+
+
+def _fv_sphere_reference(qs, u, v, m):
+    from ..online.advection import fv_advect_2d_sphere
+    step = lambda q, uu, vv: fv_advect_2d_sphere(q, uu, vv, m)
+    per_level = jax.vmap(step)
+    return jax.vmap(lambda qt: per_level(qt, u, v))(qs)
+
+
+def _fv_sphere_primal(qs, u, v, m):
+    if _on_tpu():
+        return _fv_sphere_fwd_impl(qs, u, v, m, False)
+    return _fv_sphere_reference(qs, u, v, m)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def fv_advect_tracers_sphere(qs: jnp.ndarray, u: jnp.ndarray,
+                             v: jnp.ndarray, m) -> jnp.ndarray:
+    """Fused multi-tracer spherical FV transport: qs [ntrac, nlev, nlat,
+    nlon] advected by u/v [nlev, nlat, nlon] in m/s with the per-row
+    metric ``m`` (online.advection.SphericalMetric). Pallas forward on
+    TPU; backward differentiates the jnp reference."""
+    return _fv_sphere_primal(qs, u, v, m)
+
+
+def _fv_sphere_fwd(qs, u, v, m):
+    return _fv_sphere_primal(qs, u, v, m), (qs, u, v)
+
+
+def _fv_sphere_bwd(m, res, ct):
+    qs, u, v = res
+    _, vjp = jax.vjp(lambda a, b, c: _fv_sphere_reference(a, b, c, m),
+                     qs, u, v)
+    return vjp(ct)
+
+
+fv_advect_tracers_sphere.defvjp(_fv_sphere_fwd, _fv_sphere_bwd)

@@ -126,7 +126,8 @@ def test_hybrid_rollout_runs_and_is_finite():
 
 def test_hybrid_rollout_water_conservation():
     """With the fixer on and precip-free dummy physics that only moves
-    moisture, the advection step must not change column-integrated water."""
+    moisture, the advection step must not change the PHYSICAL
+    (dp/g x area-weighted) column-integrated water."""
     g = Grid.from_file(GRID_PATH)
 
     def emulator(x_main, x_sfc, mem):
@@ -139,7 +140,7 @@ def test_hybrid_rollout_water_conservation():
     mem = jnp.zeros((384, 60, 8))
     x_sfc = jnp.concatenate([jnp.full((384, 1), 1e5),
                              jnp.ones((384, 23))], axis=1)
-    w = g.mass_weights(x_sfc[:, 0])
+    w = g.mass_weights(x_sfc[:, 0]) * g.area_wgt[:, None]
     total0 = float(jnp.sum(state["qv"] * w))
     state2, _, _ = jax.jit(lambda s, m: loop.rollout(s, m, x_sfc, 3))(state,
                                                                       mem)

@@ -11,9 +11,10 @@ K = jax.random.PRNGKey
 
 def test_rrtmgp_gate():
     from climsim_tpu.models import rrtmgp
-    # blobs are stripped in this snapshot: loader must gate gracefully
-    assert rrtmgp.available(rrtmgp.DEFAULT_LW) is False
-    assert rrtmgp.load_gas_optics_weights(rrtmgp.DEFAULT_LW) is None
+    # the real RRTMGP-NN weight files ship with the reference snapshot
+    # (deep parity in tests/test_rrtmgp.py); missing paths gate to None
+    assert rrtmgp.available(rrtmgp.DEFAULT_LW) is True
+    assert rrtmgp.load_gas_optics_weights(rrtmgp.DEFAULT_LW) is not None
     assert rrtmgp.load_gas_optics_weights("/nonexistent.nc") is None
 
 

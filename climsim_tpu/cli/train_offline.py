@@ -115,18 +115,12 @@ def main(argv=None):
     if name in ("hsr", "rpn", "cvae"):
         return train_stochastic(name, cfg, vset, grid, xn, yn, x, nz, ntr,
                                 fc)
+    if name in ("classifier", "classifier_gradout"):
+        return train_classifier(cfg, vset, grid, xn, x, y, ntr, fc,
+                                gradout=(name == "classifier_gradout"))
     model = build_model(name, vset, cfg.get("model", {}))
     if name == "unet":
-        # the UNet input layout is [profiles-flat, scalars, loc_idx]; the
-        # registry flat layout interleaves variables, so remap + append idx
-        inl = vset.inputs
-        lev_idx = np.concatenate([np.arange(inl.slices[n].start,
-                                            inl.slices[n].stop)
-                                  for n in inl.lev_names])
-        sfc_idx = np.asarray([inl.slices[n].start for n in inl.sfc_names])
-        loc = np.tile(np.arange(1, 385, dtype=np.float32),
-                      len(xn) // 384 + 1)[:len(xn), None]
-        xn = np.concatenate([xn[:, lev_idx], xn[:, sfc_idx], loc], axis=1)
+        xn = _unet_flat_remap(vset, xn)
         outl = vset.outputs
         ylev_idx = np.concatenate([np.arange(outl.slices[n].start,
                                              outl.slices[n].stop)
@@ -166,6 +160,154 @@ def main(argv=None):
     return 0
 
 
+
+
+def _unet_flat_remap(vset, xn):
+    """Registry interleaved flat layout -> the UNet input layout
+    [profiles-flat, scalars, loc_idx]."""
+    inl = vset.inputs
+    lev_idx = np.concatenate([np.arange(inl.slices[n].start,
+                                        inl.slices[n].stop)
+                              for n in inl.lev_names])
+    sfc_idx = np.asarray([inl.slices[n].start for n in inl.sfc_names])
+    loc = np.tile(np.arange(1, 385, dtype=np.float32),
+                  len(xn) // 384 + 1)[:len(xn), None]
+    return np.concatenate([xn[:, lev_idx], xn[:, sfc_idx], loc], axis=1)
+
+
+def train_classifier(cfg, vset, grid, xn, x_raw, y_raw, ntr, fc,
+                     gradout: bool = False):
+    """Cloud-state classifier U-Net trainer (Unet_v5
+    train_unet_h5loader_classifier.py) and its '_gradout' variant
+    (train_unet_h5loader_classifier_gradout.py:301-406): eager steps with
+    global-norm gradient clipping and per-minibatch gradient
+    observability (max |g|, mean per-tensor L2, total norm), plus
+    restart-from-checkpoint of a previously trained classifier.
+
+    Labels derive from RAW cloud water + its tendency
+    (climsim_datapip_classifier_h5.py:121-122): 0 no-change,
+    1 cloud clears next step, 2 changes."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+    from .. import models as M
+    from ..data import flat_batches
+    from ..models.unet import (ClimsimUNetClassifier, classifier_loss,
+                               cloud_class_labels)
+
+    mcfg = cfg.get("model", {})
+    thr1 = mcfg.get("threshold_class1", 1e-9)
+    thr2 = mcfg.get("threshold_class2", 1e-11)
+    # raw cloud water + tendency: v5 carries qn/ptend_qn directly; v4
+    # sums the separate liquid/ice channels
+    inl, outl = vset.inputs, vset.outputs
+    if "state_qn" in inl.lev_names:
+        qn = x_raw[:, inl.slices["state_qn"]]
+        dq = y_raw[:, outl.slices["ptend_qn"]]
+    else:
+        qn = (x_raw[:, inl.slices["state_q0002"]]
+              + x_raw[:, inl.slices["state_q0003"]])
+        dq = (y_raw[:, outl.slices["ptend_q0002"]]
+              + y_raw[:, outl.slices["ptend_q0003"]])
+    q_next = qn + 1200.0 * dq
+    labels = np.asarray(cloud_class_labels(jnp.asarray(q_next),
+                                           jnp.asarray(dq), thr1, thr2))
+    labels = labels[:, None, :]          # [N, nvar=1, L]
+
+    xn = _unet_flat_remap(vset, xn)
+    model = ClimsimUNetClassifier(
+        num_vars_profile=inl.n_lev_vars, num_vars_scalar=inl.n_sfc_vars,
+        model_channels=mcfg.get("model_channels", 64),
+        channel_mult=tuple(mcfg.get("channel_mult", (1, 2, 2))),
+        num_blocks=mcfg.get("num_blocks", 2),
+        loc_embedding=mcfg.get("loc_embedding", False))
+    key = jax.random.PRNGKey(cfg.get("seed", 0))
+    params = model.init(key, jnp.asarray(xn[:2]))
+
+    if cfg.get("init_from"):
+        # restart from a previous classifier checkpoint (the reference's
+        # cfg.restart_path + modulus.Module.from_checkpoint, :188-201)
+        import orbax.checkpoint as ocp
+        from ..train.finetune import partial_load
+        donor = ocp.PyTreeCheckpointer().restore(
+            os.path.abspath(cfg["init_from"]))
+        params, nl, ns = partial_load(params, donor.get("params", donor))
+        print(f"init_from: loaded {nl} tensors, kept {ns}")
+
+    base = optax.adam(fc.lr)
+    if fc.max_grad_norm:
+        base = optax.chain(optax.clip_by_global_norm(fc.max_grad_norm),
+                           base)
+    opt_state = base.init(params)
+
+    @jax.jit
+    def step(p, st, xb, lb):
+        def loss_fn(p):
+            return classifier_loss(model.apply(p, xb), lb)
+        l, g = jax.value_and_grad(loss_fn)(p)
+        leaves = jax.tree_util.tree_leaves(g)
+        gstats = {
+            "max_grad": jnp.max(jnp.stack(
+                [jnp.max(jnp.abs(t)) for t in leaves])),
+            "mean_grad_l2": jnp.mean(jnp.stack(
+                [jnp.linalg.norm(t.ravel()) for t in leaves])),
+            "total_norm": optax.global_norm(g),
+        }
+        up, st = base.update(g, st, p)
+        return optax.apply_updates(p, up), st, l, gstats
+
+    @jax.jit
+    def eval_loss(p, xb, lb):
+        return classifier_loss(model.apply(p, xb), lb)
+
+    hist = []
+    for ep in range(fc.epochs):
+        tot, n = 0.0, 0
+        gacc = {"max_grad": 0.0, "mean_grad_l2": 0.0, "total_norm": 0.0}
+        for i in range(0, ntr - fc.batch_size + 1, fc.batch_size):
+            xb = jnp.asarray(xn[i:i + fc.batch_size])
+            lb = jnp.asarray(labels[i:i + fc.batch_size])
+            params, opt_state, l, gs = step(params, opt_state, xb, lb)
+            tot += float(l)
+            n += 1
+            if gradout:
+                gacc = {k: max(gacc[k], float(v)) if k == "max_grad"
+                        else gacc[k] + float(v) for k, v in gs.items()}
+        vtot, vn = 0.0, 0
+        for i in range(ntr, len(xn) - fc.batch_size + 1, fc.batch_size):
+            vtot += float(eval_loss(params, jnp.asarray(xn[i:i + fc.
+                                                           batch_size]),
+                                    jnp.asarray(labels[i:i + fc.
+                                                       batch_size])))
+            vn += 1
+        rec = {"epoch": ep, "train_ce": tot / max(n, 1),
+               "val_ce": vtot / max(vn, 1)}
+        if gradout and n:
+            rec.update(max_grad=gacc["max_grad"],
+                       mean_grad_l2=gacc["mean_grad_l2"] / n,
+                       total_norm=gacc["total_norm"] / n)
+        hist.append(rec)
+        print(json.dumps(rec))
+
+    if cfg.get("checkpoint_dir"):
+        import orbax.checkpoint as ocp
+        ocp.PyTreeCheckpointer().save(
+            os.path.abspath(os.path.join(cfg["checkpoint_dir"],
+                                         "classifier")),
+            {"params": params})
+
+    # per-class accuracy scoreboard on the validation block
+    nval = min(len(xn) - ntr, 4 * fc.batch_size)
+    if nval > 0:
+        import jax.numpy as jnp
+        logits = model.apply(params, jnp.asarray(xn[ntr:ntr + nval]))
+        pred = np.asarray(jnp.argmax(logits, axis=2))
+        lab = labels[ntr:ntr + nval]
+        acc = float((pred == lab).mean())
+        per = {int(c): float((pred == lab)[lab == c].mean())
+               for c in np.unique(lab)}
+        print(json.dumps({"val_accuracy": acc, "per_class": per}))
+    return 0
 
 
 def train_stochastic(name, cfg, vset, grid, xn, yn, x, nz, ntr, fc):

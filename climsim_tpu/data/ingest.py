@@ -20,7 +20,7 @@ from .. import constants as C
 from .. import variables as V
 from ..io import read_netcdf
 from ..physics import thermo
-from .h5store import KeeplevWriter
+from .h5store import KeeplevReader, KeeplevWriter
 
 import jax.numpy as jnp
 
@@ -113,6 +113,77 @@ def pack_pair(mli_path: str, mlo_path: str, vset: V.VariableSet, grid,
         x_lev, x_sfc = np.asarray(xl), np.asarray(xs)
         y_lev, y_sfc = np.asarray(yl), np.asarray(ys)
     return x_lev, x_sfc, y_lev, y_sfc
+
+
+def keeplev_to_flat(x_lev, x_sfc, layout):
+    """Keeplev arrays ([N, L, n_lev_vars] in lev_names order + [N, n_sfc])
+    -> the flat registry-ordered vector [N, feature_len]
+    (data_utils.py:1202-1293 flattened-generator contract)."""
+    lev_names = list(layout.lev_names)
+    sfc_names = list(layout.sfc_names)
+    parts = []
+    for n in layout.names:
+        if n in lev_names:
+            parts.append(np.asarray(x_lev[..., lev_names.index(n)]))
+        else:
+            parts.append(np.asarray(x_sfc[..., sfc_names.index(n)])[:, None])
+    return np.concatenate(parts, axis=1).astype(np.float32)
+
+
+def save_as_npy(source, vset: V.VariableSet, save_path: str,
+                data_split: str = "train", save_npy: bool = True,
+                save_h5: bool = False, grid=None,
+                save_latlontime: bool = False, dates=None) -> tuple:
+    """Export a split as ``{split}_input.npy`` / ``{split}_target.npy``
+    (+ optional .h5 twins and the index->(lat,lon,date) pickle) — the
+    reference's ``save_as_npy`` (climsim_utils/data_utils.py:1295-1355).
+
+    ``source``: a keeplev H5 path, a KeeplevReader, or a 4-tuple of
+    keeplev arrays. NaN/Inf are scrubbed to 0 as the reference does.
+    """
+    import os
+    import pickle
+
+    if isinstance(source, str):
+        source = KeeplevReader(source)
+    if hasattr(source, "load_all"):
+        d = source.load_all()
+        arrs = (d["input_lev"], d["input_sca"],
+                d["output_lev"], d["output_sca"])
+    else:
+        arrs = source
+    x = keeplev_to_flat(arrs[0], arrs[1], vset.inputs)
+    y = keeplev_to_flat(arrs[2], arrs[3], vset.outputs)
+    x[~np.isfinite(x)] = 0.0
+    y[~np.isfinite(y)] = 0.0
+
+    os.makedirs(save_path, exist_ok=True)
+    paths = []
+    for tag, a in (("input", x), ("target", y)):
+        if save_npy:
+            p = os.path.join(save_path, f"{data_split}_{tag}.npy")
+            np.save(p, a)
+            paths.append(p)
+        if save_h5:
+            import h5py
+            p = os.path.join(save_path, f"{data_split}_{tag}.h5")
+            with h5py.File(p, "w") as hdf:
+                hdf.create_dataset("data", data=a, dtype=a.dtype)
+            paths.append(p)
+    if save_latlontime and grid is not None:
+        ncol = grid.ncol
+        lat = np.asarray(grid.lat)
+        lon = np.asarray(grid.lon)
+        dates = list(dates or [])
+        latlontime = {
+            i: [(float(lat[i % ncol]), float(lon[i % ncol])),
+                dates[i // ncol] if i // ncol < len(dates) else None]
+            for i in range(x.shape[0])}
+        p = os.path.join(save_path, f"{data_split}_indextolatlontime.pkl")
+        with open(p, "wb") as f:
+            pickle.dump(latlontime, f)
+        paths.append(p)
+    return tuple(paths)
 
 
 def ingest(filelists, vset: V.VariableSet, grid, out_path: str,

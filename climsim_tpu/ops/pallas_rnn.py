@@ -140,6 +140,18 @@ def _bigru_pallas_lbh(xp, h0_up, h0_dn, whh_up, bhh_up, win2, bin2,
     H = threeH // 3
     if block_b is None:
         block_b = _auto_block_b(B, L, H, xp.dtype.itemsize)
+    # pad ragged batches to a tile multiple: Mosaic never sees a ragged
+    # tile (a ragged-f32 backward config once faulted the TPU worker —
+    # padding makes every tile full; the pad rows are zeros and their
+    # outputs are sliced away)
+    B0 = B
+    if B % block_b:
+        pad = block_b * pl.cdiv(B, block_b) - B
+        padB = lambda a, ax: jnp.pad(a, [(0, pad) if i == ax else (0, 0)
+                                         for i in range(a.ndim)])
+        xp = padB(xp, 1)
+        h0_up, h0_dn = padB(h0_up, 0), padB(h0_dn, 0)
+        B = B + pad
     nb = pl.cdiv(B, block_b)
 
     kernel = functools.partial(_bigru_kernel, L=L, H=H, acc32=acc32)
@@ -183,6 +195,8 @@ def _bigru_pallas_lbh(xp, h0_up, h0_dn, whh_up, bhh_up, win2, bin2,
             vmem_limit_bytes=127 * 1024 * 1024),
         interpret=interpret,
     )(xp, h0_up, h0_dn, whh_up, bhh_up, win2, bin2, whh_dn, bhh_dn)
+    if B != B0:
+        down, lasth = down[:, :B0], lasth[:B0]
     return down, lasth
 
 
@@ -256,15 +270,12 @@ def _bwd(block_b, interpret, acc32, res, g):
         # VMEM; weight grads accumulate across tiles): 2.08x over the
         # scan VJP at flagship shapes. On-chip parity verified for f32
         # (<=5e-4) and bf16 (precision-class) with contractive weights.
-        # Gated to batches that tile evenly: one RAGGED f32 config
-        # crashed the v5e worker (kernel fault); ragged batches fall
-        # back to the scan VJP (the interpret-mode ragged path is
-        # correct, so this is a Mosaic-level fault, not a logic one).
-        L, B, threeH = xp.shape
-        bt = _auto_block_b_bwd(B, L, threeH // 3, xp.dtype.itemsize)
-        if B % bt == 0:
-            return _bigru_bwd_pallas_lbh(res, d_down, d_lasth, bt,
-                                         interpret)
+        # Ragged batches are zero-padded to a full tile INSIDE the
+        # wrapper (a ragged f32 tile once faulted the v5e worker — with
+        # padding Mosaic only ever compiles full tiles, so there is no
+        # scan-VJP fallback path anymore).
+        return _bigru_bwd_pallas_lbh(res, d_down, d_lasth, None,
+                                     interpret)
     _, vjp = jax.vjp(_bigru_reference_lbh, *res)
     return vjp(g)
 
@@ -481,6 +492,20 @@ def _bigru_bwd_pallas_lbh(res, d_down, d_lasth, block_b=None,
     H = threeH // 3
     if block_b is None:
         block_b = _auto_block_b_bwd(B, L, H, xp.dtype.itemsize)
+    # pad ragged batches so Mosaic only ever sees full tiles (a ragged
+    # f32 tile once faulted the v5e worker). Pad rows carry zero inputs
+    # AND zero cotangents, so every padded row's per-step gradient
+    # bundle d_hh is exactly zero and the weight-gradient reductions are
+    # unchanged; the sliced-away d_xp/d_h0 rows are the only artifacts.
+    B0 = B
+    if B % block_b:
+        pad = block_b * pl.cdiv(B, block_b) - B
+        padB = lambda a, ax: jnp.pad(a, [(0, pad) if i == ax else (0, 0)
+                                         for i in range(a.ndim)])
+        xp, d_down = padB(xp, 1), padB(d_down, 1)
+        h0_up, h0_dn = padB(h0_up, 0), padB(h0_dn, 0)
+        d_lasth = padB(d_lasth, 0)
+        B = B + pad
     nb = pl.cdiv(B, block_b)
     f32 = jnp.float32
 
@@ -527,6 +552,8 @@ def _bigru_bwd_pallas_lbh(res, d_down, d_lasth, block_b=None,
     )(xp, h0_up, h0_dn, whh_up, bhh_up, win2, bin2, whh_dn, bhh_dn,
       d_down, d_lasth)
     (d_xp, d_h0u, d_h0d, dwhhu, dbhhu, dwin2, dbin2, dwhhd, dbhhd) = outs
+    if B != B0:
+        d_xp, d_h0u, d_h0d = d_xp[:, :B0], d_h0u[:B0], d_h0d[:B0]
     return (d_xp, d_h0u, d_h0d,
             dwhhu.astype(whh_up.dtype), dbhhu.astype(bhh_up.dtype),
             dwin2.astype(win2.dtype), dbin2.astype(bin2.dtype),

@@ -121,3 +121,48 @@ def test_ingest_derives_rh_for_v2rh(tmp_path):
     # x_lev is stored float32; the recompute is float64
     np.testing.assert_allclose(rh, exp, rtol=5e-3)
     assert y_lev.shape == (384, 60, 6)
+
+
+def test_save_as_npy_roundtrip(tmp_path):
+    """save_as_npy flattens keeplev arrays to the registry flat contract
+    (input/target npy + h5 twins + latlontime pickle)."""
+    import pickle
+    from climsim_tpu import variables as V
+    from climsim_tpu.grid import Grid
+    from climsim_tpu.data.ingest import save_as_npy, keeplev_to_flat
+
+    vset = V.get("v1")
+    g = Grid.from_file(
+        "/root/reference/grid_info/ClimSim_low-res_grid-info.nc")
+    T, B, L = 3, 384, 60
+    rng = np.random.default_rng(0)
+    inl, outl = vset.inputs, vset.outputs
+    x_lev = rng.normal(0, 1, (T * B, L, inl.n_lev_vars)).astype(np.float32)
+    x_sfc = rng.normal(0, 1, (T * B, inl.n_sfc_vars)).astype(np.float32)
+    y_lev = rng.normal(0, 1, (T * B, L, outl.n_lev_vars)).astype(np.float32)
+    y_sfc = rng.normal(0, 1, (T * B, outl.n_sfc_vars)).astype(np.float32)
+    y_lev[0, 0, 0] = np.nan          # scrubbed to 0 like the reference
+    save_as_npy((x_lev, x_sfc, y_lev, y_sfc), vset, str(tmp_path), "val",
+                save_h5=True, grid=g, save_latlontime=True,
+                dates=["0001-02-01-00000"] * T)
+    x = np.load(tmp_path / "val_input.npy")
+    y = np.load(tmp_path / "val_target.npy")
+    assert x.shape == (T * B, vset.input_feature_len)
+    assert y.shape == (T * B, vset.target_feature_len)
+    # registry slices recover the original per-variable arrays
+    for vi, name in enumerate(inl.lev_names):
+        np.testing.assert_array_equal(x[:, inl.slices[name]],
+                                      x_lev[..., vi])
+    for vi, name in enumerate(inl.sfc_names):
+        np.testing.assert_array_equal(x[:, inl.slices[name]].ravel(),
+                                      x_sfc[..., vi])
+    assert y[0, outl.slices[outl.lev_names[0]].start] == 0.0  # scrubbed
+    import h5py
+    with h5py.File(tmp_path / "val_input.h5") as f:
+        np.testing.assert_array_equal(f["data"][:], x)
+    with open(tmp_path / "val_indextolatlontime.pkl", "rb") as f:
+        lt = pickle.load(f)
+    assert lt[0][0] == (float(np.asarray(g.lat)[0]),
+                        float(np.asarray(g.lon)[0]))
+    assert lt[0][1] == "0001-02-01-00000"
+    assert lt[B][1] == "0001-02-01-00000"

@@ -29,6 +29,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from .. import constants as C
+from ..physics import radiation as RAD
 from .cells import RNNLayer, FusedBiGRULayer
 from .common import Policy, F32
 from .rnn import temperature_scaling, temperature_scaling_precip
@@ -519,8 +520,6 @@ class PhysicalRNNAutoreg(nn.Module):
                     jnp.ones((B, L - 1), x_main.dtype).at[:, ic:] \
                     .set(op_crm)
             if self.use_mcica:
-                from ..physics import radiation as RAD
-
                 Lc = L - ic
                 qn_r = qn_crm                          # [B, Lc, nreg]
                 lf_r = liq_frac_crm * jnp.ones_like(qn_crm)
@@ -528,8 +527,10 @@ class PhysicalRNNAutoreg(nn.Module):
                 for tag, ng in (("sw", self.ng_sw), ("lw", self.ng_lw)):
                     idx = RAD.stratified_sample(p_flat, ng) \
                         .reshape(B, Lc, ng)
-                    qn_g = jnp.take_along_axis(qn_r, idx, axis=-1)
-                    lf_g = jnp.take_along_axis(lf_r, idx, axis=-1)
+                    # one-hot contraction, not take_along_axis: the TPU
+                    # gather + its scatter-add VJP dominated the epoch
+                    qn_g = RAD.take_small_axis(qn_r, idx)
+                    lf_g = RAD.take_small_axis(lf_r, idx)
                     path = 1000.0 * qn_g * dp[..., None] / C.GRAV
                     zer = jnp.zeros((B, L, ng), x_main.dtype)
                     mcica_fields[f"lwp_{tag}_g"] = \
@@ -556,7 +557,7 @@ class PhysicalRNNAutoreg(nn.Module):
                      "h2o": vmr_col}
             if self.use_qv_variability:
                 top2 = jax.lax.top_k(area_frac, 2)[1]        # [B, Lc, 2]
-                qv2 = jnp.clip(jnp.take_along_axis(qv_crm, top2, axis=-1),
+                qv2 = jnp.clip(RAD.take_small_axis(qv_crm, top2),
                                0.0, 0.05)
                 vmr2 = qv2 / (1.0 - qv2) * 1.608079364
                 for key, idx in (("h2o_a", 0), ("h2o_b", 1)):

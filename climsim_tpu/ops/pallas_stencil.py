@@ -51,7 +51,10 @@ def _fv_level_kernel(q_ref, u_ref, v_ref, out_ref, *, dt_dx: float,
     f_pos = qm + 0.5 * (1.0 - c) * slope_m
     f_neg = q - 0.5 * (1.0 + c) * slope_0
     F = jnp.where(u >= 0.0, u * f_pos, u * f_neg)
-    q = q - dt_dx * (pltpu.roll(F, nlon - 1, 1) - F)
+    # advective (free-stream-preserving) form as in online/advection.py:
+    # subtract q times the constant-field flux divergence
+    q = q - dt_dx * ((pltpu.roll(F, nlon - 1, 1) - F)
+                     - q * (pltpu.roll(u, nlon - 1, 1) - u))
 
     # ---- meridional sweep (clamped ghost rows; zero pole-face fluxes)
     nlat = q.shape[0]
@@ -69,8 +72,11 @@ def _fv_level_kernel(q_ref, u_ref, v_ref, out_ref, *, dt_dx: float,
     f_neg = q0 - 0.5 * (1.0 + c) * slope_0
     faces = jnp.where(vf >= 0.0, vf * f_pos, vf * f_neg)  # [nlat+1, nlon]
     row = jax.lax.broadcasted_iota(jnp.int32, faces.shape, 0)
-    faces = jnp.where((row == 0) | (row == nlat), 0.0, faces)
-    out_ref[0] = q - dt_dy * (faces[1:] - faces[:-1])
+    pole = (row == 0) | (row == nlat)
+    faces = jnp.where(pole, 0.0, faces)
+    vfm = jnp.where(pole, 0.0, vf)
+    out_ref[0] = q - dt_dy * ((faces[1:] - faces[:-1])
+                              - q * (vfm[1:] - vfm[:-1]))
 
 
 def fv_advect_levels(q: jnp.ndarray, u: jnp.ndarray, v: jnp.ndarray,
@@ -118,7 +124,9 @@ def _fv_tracers_kernel(q_ref, u_ref, v_ref, out_ref, *, dt_dx: float,
     f_pos = qm + 0.5 * (1.0 - c) * slope_m
     f_neg = q - 0.5 * (1.0 + c) * slope_0
     F = jnp.where(u >= 0.0, u * f_pos, u * f_neg)
-    q = q - dt_dx * (pltpu.roll(F, nlon - 1, 2) - F)
+    # advective form (see online/advection.py): constant-field correction
+    q = q - dt_dx * ((pltpu.roll(F, nlon - 1, 2) - F)
+                     - q * (pltpu.roll(u, nlon - 1, 1) - u))
 
     # ---- meridional sweep (clamped ghost rows; zero pole-face fluxes)
     nlat = q.shape[1]
@@ -138,7 +146,12 @@ def _fv_tracers_kernel(q_ref, u_ref, v_ref, out_ref, *, dt_dx: float,
     faces = jnp.where(vf >= 0.0, vf * f_pos, vf * f_neg)
     row = jax.lax.broadcasted_iota(jnp.int32, faces.shape, 1)
     faces = jnp.where((row == 0) | (row == nlat), 0.0, faces)
-    out_ref[:, 0] = q - dt_dy * (faces[:, 1:] - faces[:, :-1])
+    # constant-field face flux: vf with the same pole closure ([nlat+1,
+    # nlon], lat axis 0 — broadcasts over the tracer axis of q)
+    vrow = jax.lax.broadcasted_iota(jnp.int32, vf.shape, 0)
+    vfm = jnp.where((vrow == 0) | (vrow == nlat), 0.0, vf)
+    out_ref[:, 0] = q - dt_dy * ((faces[:, 1:] - faces[:, :-1])
+                                 - q * (vfm[1:] - vfm[:-1]))
 
 
 def _fv_advect_tracers_fwd_impl(qs, u, v, dt_dx, dt_dy, interpret):
@@ -233,7 +246,9 @@ def _fv_tracers_sphere_kernel(q_ref, u_ref, v_ref, dtdx_ref, cf_ref,
     f_pos = qm + 0.5 * (1.0 - c) * slope_m
     f_neg = q - 0.5 * (1.0 + c) * slope_0
     Fc = jnp.where(c >= 0.0, c * f_pos, c * f_neg)
-    q = q - (pltpu.roll(Fc, nlon - 1, 2) - Fc)
+    # advective form (see online/advection.py): constant-field flux is c
+    q = q - ((pltpu.roll(Fc, nlon - 1, 2) - Fc)
+             - q * (pltpu.roll(c, nlon - 1, 1) - c))
 
     # ---- meridional sweep with cos(phi) face weights
     ext = jnp.concatenate([q[:, :1], q[:, :1], q, q[:, -1:], q[:, -1:]],
@@ -251,7 +266,9 @@ def _fv_tracers_sphere_kernel(q_ref, u_ref, v_ref, dtdx_ref, cf_ref,
     f_neg = q0 - 0.5 * (1.0 + c) * slope_0
     faces = jnp.where(c >= 0.0, c * f_pos, c * f_neg)
     flux = wf * faces               # pole faces: wf = cos(+-90) dphi = 0
-    out_ref[:, 0] = q - wc * (flux[:, 1:] - flux[:, :-1])
+    fluxc = wf * c                  # constant-field flux [nlat+1, nlon]
+    out_ref[:, 0] = q - wc * ((flux[:, 1:] - flux[:, :-1])
+                              - q * (fluxc[1:] - fluxc[:-1]))
 
 
 def _fv_sphere_fwd_impl(qs, u, v, m, interpret):

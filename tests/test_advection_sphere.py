@@ -134,15 +134,21 @@ def test_tilted_solid_body_rotation_analytic():
 
     err = np.linalg.norm(q - q_exact) / np.linalg.norm(q_exact)
     assert err < 0.30, f"tilted rotation L2 error {err:.3f}"
+    # the analytic wind is divergence-free but its DISCRETE constant-field
+    # flux divergence is only second-order zero, so the advective form
+    # conserves to truncation error rather than roundoff here
     mass0 = float(np.sum(q0.astype(np.float64) * m.cell_w[:, None]))
     mass1 = float(np.sum(q.astype(np.float64) * m.cell_w[:, None]))
-    np.testing.assert_allclose(mass1, mass0, rtol=3e-5)
+    np.testing.assert_allclose(mass1, mass0, rtol=1e-2)
 
 
 def test_sphere_mass_conservation_random_winds():
-    """Random smooth winds, 20 steps: the physical (area-weighted)
-    integral is conserved to float32 roundoff, including flow INTO the
-    polar rows (cos->0 closure)."""
+    """Random compressible winds, 20 steps: the advective-form scheme
+    keeps the physical integral approximately conserved (the error is
+    the q'-div covariance), stays bounded within the initial range, and
+    preserves constants EXACTLY — the raw flux form instead grew the
+    field at the local-divergence rate (e-folding ~1e5 s), which is the
+    blow-up the long coupled runs hit."""
     nlat, nlon = 24, 48
     m, lats = _regular_metric(nlat, nlon, DT_STEP)
     rng = np.random.default_rng(7)
@@ -156,8 +162,22 @@ def test_sphere_mass_conservation_random_winds():
         q = step(q)
     mass0 = float(np.sum(q0.astype(np.float64) * m.cell_w[:, None]))
     mass1 = float(np.sum(np.asarray(q, np.float64) * m.cell_w[:, None]))
-    np.testing.assert_allclose(mass1, mass0, rtol=2e-5)
+    np.testing.assert_allclose(mass1, mass0, rtol=0.03)
     assert np.isfinite(np.asarray(q)).all()
+    assert float(q.max()) <= float(q0.max()) * 1.001
+    assert float(q.min()) >= -1e-6
+    # free-stream preservation: constants are a fixed point
+    qc = jnp.full((nlat, nlon), 2.5)
+    for _ in range(20):
+        qc = step(qc)
+    np.testing.assert_allclose(np.asarray(qc), 2.5, rtol=1e-6)
+    # and with the area-weighted fixer (the host loop's epilogue) the
+    # integral is restored exactly
+    fixed = adv.conservation_fixer(q, jnp.asarray(q0),
+                                   jnp.asarray(m.cell_w)[:, None])
+    np.testing.assert_allclose(
+        float(np.sum(np.asarray(fixed, np.float64) * m.cell_w[:, None])),
+        mass0, rtol=1e-6)
 
 
 def test_polar_courant_clamp_keeps_stability():

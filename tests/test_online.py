@@ -29,13 +29,51 @@ def test_proxy_grid_roundtrip():
 
 
 def test_fv_advection_conserves_mass():
+    """Advective (free-stream-preserving) form: EXACT conservation for
+    divergence-free winds; for compressible winds the conservation error
+    is the q'-div covariance (small) and the host loop's fixer closes it."""
     rng = np.random.default_rng(1)
     q = jnp.asarray(np.abs(rng.normal(1.0, 0.3, (16, 24))))
+    # divergence-free: uniform zonal wind, v = 0
+    q1 = fv_advect_2d(q, jnp.full((16, 24), 0.6), jnp.zeros((16, 24)),
+                      0.5, 0.5)
+    np.testing.assert_allclose(float(q1.sum()), float(q.sum()), rtol=1e-10)
+    # compressible random winds: approximately conservative per step
     u = jnp.asarray(rng.normal(0, 0.3, (16, 24)))
     v = jnp.asarray(rng.normal(0, 0.3, (16, 24)))
-    q1 = fv_advect_2d(q, u, v, 0.5, 0.5)
-    # conservative with zero pole flux: exact global mass conservation
-    np.testing.assert_allclose(float(q1.sum()), float(q.sum()), rtol=1e-10)
+    q2 = fv_advect_2d(q, u, v, 0.5, 0.5)
+    np.testing.assert_allclose(float(q2.sum()), float(q.sum()), rtol=0.05)
+
+
+def test_fv_advection_preserves_constants():
+    """Free-stream preservation: a constant field stays exactly constant
+    under ARBITRARY (divergent) winds — the property whose absence made
+    the raw flux form accumulate tracer exponentially at convergence
+    zones in long coupled runs."""
+    rng = np.random.default_rng(5)
+    q = jnp.full((16, 24), 3.7)
+    u = jnp.asarray(rng.normal(0, 0.5, (16, 24)))
+    v = jnp.asarray(rng.normal(0, 0.5, (16, 24)))
+    out = q
+    for _ in range(20):
+        out = fv_advect_2d(out, u, v, 0.4, 0.4)
+    np.testing.assert_allclose(np.asarray(out), 3.7, rtol=1e-6)
+
+
+def test_fv_advection_bounded_divergent_winds():
+    """Long-run boundedness with fixed compressible winds: values stay
+    within the initial range (up to roundoff) instead of growing at the
+    local-divergence rate."""
+    rng = np.random.default_rng(6)
+    q = jnp.asarray(np.abs(rng.normal(1.0, 0.3, (16, 24))))
+    u = jnp.asarray(rng.normal(0, 0.5, (16, 24)))
+    v = jnp.asarray(rng.normal(0, 0.5, (16, 24)))
+    lo, hi = float(q.min()), float(q.max())
+    out = q
+    for _ in range(200):
+        out = fv_advect_2d(out, u, v, 0.3, 0.3)
+    assert float(out.max()) <= hi * 1.001 + 1e-6
+    assert float(out.min()) >= lo * 0.999 - 1e-6
 
 
 def test_fv_advection_translates():
@@ -236,7 +274,12 @@ def test_sharded_hybrid_step_matches_single_device():
                                    err_msg=k)
 
 
-def test_vertical_advection_conserves_column_mass():
+def test_vertical_advection_constancy_and_mass():
+    """Advective form in the vertical too: constants are an EXACT fixed
+    point for arbitrary omega (incl. the zero-flux boundaries — the raw
+    flux form piled mass at the surface), mass is approximately
+    conserved for random omega, and exactly conserved when omega is
+    column-nondivergent away from the closed boundaries."""
     from climsim_tpu.online.advection import vertical_advect_column
     rng = np.random.default_rng(9)
     B, L = 16, 60
@@ -245,14 +288,12 @@ def test_vertical_advection_conserves_column_mass():
     dp = jnp.asarray(rng.uniform(500, 2000, (B, L)))
     q1 = vertical_advect_column(q, w, dp, dt=1.0)
     np.testing.assert_allclose(np.asarray((q1 * dp).sum(1)),
-                               np.asarray((q * dp).sum(1)), rtol=1e-12)
-    # flux form: uniform fields stay uniform only for column-nondivergent
-    # omega (constant w, since flux = w*q with dp weighting): check that
+                               np.asarray((q * dp).sum(1)), rtol=0.1)
+    assert float(q1.max()) <= float(q.max()) * 1.001
+    # constancy: uniform field is a fixed point for ANY omega
     qu = jnp.ones((B, L))
-    w_const = jnp.zeros((B, L + 1)).at[:, 1:-1].set(25.0)
-    out = vertical_advect_column(qu, w_const, dp, 1.0)
-    # interior cells (away from the zero-flux boundaries) unchanged
-    np.testing.assert_allclose(np.asarray(out[:, 1:-1]), 1.0, rtol=1e-12)
+    out = vertical_advect_column(qu, w, dp, 1.0)
+    np.testing.assert_allclose(np.asarray(out), 1.0, rtol=1e-12)
 
 
 def test_hybrid_with_vertical_advection():

@@ -1,0 +1,451 @@
+"""Long-horizon hybrid stability run (multi-year, on-chip).
+
+The reference's online evaluation demonstrates multi-year stability of the
+coupled E3SM-MMF + NN system and scores it with error-growth / zonal-bias /
+precipitation-statistics notebooks (online_testing/README.md §5-6,
+online_testing/evaluation/*.ipynb). This driver reproduces that evidence
+for the TPU framework end-to-end with the balanced synthetic truth climate
+(data/synthetic.equilibrium_physics) standing in for E3SM-MMF (the real
+dataset/model blobs are stripped from this environment):
+
+1. spin the truth climate (equilibrium physics + spherical FV advection on
+   the REAL ne4 low-res geometry, diurnal insolation cycle) to its attractor;
+2. generate a coupled truth trajectory and train the flagship RNNAutoreg
+   emulator on it with the semi-online scheme (train/rollout.py — the
+   reference's rnn/utils.py:994-1060 state-advance training);
+3. couple the TRAINED emulator back into the hybrid loop and run it for
+   years of simulated time alongside the truth, recording per-step drift,
+   physical-units conservation, precipitation statistics, and
+   model-vs-truth error growth;
+4. write artifacts: stability_run.jsonl (per-chunk series),
+   stability_run.json (summary), stability_run.png (figure set),
+   stability_emulator.msgpack (trained weights).
+
+Usage:
+  python artifacts/stability_run.py                # full run on the TPU
+  python artifacts/stability_run.py --platform cpu --quick   # CPU smoke
+"""
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+GRID = "/root/reference/grid_info/ClimSim_low-res_grid-info.nc"
+
+
+def parse_args():
+    p = argparse.ArgumentParser()
+    p.add_argument("--platform", default=None,
+                   help="cpu to force CPU (default: whatever jax has)")
+    p.add_argument("--steps", type=int, default=78840,
+                   help="coupled steps for the stability run "
+                        "(78840 = 3 simulated years at dt=1200s)")
+    p.add_argument("--spinup", type=int, default=10800,
+                   help="truth spin-up steps (10800 = 150 days)")
+    p.add_argument("--train-steps", type=int, default=1440,
+                   help="truth trajectory length for training data")
+    p.add_argument("--epochs", type=int, default=40)
+    p.add_argument("--chunk", type=int, default=720,
+                   help="scan-chunk length for the long run (10 days)")
+    p.add_argument("--quick", action="store_true",
+                   help="tiny settings for a CPU smoke test")
+    p.add_argument("--nneur", type=int, default=192)
+    p.add_argument("--out", default=os.path.join(
+        os.path.dirname(__file__), "stability_run"))
+    return p.parse_args()
+
+
+def main():
+    args = parse_args()
+    if args.quick:
+        args.steps = min(args.steps, 216)
+        args.spinup = min(args.spinup, 144)
+        args.train_steps = min(args.train_steps, 96)
+        args.epochs = min(args.epochs, 3)
+        args.chunk = min(args.chunk, 72)
+        args.nneur = min(args.nneur, 32)
+
+    import jax
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+    # persistent compile cache (shared with the test suite)
+    cache = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "..", "tests", ".jax_cache")
+    jax.config.update("jax_compilation_cache_dir", cache)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+    import jax.numpy as jnp
+    import numpy as np
+    from climsim_tpu import constants as C
+    from climsim_tpu.grid import Grid
+    from climsim_tpu.online import HybridLoop, HostLoopConfig
+    from climsim_tpu.data.synthetic import (EquilibriumConfig,
+                                            equilibrium_forcing,
+                                            equilibrium_emulator)
+    from climsim_tpu.physics import thermo
+    from climsim_tpu.models.rnn import RNNAutoreg
+    from climsim_tpu.train.rollout import RolloutTrainer, RolloutConfig
+    from climsim_tpu.data.loader import chunkize
+
+    t_wall0 = time.time()
+    g = Grid.from_file(GRID)
+    ncol, nlev = 384, 60
+    eq_cfg = EquilibriumConfig()
+    base_sfc = equilibrium_forcing(jax.random.PRNGKey(0), g, ncol)
+    # diurnal insolation: SOLIN = solar constant, COSZRS(t) from the real
+    # column lat/lon at perpetual equinox (hour angle advances 2*pi/day)
+    lat = np.asarray(g.lat)[:ncol]
+    lon = np.asarray(g.lon)[:ncol]
+    coslat_j = jnp.asarray(np.cos(np.deg2rad(lat)), jnp.float32)
+    lonrad_j = jnp.asarray(np.deg2rad(lon), jnp.float32)
+    base_sfc = base_sfc.at[:, 1].set(1360.0)
+    omega_day = 2.0 * np.pi * C.DT_STEP / 86400.0
+
+    def sfc_at(tstep):
+        mu = coslat_j * jnp.cos(lonrad_j + omega_day * tstep)
+        return base_sfc.at[:, 2].set(jnp.maximum(mu, 0.0))
+
+    truth = equilibrium_emulator(g, eq_cfg)
+    loop_cfg = HostLoopConfig(scheme="fv", fix_water=True,
+                              geometry="sphere")
+    truth_loop = HybridLoop(truth, g, loop_cfg)
+
+    # physical-units weights for global means (dp/g x area_wgt, the
+    # reference's area-weighted integrals, climsim_utils/data_utils.py:74)
+    w_phys = g.mass_weights(base_sfc[:, 0]) * g.area_wgt[:ncol, None]
+    wsum = jnp.sum(w_phys)
+    wmean = lambda f: jnp.sum(w_phys * f) / wsum
+
+    def init_state(seed=1):
+        rng = np.random.default_rng(seed)
+        coslat = np.cos(np.deg2rad(lat))
+        s = np.linspace(0, 1, nlev)
+        T = (205.0 + (235 + 62 * coslat[:, None] - 205.0)
+             * s[None, :] ** 1.1 + rng.normal(0, 2, (ncol, nlev)))
+        pmid = g.mid_pressure(base_sfc[:, 0])
+        qv = 0.6 * thermo.qsat(jnp.asarray(T, jnp.float32), pmid)
+        return {
+            "T": jnp.asarray(T, jnp.float32),
+            "qv": jnp.asarray(qv, jnp.float32),
+            "qc": jnp.full((ncol, nlev), 1e-6, jnp.float32),
+            "qi": jnp.full((ncol, nlev), 1e-6, jnp.float32),
+            "u": jnp.asarray(rng.normal(0, 5, (ncol, nlev)), jnp.float32),
+            "v": jnp.asarray(rng.normal(0, 2, (ncol, nlev)), jnp.float32),
+        }
+
+    # ------------------------------------------------------------ 1. spin-up
+    dummy_mem = jnp.zeros((ncol, 1, 1), jnp.float32)
+
+    @jax.jit
+    def spin_chunk(st, t0):
+        def step(carry, dt_i):
+            st, m = carry
+            st, m, _ = truth_loop.coupled_step(st, m, sfc_at(t0 + dt_i))
+            return (st, m), ()
+        (st, _), _ = jax.lax.scan(step, (st, dummy_mem),
+                                  jnp.arange(args.chunk))
+        return st
+
+    state = init_state()
+    print(f"[{time.time()-t_wall0:7.1f}s] spin-up {args.spinup} steps...",
+          flush=True)
+    t = 0
+    while t < args.spinup:
+        state = spin_chunk(state, jnp.int32(t))
+        t += args.chunk
+    jax.block_until_ready(state["T"])
+    Tm0 = float(wmean(state["T"]))
+    print(f"[{time.time()-t_wall0:7.1f}s] spin-up done, <T>={Tm0:.2f} K",
+          flush=True)
+
+    # --------------------------------------------- 2. training data + train
+    @jax.jit
+    def collect_chunk(st, t0):
+        def step(carry, dt_i):
+            st, m = carry
+            sfc = sfc_at(t0 + dt_i)
+            x_raw = jnp.stack([st["T"], st["qv"], st["qc"], st["qi"],
+                               st["u"], st["v"]], axis=-1)
+            pt, sfc_out = truth(x_raw, sfc, m)[:2]
+            st, m, _ = truth_loop.coupled_step(st, m, sfc)
+            return (st, m), (x_raw, pt, sfc_out, sfc)
+        (st, _), outs = jax.lax.scan(step, (st, dummy_mem),
+                                     jnp.arange(args.chunk))
+        return st, outs
+
+    xs_raw, ys_raw, ysfc_raw, sfc_ts = [], [], [], []
+    t_off = args.spinup
+    collected = 0
+    while collected < args.train_steps:
+        state, (xr, yr, ysf, sf) = collect_chunk(state,
+                                                 jnp.int32(t_off + collected))
+        xs_raw.append(xr)
+        ys_raw.append(yr)
+        ysfc_raw.append(ysf)
+        sfc_ts.append(sf)
+        collected += args.chunk
+    x_raw = jnp.concatenate(xs_raw)[:args.train_steps]      # [T,B,L,6]
+    y_raw = jnp.concatenate(ys_raw)[:args.train_steps]      # [T,B,L,6]
+    y_sfc_raw = jnp.concatenate(ysfc_raw)[:args.train_steps]  # [T,B,8]
+    sfc_t = jnp.concatenate(sfc_ts)[:args.train_steps]      # [T,B,24]
+    run_t0 = t_off + args.train_steps     # where the long run starts
+    print(f"[{time.time()-t_wall0:7.1f}s] collected {args.train_steps} "
+          "training steps", flush=True)
+
+    # feature construction: 6 prognostic channels + rh + sigma
+    pmid = g.mid_pressure(base_sfc[:, 0])                   # [B,L]
+    sigma = (pmid / base_sfc[:, 0:1]).astype(jnp.float32)
+
+    def derived(xr):
+        rh = xr[..., 1] / jnp.maximum(thermo.qsat(xr[..., 0], pmid), 1e-8)
+        sg = jnp.broadcast_to(sigma, xr.shape[:-1])
+        return jnp.stack([rh, sg], axis=-1)
+
+    feats_raw = jnp.concatenate([x_raw, derived(x_raw)], axis=-1)  # [T,B,L,8]
+
+    f64 = lambda a: np.asarray(a, np.float64)
+    xm = f64(feats_raw.mean(axis=(0, 1, 2)))
+    xs_ = np.maximum(f64(feats_raw.std(axis=(0, 1, 2))), 1e-12)
+    sfm = f64(sfc_t.mean(axis=(0, 1)))
+    sfs = np.maximum(f64(sfc_t.std(axis=(0, 1))), 1e-12)
+    ysd = np.maximum(f64(y_raw.std(axis=(0, 1, 2))), 1e-30)
+    ysfc_sd = np.maximum(f64(y_sfc_raw.std(axis=(0, 1))), 1e-30)
+
+    xm_j = jnp.asarray(xm, jnp.float32)
+    xs_j = jnp.asarray(xs_, jnp.float32)
+    sfm_j = jnp.asarray(sfm, jnp.float32)
+    sfs_j = jnp.asarray(sfs, jnp.float32)
+    yscale_lev = jnp.asarray(1.0 / ysd, jnp.float32)        # [6]
+    yscale_sca = jnp.asarray(1.0 / ysfc_sd, jnp.float32)    # [8]
+
+    x_lev_n = ((feats_raw - xm_j) / xs_j).astype(jnp.float32)
+    x_sfc_n = ((sfc_t - sfm_j) / sfs_j).astype(jnp.float32)
+    y_lev_n = (y_raw * yscale_lev).astype(jnp.float32)
+    y_sfc_n = (y_sfc_raw * yscale_sca).astype(jnp.float32)
+    sp_t = jnp.broadcast_to(base_sfc[:, 0][None], sfc_t.shape[:2])
+
+    nh_mem = 16 if args.nneur >= 64 else 8
+    model = RNNAutoreg(nx=8, nx_sfc=24, ny=6, ny_sfc=8,
+                       nneur=(args.nneur, args.nneur),
+                       nh_mem=nh_mem, add_pres=False, output_prune=False)
+    n_val = max(args.chunk // 4, 32)
+    chunk_T = 16 if not args.quick else 8
+    rcfg = RolloutConfig(
+        rollout_schedule={0: 1, 4: 2, 10: 4, 18: 8} if not args.quick
+        else {0: 1, 2: 2},
+        loss="huber", lr=2e-3, lr_schedule="step",
+        lr_gamma=0.7, decay_every=1200,
+        semi_online=True, replay="mixed",
+        gradual_mixing_end_epoch=max(args.epochs // 2, 1),
+        n_prog=6, pass_x_raw=False, seed=0)
+    trainer = RolloutTrainer(
+        model, rcfg, np.asarray(g.hyai), np.asarray(g.hybi),
+        yscale_lev=yscale_lev.reshape(1, 1, 6), yscale_sca=yscale_sca,
+        xmean_prog=xm_j[:6], xdiv_prog=xs_j[:6])
+
+    T_tr = args.train_steps - n_val
+
+    def chunks(lo, hi, seed, shuffle=True):
+        rng = np.random.default_rng(seed)
+        for idx in chunkize(hi - lo, chunk_T, rng, shuffle):
+            sl = idx + lo
+            yield {"x_lev": x_lev_n[sl], "x_sfc": x_sfc_n[sl],
+                   "y_lev": y_lev_n[sl], "y_sfc": y_sfc_n[sl],
+                   "sp": sp_t[sl],
+                   "x_lev_raw": x_raw[sl], "y_lev_raw": y_raw[sl]}
+
+    params, opt_state, mem = trainer.init(
+        jax.random.PRNGKey(0), next(iter(chunks(0, chunk_T, 0, False))))
+    history = []
+    for ep in range(args.epochs):
+        params, opt_state, mem, rec = trainer.run_epoch(
+            params, opt_state, mem, chunks(0, T_tr, ep), ep)
+        _, _, mem, vrec = trainer.run_epoch(
+            params, opt_state, mem, chunks(T_tr, args.train_steps, 0, False),
+            ep, train=False)
+        rec["val_loss"] = vrec["loss"]
+        history.append(rec)
+        if ep % 5 == 0 or ep == args.epochs - 1:
+            print(f"[{time.time()-t_wall0:7.1f}s] epoch {ep:3d} W={rec['window']} "
+                  f"loss={rec['loss']:.4f} val={vrec['loss']:.4f}",
+                  flush=True)
+
+    from flax import serialization
+    with open(args.out + "_emulator.msgpack", "wb") as f:
+        f.write(serialization.to_bytes(params))
+
+    # ------------------------------------------------ 3. the long paired run
+    def emulator(x_main_raw, x_sfc_raw, mem):
+        feats = jnp.concatenate([x_main_raw, derived(x_main_raw)], axis=-1)
+        xn = (feats - xm_j) / xs_j
+        sn = (x_sfc_raw - sfm_j) / sfs_j
+        out, out_sfc, mem = model.apply(params, xn, sn, mem)
+        return out / yscale_lev, out_sfc / yscale_sca, mem
+
+    model_loop = HybridLoop(emulator, g, loop_cfg)
+    mem0 = jnp.zeros((ncol, nlev, nh_mem), jnp.float32)
+
+    FIELDS = ("T", "qv", "qc", "qi", "u", "v")
+
+    @jax.jit
+    def paired_chunk(st_m, mem_m, st_t, t0):
+        def step(carry, dt_i):
+            st_m, mem_m, st_t = carry
+            sfc = sfc_at(t0 + dt_i)
+            st_m, mem_m, dg_m = model_loop.coupled_step(st_m, mem_m, sfc)
+            st_t, _, dg_t = truth_loop.coupled_step(st_t, dummy_mem, sfc)
+            d = {
+                "T_m": wmean(st_m["T"]), "T_t": wmean(st_t["T"]),
+                "qv_m": wmean(st_m["qv"]), "qv_t": wmean(st_t["qv"]),
+                "water_m": jnp.sum(w_phys * (st_m["qv"] + st_m["qc"]
+                                             + st_m["qi"])),
+                "water_t": jnp.sum(w_phys * (st_t["qv"] + st_t["qc"]
+                                             + st_t["qi"])),
+                "Tmin_m": st_m["T"].min(), "Tmax_m": st_m["T"].max(),
+                "umax_m": jnp.abs(st_m["u"]).max(),
+                "prec_m": wmean(dg_m["precc"][:, None] *
+                                jnp.ones((1, nlev))),
+                "prec_t": wmean(dg_t["precc"][:, None] *
+                                jnp.ones((1, nlev))),
+                "prec999_m": jnp.percentile(dg_m["precc"], 99.9),
+                "prec999_t": jnp.percentile(dg_t["precc"], 99.9),
+                "rmse_T": jnp.sqrt(wmean((st_m["T"] - st_t["T"]) ** 2)),
+                "rmse_qv": jnp.sqrt(wmean((st_m["qv"] - st_t["qv"]) ** 2)),
+            }
+            return (st_m, mem_m, st_t), d
+        carry, d = jax.lax.scan(step, (st_m, mem_m, st_t),
+                                jnp.arange(args.chunk))
+        st_m, mem_m, st_t = carry
+        # chunk-mean fields for zonal/column statistics
+        means = {"T_m": st_m["T"], "T_t": st_t["T"]}
+        return st_m, mem_m, st_t, d, means
+
+    st_m = {k: v for k, v in state.items()}
+    st_t = {k: v for k, v in state.items()}
+    mem_m = mem0
+    jsonl = open(args.out + ".jsonl", "w")
+    n_chunks = args.steps // args.chunk
+    per_step = {}
+    last_T_m = last_T_t = None
+    print(f"[{time.time()-t_wall0:7.1f}s] long run: {args.steps} steps "
+          f"({args.steps * C.DT_STEP / 86400 / 365:.2f} sim years)",
+          flush=True)
+    for ci in range(n_chunks):
+        st_m, mem_m, st_t, d, means = paired_chunk(
+            st_m, mem_m, st_t, jnp.int32(run_t0 + ci * args.chunk))
+        d = {k: np.asarray(v) for k, v in d.items()}
+        bad = not np.isfinite(d["T_m"]).all()
+        rec = {"chunk": ci, "step_end": (ci + 1) * args.chunk,
+               "sim_days": round((ci + 1) * args.chunk * C.DT_STEP / 86400,
+                                 2)}
+        for k, v in d.items():
+            rec[k + "_last"] = float(v[-1])
+            rec[k + "_mean"] = float(v.mean())
+        jsonl.write(json.dumps(rec) + "\n")
+        jsonl.flush()
+        # full-resolution error-growth series for the first ~month + a
+        # subsampled tail
+        for k, v in d.items():
+            per_step.setdefault(k, []).append(
+                v if ci * args.chunk < 2400 else v[::24])
+        last_T_m, last_T_t = np.asarray(means["T_m"]), np.asarray(
+            means["T_t"])
+        if ci % max(n_chunks // 10, 1) == 0 or bad:
+            print(f"[{time.time()-t_wall0:7.1f}s] day "
+                  f"{rec['sim_days']:7.1f}: <T>m={rec['T_m_last']:.2f} "
+                  f"<T>t={rec['T_t_last']:.2f} rmseT={rec['rmse_T_last']:.3f} "
+                  f"prec m/t={rec['prec_m_last']/max(rec['prec_t_last'],1e-30):.3f}",
+                  flush=True)
+        if bad:
+            print("NaN detected — stopping early", flush=True)
+            break
+    jsonl.close()
+
+    # ------------------------------------------------------------ 4. report
+    series = {k: np.concatenate(v) for k, v in per_step.items()}
+    zonal_bands = np.linspace(-90, 90, 17)
+    bidx = np.digitize(lat, zonal_bands) - 1
+    zbias = np.array([
+        (last_T_m - last_T_t)[bidx == b].mean() if np.any(bidx == b)
+        else np.nan for b in range(16)])
+
+    days = np.arange(len(series["T_m"])) * np.nan  # display only
+    summary = {
+        "steps_run": int(min(args.steps, (ci + 1) * args.chunk)),
+        "sim_years": round((ci + 1) * args.chunk * C.DT_STEP / 86400 / 365,
+                           3),
+        "finite": bool(np.isfinite(series["T_m"]).all()),
+        "T_drift_K": float(series["T_m"][-1] - series["T_t"][-1]),
+        "T_rmse_final_K": float(series["rmse_T"][-1]),
+        "T_rmse_day1_K": float(series["rmse_T"][:72].max()),
+        "qv_rmse_final": float(series["rmse_qv"][-1]),
+        "water_ratio_final": float(series["water_m"][-1]
+                                   / series["water_t"][-1]),
+        "prec_mean_ratio": float(series["prec_m"].mean()
+                                 / max(series["prec_t"].mean(), 1e-30)),
+        "prec_p999_ratio": float(np.mean(series["prec999_m"])
+                                 / max(np.mean(series["prec999_t"]), 1e-30)),
+        "Tmax_overall": float(np.max(series["Tmax_m"])),
+        "Tmin_overall": float(np.min(series["Tmin_m"])),
+        "zonal_bias_K": [None if np.isnan(b) else round(float(b), 3)
+                         for b in zbias],
+        "train_final_loss": history[-1]["loss"] if history else None,
+        "train_final_val": history[-1].get("val_loss") if history else None,
+        "wall_seconds": round(time.time() - t_wall0, 1),
+    }
+    with open(args.out + ".json", "w") as f:
+        json.dump({"summary": summary, "train_history": history}, f,
+                  indent=1)
+    print(json.dumps(summary, indent=1), flush=True)
+
+    try:
+        import matplotlib
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+        fig, axes = plt.subplots(2, 2, figsize=(11, 7))
+        x_d = np.linspace(0, summary["sim_years"] * 365,
+                          len(series["T_m"]))
+        ax = axes[0, 0]
+        ax.plot(x_d, series["T_m"], label="hybrid (NN)", lw=0.8)
+        ax.plot(x_d, series["T_t"], label="truth", lw=0.8)
+        ax.set_xlabel("simulated day")
+        ax.set_ylabel("global mean T [K]")
+        ax.set_title("drift")
+        ax.legend()
+        ax = axes[0, 1]
+        n1 = min(72 * 30, len(series["rmse_T"]))
+        ax.semilogy(np.arange(n1) / 72.0, series["rmse_T"][:n1],
+                    label="RMSE T [K]")
+        ax.semilogy(np.arange(n1) / 72.0,
+                    series["rmse_qv"][:n1] * 1e3, label="RMSE qv [g/kg]")
+        ax.set_xlabel("simulated day")
+        ax.set_title("error growth (first month)")
+        ax.legend()
+        ax = axes[1, 0]
+        centers = 0.5 * (zonal_bands[:-1] + zonal_bands[1:])
+        ax.plot(centers, zbias, marker="o")
+        ax.axhline(0, ls=":")
+        ax.set_xlabel("latitude")
+        ax.set_ylabel("T bias [K]")
+        ax.set_title("final-state zonal-mean T bias")
+        ax = axes[1, 1]
+        mmday = 8.64e7
+        ax.plot(x_d, series["prec_m"] * mmday, label="hybrid", lw=0.8)
+        ax.plot(x_d, series["prec_t"] * mmday, label="truth", lw=0.8)
+        ax.set_xlabel("simulated day")
+        ax.set_ylabel("global precip [mm/day]")
+        ax.set_title("precipitation")
+        ax.legend()
+        fig.tight_layout()
+        fig.savefig(args.out + ".png", dpi=110)
+        print(f"wrote {args.out}.png", flush=True)
+    except Exception as e:
+        print(f"(no plot: {e})", flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -81,6 +81,75 @@ def random_search(trial_fn: Callable[[dict], float], space: SearchSpace,
     return sorted(finite, key=key)[:top_k]
 
 
+def parallel_random_search(batched_trial_fn: Callable[[dict, dict], Any],
+                           space: SearchSpace, num_trials: int = 20,
+                           batch_size: int = 8, seed: int = 0,
+                           top_k: int = 5, log_path: str | None = None,
+                           minimize: bool = True,
+                           max_retries: int = 1) -> list[dict]:
+    """Device-parallel random search: run many trials per accelerator pass.
+
+    The reference's chief/worker oracle parallelized trials across Slurm
+    jobs; on one chip the TPU-native equivalent is to vmap the whole
+    training loop over the CONTINUOUS hyperparameters (lr, weight decay,
+    noise scales...) so B small models train simultaneously — the MXU sees
+    a B-times-larger batched matmul instead of B sequential tiny ones.
+
+    Shape-affecting fields ('choice' and 'int' specs — widths, depths,
+    cell types) are static under jit, so sampled configs are grouped by
+    their static-field combination and each group runs in vmapped batches
+    of ``batch_size``.
+
+    ``batched_trial_fn(static_cfg: dict, vec_cfg: dict[str, np.ndarray])``
+    receives one group's static config plus arrays of length b for every
+    continuous field, and returns b scores (typically: build the model
+    from ``static_cfg`` once, then ``jax.vmap`` the per-config train
+    function over ``vec_cfg``). Returns the global top-K records like
+    :func:`random_search`.
+    """
+    samples = [space.sample(np.random.default_rng((seed, i)))
+               for i in range(num_trials)]
+    static_keys = sorted(k for k, spec in space.params.items()
+                         if spec[0] in ("choice", "int"))
+    vec_keys = sorted(k for k, spec in space.params.items()
+                      if spec[0] in ("uniform", "loguniform"))
+    groups: dict = {}
+    for i, cfg in enumerate(samples):
+        gkey = tuple((k, cfg[k]) for k in static_keys)
+        groups.setdefault(gkey, []).append(i)
+
+    results = []
+    for gkey, idxs in groups.items():
+        static_cfg = dict(gkey)
+        for lo in range(0, len(idxs), batch_size):
+            batch = idxs[lo:lo + batch_size]
+            vec_cfg = {k: np.asarray([samples[i][k] for i in batch])
+                       for k in vec_keys}
+            t0 = time.time()
+            scores = None
+            for attempt in range(max_retries + 1):
+                try:
+                    scores = np.asarray(batched_trial_fn(static_cfg,
+                                                         vec_cfg),
+                                        np.float64).reshape(-1)
+                    break
+                except Exception:     # noqa: BLE001 — trial isolation
+                    if attempt == max_retries:
+                        scores = np.full(len(batch), np.inf)
+            dt_batch = time.time() - t0
+            for j, i in enumerate(batch):
+                rec = {"trial": i, "config": samples[i],
+                       "score": float(scores[j]),
+                       "seconds": dt_batch / len(batch)}
+                results.append(rec)
+                if log_path:
+                    with open(log_path, "a") as f:
+                        f.write(json.dumps(rec, default=str) + "\n")
+    key = (lambda r: r["score"]) if minimize else (lambda r: -r["score"])
+    finite = [r for r in results if np.isfinite(r["score"])]
+    return sorted(finite, key=key)[:top_k]
+
+
 def merge_results(log_paths, top_k: int = 5,
                   minimize: bool = True) -> list[dict]:
     """Chief-side merge of per-worker JSONL trial logs -> global top-K."""

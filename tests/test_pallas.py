@@ -150,8 +150,13 @@ def test_fv_stencil_kernel_matches_reference():
     exp = jax.vmap(lambda a, b, c: fv_advect_2d(a, b, c, 0.4, 0.4))(q, u, v)
     np.testing.assert_allclose(np.asarray(got), np.asarray(exp),
                                rtol=1e-6, atol=1e-8)
+    # advective form: approximate conservation under compressible winds
+    # (see online/advection.py docstring) + exact constancy preservation
     np.testing.assert_allclose(np.asarray(got.sum((1, 2))),
-                               np.asarray(q.sum((1, 2))), rtol=1e-10)
+                               np.asarray(q.sum((1, 2))), rtol=0.02)
+    qc = jnp.full_like(q, 1.9)
+    gc = fv_advect_levels(qc, u, v, 0.4, 0.4, interpret=True)
+    np.testing.assert_allclose(np.asarray(gc), 1.9, rtol=1e-6)
 
 
 def test_pallas_adding_sw_parity():
@@ -309,9 +314,13 @@ def test_fv_tracers_kernel_matches_per_field():
     exp = _fv_reference(qs, u, v, 0.4, 0.4)
     np.testing.assert_allclose(np.asarray(got), np.asarray(exp),
                                rtol=1e-6, atol=1e-8)
-    # mass conservation per (tracer, level)
+    # advective form: approximate conservation per (tracer, level) under
+    # compressible winds + exact constancy preservation
     np.testing.assert_allclose(np.asarray(got.sum((2, 3))),
-                               np.asarray(qs.sum((2, 3))), rtol=1e-10)
+                               np.asarray(qs.sum((2, 3))), rtol=0.02)
+    qcst = jnp.full_like(qs, 0.7)
+    gcst = _fv_advect_tracers_fwd_impl(qcst, u, v, 0.4, 0.4, True)
+    np.testing.assert_allclose(np.asarray(gcst), 0.7, rtol=1e-6)
     # gradient flows through the custom_vjp (backward = jnp reference VJP)
     loss = lambda a, b, c: jnp.sum(fv_advect_tracers(a, b, c, 0.4, 0.4) ** 2)
     ref_loss = lambda a, b, c: jnp.sum(_fv_reference(a, b, c, 0.4, 0.4) ** 2)

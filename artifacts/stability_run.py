@@ -94,7 +94,11 @@ def main():
     t_wall0 = time.time()
     g = Grid.from_file(GRID)
     ncol, nlev = 384, 60
-    eq_cfg = EquilibriumConfig()
+    # the diurnal cycle replaces the static forcing's coszrs ~ cos(lat)
+    # with a daily mean of cos(lat)/pi, so the solar Teq sensitivity is
+    # scaled by pi to keep the same time-mean climate (warm equator,
+    # active hydrology)
+    eq_cfg = EquilibriumConfig(t_sfc_solar=62.0 * 3.14159265)
     base_sfc = equilibrium_forcing(jax.random.PRNGKey(0), g, ncol)
     # diurnal insolation: SOLIN = solar constant, COSZRS(t) from the real
     # column lat/lon at perpetual equinox (hour angle advances 2*pi/day)
@@ -212,8 +216,18 @@ def main():
     xs_ = np.maximum(f64(feats_raw.std(axis=(0, 1, 2))), 1e-12)
     sfm = f64(sfc_t.mean(axis=(0, 1)))
     sfs = np.maximum(f64(sfc_t.std(axis=(0, 1))), 1e-12)
-    ysd = np.maximum(f64(y_raw.std(axis=(0, 1, 2))), 1e-30)
-    ysfc_sd = np.maximum(f64(y_sfc_raw.std(axis=(0, 1))), 1e-30)
+    # robust scale floor: a channel whose variability collapses (e.g.
+    # condensate tendencies in a cloud-free spin-up) must not blow up the
+    # normalized loss through 1/std -> the floor bounds |y_n| <= ~1e3
+    ysd = f64(y_raw.std(axis=(0, 1, 2)))
+    ysd = np.maximum(ysd, np.maximum(
+        1e-3 * f64(jnp.abs(y_raw).max(axis=(0, 1, 2))), 1e-30))
+    ysfc_sd = f64(y_sfc_raw.std(axis=(0, 1)))
+    ysfc_sd = np.maximum(ysfc_sd, np.maximum(
+        1e-3 * f64(jnp.abs(y_sfc_raw).max(axis=(0, 1))), 1e-30))
+    print("   y std:", np.array2string(ysd, precision=2), flush=True)
+    print("   ysfc std:", np.array2string(ysfc_sd, precision=2),
+          flush=True)
 
     xm_j = jnp.asarray(xm, jnp.float32)
     xs_j = jnp.asarray(xs_, jnp.float32)
@@ -223,9 +237,14 @@ def main():
     yscale_sca = jnp.asarray(1.0 / ysfc_sd, jnp.float32)    # [8]
 
     x_lev_n = ((feats_raw - xm_j) / xs_j).astype(jnp.float32)
+    del feats_raw    # free the HBM copy; only the normalized set is kept
     x_sfc_n = ((sfc_t - sfm_j) / sfs_j).astype(jnp.float32)
     y_lev_n = (y_raw * yscale_lev).astype(jnp.float32)
     y_sfc_n = (y_sfc_raw * yscale_sca).astype(jnp.float32)
+    for nm, a in (("x_lev_n", x_lev_n), ("x_sfc_n", x_sfc_n),
+                  ("y_lev_n", y_lev_n), ("y_sfc_n", y_sfc_n)):
+        print(f"   {nm}: max|.|={float(jnp.abs(a).max()):.3e} "
+              f"finite={bool(jnp.isfinite(a).all())}", flush=True)
     sp_t = jnp.broadcast_to(base_sfc[:, 0][None], sfc_t.shape[:2])
 
     nh_mem = 16 if args.nneur >= 64 else 8
@@ -239,7 +258,7 @@ def main():
         else {0: 1, 2: 2},
         loss="huber", lr=2e-3, lr_schedule="step",
         lr_gamma=0.7, decay_every=1200,
-        semi_online=True, replay="mixed",
+        semi_online=True, replay="mixed", remat=True,
         gradual_mixing_end_epoch=max(args.epochs // 2, 1),
         n_prog=6, pass_x_raw=False, seed=0)
     trainer = RolloutTrainer(
@@ -249,14 +268,29 @@ def main():
 
     T_tr = args.train_steps - n_val
 
+    # group S time-chunks along the batch axis: each update trains
+    # S*384 = 3072 columns (the chip's throughput sweet spot,
+    # PERFORMANCE.md) instead of being latency-bound at B=384; every
+    # concatenated column still sees a time-contiguous window, so the
+    # autoregressive memory threading is unchanged
+    S_GROUP = 1 if args.quick else 4
+
     def chunks(lo, hi, seed, shuffle=True):
         rng = np.random.default_rng(seed)
+        buf = []
         for idx in chunkize(hi - lo, chunk_T, rng, shuffle):
             sl = idx + lo
-            yield {"x_lev": x_lev_n[sl], "x_sfc": x_sfc_n[sl],
-                   "y_lev": y_lev_n[sl], "y_sfc": y_sfc_n[sl],
-                   "sp": sp_t[sl],
-                   "x_lev_raw": x_raw[sl], "y_lev_raw": y_raw[sl]}
+            buf.append({"x_lev": x_lev_n[sl], "x_sfc": x_sfc_n[sl],
+                        "y_lev": y_lev_n[sl], "y_sfc": y_sfc_n[sl],
+                        "sp": sp_t[sl],
+                        "x_lev_raw": x_raw[sl], "y_lev_raw": y_raw[sl]})
+            if len(buf) == S_GROUP:
+                yield {k: jnp.concatenate([b[k] for b in buf], axis=1)
+                       for k in buf[0]}
+                buf = []
+        if buf:
+            yield {k: jnp.concatenate([b[k] for b in buf], axis=1)
+                   for k in buf[0]}
 
     params, opt_state, mem = trainer.init(
         jax.random.PRNGKey(0), next(iter(chunks(0, chunk_T, 0, False))))
@@ -269,7 +303,7 @@ def main():
             ep, train=False)
         rec["val_loss"] = vrec["loss"]
         history.append(rec)
-        if ep % 5 == 0 or ep == args.epochs - 1:
+        if True:
             print(f"[{time.time()-t_wall0:7.1f}s] epoch {ep:3d} W={rec['window']} "
                   f"loss={rec['loss']:.4f} val={vrec['loss']:.4f}",
                   flush=True)

@@ -247,6 +247,11 @@ class EquilibriumConfig:
     t_sfc_solar: float = 62.0    # dT_sfc per unit (solin_eff/1360)
     n_sfc_levels: int = 5        # levels receiving surface fluxes
     u_jet: float = 25.0          # equilibrium jet amplitude       [m/s]
+    # stationary-wave meridional forcing: v relaxes toward
+    # v_wave * wavepattern(col) * sin(pi*sigma) (the pattern — e.g.
+    # sin(4*lon)*cos(lat) — rides in x_sfc channel 8), so the meridional
+    # circulation is alive and the dv tendency channel non-degenerate
+    v_wave: float = 6.0          # meridional wave amplitude       [m/s]
 
 
 def equilibrium_forcing(key, grid: Grid, ncol: int,
@@ -256,10 +261,12 @@ def equilibrium_forcing(key, grid: Grid, ncol: int,
     Channel layout (raw units; channel 0 MUST be surface pressure — the
     host loop reads it for mass weights, online/host_loop.py):
       0 ps, 1 SOLIN, 2 COSZRS, 3 LHFLX, 4 SHFLX, 5 sin(lat), 6 cos(lat),
-      7 LANDFRAC; 8..23 zero padding (inert).
+      7 LANDFRAC, 8 stationary-wave pattern sin(4*lon)*cos(lat);
+      9..23 zero padding (inert).
     """
     dt = jnp.dtype(dtype)
     lat = jnp.asarray(grid.lat)[:ncol]
+    lon = jnp.asarray(grid.lon)[:ncol]
     coslat = jnp.cos(jnp.deg2rad(lat)).astype(dt)
     k = jax.random.split(key, 4)
     ps = 1.0e5 + 3e3 * (coslat - coslat.mean()) \
@@ -273,7 +280,8 @@ def equilibrium_forcing(key, grid: Grid, ncol: int,
     landfrac = jnp.clip(0.3 + 0.4 * jax.random.normal(k[3], (ncol,), dt),
                         0.0, 1.0)
     cols = [ps, solin, coszrs, lhflx, shflx,
-            jnp.sin(jnp.deg2rad(lat)).astype(dt), coslat, landfrac]
+            jnp.sin(jnp.deg2rad(lat)).astype(dt), coslat, landfrac,
+            (jnp.sin(4.0 * jnp.deg2rad(lon)) * coslat).astype(dt)]
     x_sfc = jnp.stack(cols + [jnp.zeros((ncol,), dt)] * (24 - len(cols)),
                       axis=1)
     return x_sfc
@@ -350,8 +358,9 @@ def equilibrium_physics(T, qv, qc, qi, u, v, x_sfc, grid: Grid,
     sinl, cosl = x_sfc[:, 5], x_sfc[:, 6]
     ujet = cfg.u_jet * (2 * sinl * cosl)[:, None] * jnp.sin(
         jnp.pi * sigma)  # baroclinic: peaks mid-column at mid-latitudes
+    veq = cfg.v_wave * x_sfc[:, 8][:, None] * jnp.sin(jnp.pi * sigma)
     du = (ujet - u) / cfg.tau_fric
-    dv = -v / cfg.tau_fric
+    dv = (veq - v) / cfg.tau_fric
 
     ptend = jnp.stack([dT, dqv, dqc, dqi, du, dv], axis=-1)
 

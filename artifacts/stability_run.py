@@ -47,7 +47,7 @@ def parse_args():
                    help="truth spin-up steps (10800 = 150 days)")
     p.add_argument("--train-steps", type=int, default=1440,
                    help="truth trajectory length for training data")
-    p.add_argument("--epochs", type=int, default=40)
+    p.add_argument("--epochs", type=int, default=70)
     p.add_argument("--chunk", type=int, default=720,
                    help="scan-chunk length for the long run (10 days)")
     p.add_argument("--quick", action="store_true",
@@ -178,25 +178,62 @@ def main():
             st, m, _ = truth_loop.coupled_step(st, m, sfc)
             return (st, m), (x_raw, pt, sfc_out, sfc)
         (st, _), outs = jax.lax.scan(step, (st, dummy_mem),
-                                     jnp.arange(args.chunk))
+                                     jnp.arange(160 if not args.quick
+                                                else 48))
         return st, outs
+
+    # SEGMENTED collection with off-attractor perturbations: a model
+    # trained only on the attractor loses the restoring force under NN
+    # extrapolation and the coupled run blows up once drift leaves the
+    # training envelope (measured: +7 K by day 10 -> +1300 K by year 5).
+    # Each segment starts from a perturbed state (growing amplitude), so
+    # the data contain warm/cold/moist anomalies WITH the relaxation
+    # tendencies that erase them — the emulator learns to pull back.
+    seg_len = 160 if not args.quick else 48   # multiple of chunk_T
+    n_seg = max(args.train_steps // seg_len, 1)
+    amp_max = 6.0                             # K, peak T perturbation
+
+    def perturb(st, key, amp):
+        kT, kc, kq, ku, kv = jax.random.split(key, 5)
+        colT = jax.random.normal(kT, (ncol, 1))             + 0.5 * jax.random.normal(kc, (ncol, nlev))
+        st = dict(st)
+        st["T"] = st["T"] + amp * colT
+        st["qv"] = jnp.clip(
+            st["qv"] * (1.0 + 0.12 * (amp / amp_max)
+                        * jax.random.normal(kq, (ncol, nlev))), 0.0, None)
+        st["u"] = st["u"] + 0.5 * amp * jax.random.normal(
+            ku, (ncol, nlev))
+        st["v"] = st["v"] + 0.3 * amp * jax.random.normal(
+            kv, (ncol, nlev))
+        return st
 
     xs_raw, ys_raw, ysfc_raw, sfc_ts = [], [], [], []
     t_off = args.spinup
     collected = 0
-    while collected < args.train_steps:
-        state, (xr, yr, ysf, sf) = collect_chunk(state,
-                                                 jnp.int32(t_off + collected))
-        xs_raw.append(xr)
-        ys_raw.append(yr)
-        ysfc_raw.append(ysf)
-        sfc_ts.append(sf)
-        collected += args.chunk
+    base_state = state
+    for seg in range(n_seg):
+        amp = amp_max * seg / max(n_seg - 1, 1)   # seg 0 unperturbed
+        seg_state = perturb(base_state, jax.random.PRNGKey(100 + seg),
+                            amp) if seg else base_state
+        seg_left = seg_len
+        while seg_left > 0:
+            seg_state, (xr, yr, ysf, sf) = collect_chunk(
+                seg_state, jnp.int32(t_off + collected))
+            n_take = min(seg_left, xr.shape[0])
+            xs_raw.append(xr[:n_take])
+            ys_raw.append(yr[:n_take])
+            ysfc_raw.append(ysf[:n_take])
+            sfc_ts.append(sf[:n_take])
+            seg_left -= n_take
+            collected += n_take
+        if seg == 0:
+            base_state = seg_state    # attractor state advances
     x_raw = jnp.concatenate(xs_raw)[:args.train_steps]      # [T,B,L,6]
     y_raw = jnp.concatenate(ys_raw)[:args.train_steps]      # [T,B,L,6]
     y_sfc_raw = jnp.concatenate(ysfc_raw)[:args.train_steps]  # [T,B,8]
     sfc_t = jnp.concatenate(sfc_ts)[:args.train_steps]      # [T,B,24]
-    run_t0 = t_off + args.train_steps     # where the long run starts
+    state = base_state
+    run_t0 = t_off + collected            # where the long run starts
     print(f"[{time.time()-t_wall0:7.1f}s] collected {args.train_steps} "
           "training steps", flush=True)
 
@@ -239,6 +276,13 @@ def main():
     x_lev_n = ((feats_raw - xm_j) / xs_j).astype(jnp.float32)
     del feats_raw    # free the HBM copy; only the normalized set is kept
     x_sfc_n = ((sfc_t - sfm_j) / sfs_j).astype(jnp.float32)
+    # per-channel training envelope for ONLINE input clipping (the
+    # reference's wrapper clipping): outside it the NN extrapolates and
+    # can lose the restoring force
+    xlo = jnp.asarray(np.asarray(x_lev_n.min(axis=(0, 1, 2))))
+    xhi = jnp.asarray(np.asarray(x_lev_n.max(axis=(0, 1, 2))))
+    slo = jnp.asarray(np.asarray(x_sfc_n.min(axis=(0, 1))))
+    shi = jnp.asarray(np.asarray(x_sfc_n.max(axis=(0, 1))))
     y_lev_n = (y_raw * yscale_lev).astype(jnp.float32)
     y_sfc_n = (y_sfc_raw * yscale_sca).astype(jnp.float32)
     for nm, a in (("x_lev_n", x_lev_n), ("x_sfc_n", x_sfc_n),
@@ -315,8 +359,8 @@ def main():
     # ------------------------------------------------ 3. the long paired run
     def emulator(x_main_raw, x_sfc_raw, mem):
         feats = jnp.concatenate([x_main_raw, derived(x_main_raw)], axis=-1)
-        xn = (feats - xm_j) / xs_j
-        sn = (x_sfc_raw - sfm_j) / sfs_j
+        xn = jnp.clip((feats - xm_j) / xs_j, xlo, xhi)
+        sn = jnp.clip((x_sfc_raw - sfm_j) / sfs_j, slo, shi)
         out, out_sfc, mem = model.apply(params, xn, sn, mem)
         return out / yscale_lev, out_sfc / yscale_sca, mem
 

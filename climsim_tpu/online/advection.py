@@ -223,6 +223,52 @@ def semi_lagrangian_2d(q: jnp.ndarray, u: jnp.ndarray, v: jnp.ndarray,
             + fi * ((1 - fj) * q10 + fj * q11))
 
 
+def semi_lagrangian_2d_halo(q_ext: jnp.ndarray, u_ext: jnp.ndarray,
+                            v_ext: jnp.ndarray, dt_dx_rows: jnp.ndarray,
+                            dt_dy_rows: jnp.ndarray, row0, nlat_total: int,
+                            halo: int = 2) -> jnp.ndarray:
+    """Halo-aware semi-Lagrangian transport for latitude-sharded domains.
+
+    Inputs extended by ``halo`` ghost rows (parallel.halo.exchange_halo);
+    returns the interior [nlat_local, nlon]. ``dt_dx_rows``/``dt_dy_rows``
+    are per-EXTENDED-row factors [n_ext, 1] (constant for the flat raster,
+    metric.dtdx/dtdy slices for the sphere); ``row0`` is the global index
+    of the first interior row; ``nlat_total`` the global row count.
+
+    Bit-identical to :func:`semi_lagrangian_2d` on the assembled global
+    grid whenever the meridional displacement stays within the halo
+    (|v|*dt_dy <= halo - 1, one extra row for the interpolation stencil);
+    larger displacements clamp to the shard's ghost rows (stable, but the
+    trajectory is truncated — mirror of the FV courant clamp).
+    """
+    n_ext, nlon = q_ext.shape
+    n = n_ext - 2 * halo
+    u = u_ext[halo:halo + n]
+    v = v_ext[halo:halo + n]
+    # global fractional indices of the local interior rows
+    ig = jax.lax.broadcasted_iota(jnp.float32, (n, nlon), 0) + row0
+    j = jax.lax.broadcasted_iota(jnp.float32, (n, nlon), 1)
+    dep_i = ig - v * dt_dy_rows[halo:halo + n]
+    dep_j = j - u * dt_dx_rows[halo:halo + n]
+    i0g = jnp.clip(jnp.floor(dep_i), 0, nlat_total - 1)
+    fi = jnp.clip(dep_i - i0g, 0.0, 1.0)
+    i1g = jnp.clip(i0g + 1, 0, nlat_total - 1)
+    # map global rows into the extended local window (clamped: trajectories
+    # beyond the halo reuse the outermost ghost row)
+    loc = lambda a: jnp.clip(a.astype(jnp.int32) - row0 + halo, 0, n_ext - 1)
+    i0, i1 = loc(i0g), loc(i1g)
+    j0f = jnp.floor(dep_j)
+    fj = dep_j - j0f
+    j0 = jnp.mod(j0f.astype(jnp.int32), nlon)
+    j1 = jnp.mod(j0 + 1, nlon)
+    q00 = q_ext[i0, j0]
+    q01 = q_ext[i0, j1]
+    q10 = q_ext[i1, j0]
+    q11 = q_ext[i1, j1]
+    return ((1 - fi) * ((1 - fj) * q00 + fj * q01)
+            + fi * ((1 - fj) * q10 + fj * q11))
+
+
 def conservation_fixer(q_new: jnp.ndarray, q_old: jnp.ndarray,
                        weights: jnp.ndarray | None = None,
                        eps: float = 1e-30) -> jnp.ndarray:

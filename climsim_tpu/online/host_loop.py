@@ -28,6 +28,14 @@ from ..grid import Grid
 from . import advection as adv
 
 
+def _energy_integral(T, qc, qi, w):
+    """Global moist-energy integral sum(w * (cp*T - Lv*qc - Ls*qi)) — the
+    state-level twin of the reference's column energy residual
+    (rnn/metrics.py:197-238: heating vs latent heat of the condensate),
+    with w = dp/g x area weight."""
+    return jnp.sum(w * (C.CP * T - C.LV * qc - C.LSUB * qi))
+
+
 @dataclass(frozen=True)
 class HostLoopConfig:
     nlat: int = 16
@@ -45,6 +53,12 @@ class HostLoopConfig:
     use_pallas: bool = False
     vertical_advection: bool = False  # omega-diagnosed vertical transport
     fix_water: bool = True      # multiplicative tracer mass fixer
+    # energy-conservation epilogue: additive uniform temperature shift that
+    # restores the global moist-energy integral sum(w*(cp*T - Lv*qc - Ls*qi))
+    # across the transport step (incl. what the water fixer moved) — the
+    # differentiable twin of the reference's column energy residual
+    # (rnn/metrics.py:193-239) acting on the host state
+    fix_energy: bool = False
     # flat-geometry winds -> CFL conversion: proxy-grid cell sizes (m).
     # ne4 low-res cells are ~O(1000 km); CFL stays < 1 for |u| < dx/dt.
     dx: float = 1.2e6
@@ -192,22 +206,45 @@ class HybridLoop:
         T_a, qv_a, qc_a = adv_out["T"], adv_out["qv"], adv_out["qc"]
         qi_a, u_a, v_a = adv_out["qi"], adv_out["u"], adv_out["v"]
 
-        if cfg.fix_water and cfg.scheme != "none":
+        w = None
+        if (cfg.fix_water or cfg.fix_energy) and cfg.scheme != "none":
             # PHYSICAL-units column mass: dp/g x per-column area weight
             # (the reference weights every integral by real cell areas,
             # climsim_utils/data_utils.py:74)
             w = self.grid.mass_weights(x_sfc[:, 0])  # dp/g from raw ps
             if self.area_wgt is not None:
                 w = w * self.area_wgt[:, None]
+
+        if cfg.fix_water and cfg.scheme != "none":
             qv_a = adv.conservation_fixer(qv_a, qv, w)
             qc_a = adv.conservation_fixer(qc_a, qc, w)
             qi_a = adv.conservation_fixer(qi_a, qi, w)
+
+        if cfg.fix_energy and cfg.scheme != "none":
+            # additive uniform dT restoring the pre-transport moist energy
+            # integral (differentiable; exact by construction)
+            e_pre = _energy_integral(T, qc, qi, w)
+            e_post = _energy_integral(T_a, qc_a, qi_a, w)
+            T_a = T_a + (e_pre - e_post) / (C.CP * jnp.sum(w))
 
         new_state = {"T": T_a, "qv": qv_a, "qc": qc_a, "qi": qi_a,
                      "u": u_a, "v": v_a}
         diags = {"sfc_fluxes": sfc_fluxes,
                  "precc": sfc_fluxes[:, 3],
                  "mean_T": jnp.mean(T_a)}
+        if w is not None:
+            # reference-form physics energy residual of THIS step's emulator
+            # tendencies (rnn/metrics.py:197-238), area-mass weighted mean,
+            # and the state's global moist-energy integral — both feed the
+            # long-run stability diagnostics
+            snow = 1000.0 * sfc_fluxes[:, 2]
+            rain = 1000.0 * sfc_fluxes[:, 3] - snow
+            col = jnp.sum(w * (C.CP * ptend[:, :, 0]
+                               - C.LV * ptend[:, :, 2]
+                               - C.LSUB * ptend[:, :, 3]), axis=1)
+            diags["energy_resid"] = jnp.mean(col - C.LV * rain
+                                             - C.LSUB * snow)
+            diags["energy_int"] = _energy_integral(T_a, qc_a, qi_a, w)
         return new_state, mem, diags
 
     def rollout(self, state: dict, mem, x_sfc_raw, n_steps: int):
@@ -231,10 +268,16 @@ class HybridLoop:
 
 def sharded_hybrid_step(loop: HybridLoop, mesh, axis: str = "col",
                         overlap: bool = True):
-    """Multi-chip coupled step: proxy-grid fields latitude-sharded over the
-    mesh; the emulator runs column-local inside shard_map while the FV
-    stencil pulls its 2 ghost rows via ppermute (parallel.halo). Returns a
-    jitted fn over grid-layout state dicts [nlat, nlon, nlev].
+    """Multi-chip coupled step at PRODUCTION parity with
+    :meth:`HybridLoop.coupled_step`: proxy-grid fields latitude-sharded
+    over the mesh; the emulator runs column-local inside shard_map; the
+    advection stencil (FV or semi-Lagrangian, flat or spherical metric)
+    pulls its 2 ghost rows via ppermute (parallel.halo); vertical
+    advection diagnoses omega from halo-exchanged updated winds; and the
+    water/energy conservation epilogues close their global integrals with
+    ``psum`` collectives (the reference's area x dp/g weighting,
+    climsim_utils/data_utils.py:74,1523-1725). Returns a jitted fn over
+    grid-layout state dicts [nlat, nlon, nlev].
 
     ``overlap=True`` (default) moves the halo exchange OFF the critical
     path: the ppermutes transfer the *inputs* (state/sfc/memory ghost
@@ -245,7 +288,10 @@ def sharded_hybrid_step(loop: HybridLoop, mesh, axis: str = "col",
     a fully updated extended domain with no post-emulator exchange.
     Bit-identical to ``overlap=False`` (the emulator is column-local and
     deterministic, so recomputing a neighbor's boundary tendencies equals
-    receiving them).
+    receiving them). With ``vertical_advection`` the overlap shortcut is
+    disabled (ghost-row omega would need halo-3 winds); the exchange then
+    happens after the vertical transport, exactly as the single-device
+    ordering requires.
     """
     from jax import shard_map
     from jax.sharding import PartitionSpec as P
@@ -253,6 +299,17 @@ def sharded_hybrid_step(loop: HybridLoop, mesh, axis: str = "col",
 
     cfg = loop.cfg
     FIELDS = ("T", "qv", "qc", "qi", "u", "v")
+    metric = loop.metric
+    grid = loop.grid
+    use_overlap = overlap and not cfg.vertical_advection
+
+    # static grid-layout per-cell area weights (sharded along rows below)
+    gather_np = np.asarray(loop.gather_idx)
+    if loop.area_wgt is not None:
+        aw_full = jnp.asarray(np.asarray(loop.area_wgt)[gather_np]
+                              .reshape(cfg.nlat, cfg.nlon))
+    else:
+        aw_full = jnp.ones((cfg.nlat, cfg.nlon), jnp.float32)
 
     def _updates(state_like, ptend):
         dt = cfg.dt
@@ -265,9 +322,49 @@ def sharded_hybrid_step(loop: HybridLoop, mesh, axis: str = "col",
             "v": state_like["v"] + dt * ptend[..., 5],
         }
 
-    metric = loop.metric
+    def _metric_rows(arr_np, row0, n, pad):
+        """Slice a global per-row metric array to this shard's rows
+        (edge-padded by ``pad`` ghost entries)."""
+        padded = jnp.asarray(np.pad(arr_np, pad, mode="edge"))
+        return jax.lax.dynamic_slice(padded, (row0,), (n + 2 * pad,))
 
-    def local_step(state_g, mem, x_sfc_g):
+    def _vertical_advect(upd, dp_g, row0):
+        """Omega-diagnosed conservative vertical transport of the updated
+        thermodynamic fields — the sharded twin of the
+        cfg.vertical_advection branch of coupled_step (halo-1 exchange of
+        the updated winds feeds the centered divergence; clamped ghosts at
+        the global edges reproduce diagnose_omega's one-sided clampdiff)."""
+        nlat_l, nlon, nlev = upd["T"].shape
+        if metric is not None:
+            u_e = exchange_halo(upd["u"], axis, 1)
+            v_e = exchange_halo(upd["v"], axis, 1)
+            dtdx = _metric_rows(metric.dtdx, row0, nlat_l, 0)[:, None, None]
+            dtdy = _metric_rows(metric.dtdy, row0, nlat_l, 0)[:, None, None]
+            cosc = _metric_rows(metric.cosc, row0, nlat_l, 1)[:, None, None]
+            dudx = (jnp.roll(u_e[1:-1], -1, axis=1)
+                    - jnp.roll(u_e[1:-1], 1, axis=1)) * 0.5 * dtdx
+            vcos = v_e * cosc
+            dvdy = (vcos[2:] - vcos[:-2]) * 0.5 * dtdy / cosc[1:-1]
+        else:
+            u_e = exchange_halo(upd["u"] * cfg.dt_dx, axis, 1)
+            v_e = exchange_halo(upd["v"] * cfg.dt_dy, axis, 1)
+            dudx = (jnp.roll(u_e[1:-1], -1, axis=1)
+                    - jnp.roll(u_e[1:-1], 1, axis=1)) * 0.5
+            dvdy = (v_e[2:] - v_e[:-2]) * 0.5
+        div = dudx + dvdy                                   # [nlat_l,nlon,L]
+        col_int = jnp.cumsum(div * dp_g, axis=-1)
+        zero = jnp.zeros_like(col_int[..., :1])
+        omega = -jnp.concatenate([zero, col_int], axis=-1)  # [.., L+1]
+        flat = lambda a: a.reshape(nlat_l * nlon, a.shape[-1])
+        unflat = lambda a: a.reshape(nlat_l, nlon, nlev)
+        of, dpf = flat(omega), flat(dp_g)
+        out = dict(upd)
+        for k in ("T", "qv", "qc", "qi"):
+            out[k] = unflat(adv.vertical_advect_column(flat(upd[k]), of,
+                                                       dpf, 1.0))
+        return out
+
+    def local_step(state_g, mem, x_sfc_g, aw_g):
         # state_g: [nlat_local, nlon, nlev] per field
         nlat_l, nlon, nlev = state_g["T"].shape
         flat = lambda a: a.reshape(nlat_l * nlon, *a.shape[2:])
@@ -278,7 +375,7 @@ def sharded_hybrid_step(loop: HybridLoop, mesh, axis: str = "col",
         is_north = idx == nsh - 1
         row0 = idx * nlat_l      # first global row owned by this shard
 
-        if overlap:
+        if use_overlap:
             # 1. kick off the input halo exchange — independent of the
             # emulator, so it overlaps with step 2
             ext = {k: exchange_halo(state_g[k], axis, 2) for k in FIELDS}
@@ -296,46 +393,97 @@ def sharded_hybrid_step(loop: HybridLoop, mesh, axis: str = "col",
 
         upd = _updates(state_g, ptend)
 
-        if overlap:
-            # 3. ghost-row emulator (2 rows each side): recompute the
-            # neighbors' boundary tendencies locally instead of waiting
-            # on a post-emulator exchange
-            grows = lambda e: jnp.concatenate([e[:2], e[-2:]], axis=0)
-            gflat = lambda a: a.reshape((4 * nlon,) + a.shape[2:])
-            xg = jnp.stack([gflat(grows(ext[k])) for k in FIELDS],
-                           axis=-1)
-            ptend_g, _, _ = loop.emulator(xg, gflat(grows(sfc_ext)),
-                                          gflat(grows(mem_ext)))
-            ptend_g = ptend_g.reshape(4, nlon, nlev, 6)
-            gstate = {k: grows(ext[k]) for k in FIELDS}
-            gupd = _updates(gstate, ptend_g)
-            upd_ext = {k: jnp.concatenate(
-                [gupd[k][:2], upd[k], gupd[k][2:]], axis=0)
-                for k in FIELDS}
-            u_ext, v_ext = upd_ext["u"], upd_ext["v"]
-            get_ext = lambda k: upd_ext[k]
+        ps = flat(x_sfc_g)[:, 0]
+        w = None
+        if (cfg.fix_water or cfg.fix_energy) and cfg.scheme != "none":
+            w = grid.mass_weights(ps).reshape(nlat_l, nlon, nlev) \
+                * aw_g[:, :, None]
+
+        if cfg.vertical_advection and cfg.scheme != "none":
+            dp_g = grid.layer_thickness(ps).reshape(nlat_l, nlon, nlev)
+            upd = _vertical_advect(upd, dp_g, row0)
+
+        if cfg.scheme == "none":
+            out = dict(upd)
         else:
-            u_ext = exchange_halo(upd["u"], axis, 2)
-            v_ext = exchange_halo(upd["v"], axis, 2)
-            get_ext = lambda k: exchange_halo(upd[k], axis, 2)
-
-        def advect_field(f_ext):
-            if metric is not None:
-                step1 = lambda q, uu, vv: adv.fv_advect_2d_sphere_halo(
-                    q, uu, vv, metric, row0)
+            if use_overlap:
+                # 3. ghost-row emulator (2 rows each side): recompute the
+                # neighbors' boundary tendencies locally instead of waiting
+                # on a post-emulator exchange
+                grows = lambda e: jnp.concatenate([e[:2], e[-2:]], axis=0)
+                gflat = lambda a: a.reshape((4 * nlon,) + a.shape[2:])
+                xg = jnp.stack([gflat(grows(ext[k])) for k in FIELDS],
+                               axis=-1)
+                ptend_g, _, _ = loop.emulator(xg, gflat(grows(sfc_ext)),
+                                              gflat(grows(mem_ext)))
+                ptend_g = ptend_g.reshape(4, nlon, nlev, 6)
+                gstate = {k: grows(ext[k]) for k in FIELDS}
+                gupd = _updates(gstate, ptend_g)
+                upd_ext = {k: jnp.concatenate(
+                    [gupd[k][:2], upd[k], gupd[k][2:]], axis=0)
+                    for k in FIELDS}
             else:
-                step1 = lambda q, uu, vv: adv.fv_advect_2d_halo(
-                    q, uu, vv, cfg.dt_dx, cfg.dt_dy, is_south, is_north)
-            return jax.vmap(step1, in_axes=2, out_axes=2)(f_ext, u_ext,
-                                                          v_ext)
+                upd_ext = {k: exchange_halo(upd[k], axis, 2)
+                           for k in FIELDS}
+            u_ext, v_ext = upd_ext["u"], upd_ext["v"]
 
-        out = {k: advect_field(get_ext(k)) for k in FIELDS}
+            if cfg.scheme == "fv":
+                if metric is not None:
+                    step1 = lambda q, uu, vv: adv.fv_advect_2d_sphere_halo(
+                        q, uu, vv, metric, row0)
+                else:
+                    step1 = lambda q, uu, vv: adv.fv_advect_2d_halo(
+                        q, uu, vv, cfg.dt_dx, cfg.dt_dy, is_south,
+                        is_north)
+            else:   # semi_lagrangian
+                if metric is not None:
+                    dtdx_r = _metric_rows(metric.dtdx, row0, nlat_l,
+                                          2)[:, None]
+                    dtdy_r = _metric_rows(metric.dtdy, row0, nlat_l,
+                                          2)[:, None]
+                else:
+                    dtdx_r = jnp.full((nlat_l + 4, 1), cfg.dt_dx)
+                    dtdy_r = jnp.full((nlat_l + 4, 1), cfg.dt_dy)
+                step1 = lambda q, uu, vv: adv.semi_lagrangian_2d_halo(
+                    q, uu, vv, dtdx_r, dtdy_r, row0, cfg.nlat)
+            advect_field = lambda f_ext: jax.vmap(
+                step1, in_axes=2, out_axes=2)(f_ext, u_ext, v_ext)
+            out = {k: advect_field(upd_ext[k]) for k in FIELDS}
+
+        psum = lambda s: jax.lax.psum(s, axis)
+        if cfg.fix_water and cfg.scheme != "none":
+            # psum'd twin of advection.conservation_fixer
+            for k in ("qv", "qc", "qi"):
+                qn = jnp.maximum(out[k], 0.0)
+                tot_old = psum(jnp.sum(upd[k] * w))
+                tot_new = psum(jnp.sum(qn * w))
+                out[k] = qn * (tot_old / jnp.maximum(tot_new, 1e-30))
+
+        if cfg.fix_energy and cfg.scheme != "none":
+            e_pre = psum(_energy_integral(upd["T"], upd["qc"], upd["qi"],
+                                          w))
+            e_post = psum(_energy_integral(out["T"], out["qc"], out["qi"],
+                                           w))
+            out["T"] = out["T"] + (e_pre - e_post) / (C.CP
+                                                      * psum(jnp.sum(w)))
+
         diags = {"mean_T": jax.lax.pmean(jnp.mean(out["T"]), axis)}
+        if w is not None:
+            snow = 1000.0 * sfc_fluxes[:, 2]
+            rain = 1000.0 * sfc_fluxes[:, 3] - snow
+            wf = w.reshape(nlat_l * nlon, nlev)
+            col = jnp.sum(wf * (C.CP * flat(ptend)[:, :, 0]
+                                - C.LV * flat(ptend)[:, :, 2]
+                                - C.LSUB * flat(ptend)[:, :, 3]), axis=1)
+            diags["energy_resid"] = jax.lax.pmean(
+                jnp.mean(col - C.LV * rain - C.LSUB * snow), axis)
+            diags["energy_int"] = psum(
+                _energy_integral(out["T"], out["qc"], out["qi"], w))
         return out, mem_new, diags
 
-    from jax.sharding import PartitionSpec as P
-    state_spec = {k: P(axis) for k in ("T", "qv", "qc", "qi", "u", "v")}
+    state_spec = {k: P(axis) for k in FIELDS}
     fn = shard_map(local_step, mesh=mesh,
-                   in_specs=(state_spec, P(axis), P(axis)),
+                   in_specs=(state_spec, P(axis), P(axis), P(axis)),
                    out_specs=(state_spec, P(axis), P()))
-    return jax.jit(fn)
+    return jax.jit(lambda state_g, mem, x_sfc_g: fn(state_g, mem, x_sfc_g,
+                                                    aw_full))

@@ -369,3 +369,113 @@ def test_hybrid_step_fused_advection_matches_per_field():
         np.testing.assert_allclose(np.asarray(out[True][k]),
                                    np.asarray(out[False][k]),
                                    rtol=1e-6, atol=1e-9, err_msg=k)
+
+
+def _to_grid_layout(loop, state, x_sfc, mem):
+    gi = loop.gather_idx
+    tog = lambda a: to_grid(a, gi, loop.cfg.nlat, loop.cfg.nlon)
+    return ({k: tog(v) for k, v in state.items()}, tog(x_sfc), mem[gi])
+
+
+def _sharded_vs_single(cfg, emulator=_dummy_emulator, nmem=4, rtol=1e-5):
+    """Run coupled_step and sharded_hybrid_step on the same state under
+    ``cfg``; assert all prognostic fields match."""
+    from climsim_tpu.online.host_loop import sharded_hybrid_step
+    from climsim_tpu.parallel import make_mesh
+
+    g = Grid.from_file(GRID_PATH)
+    loop = HybridLoop(emulator, g, cfg)
+    mesh = make_mesh(8, axis="col")
+    state = _init_state()
+    mem = jnp.zeros((384, 60, nmem))
+    x_sfc = jnp.concatenate([jnp.full((384, 1), 1e5),
+                             jnp.ones((384, 23))], axis=1)
+    ref_state, _, ref_diags = jax.jit(loop.coupled_step)(state, mem, x_sfc)
+    state_g, x_sfc_g, mem_g = _to_grid_layout(loop, state, x_sfc, mem)
+    step = sharded_hybrid_step(loop, mesh)
+    out_g, _, diags = step(state_g, mem_g, x_sfc_g)
+    for k in state:
+        np.testing.assert_allclose(
+            np.asarray(to_columns(out_g[k], loop.scatter_idx)),
+            np.asarray(ref_state[k]), rtol=rtol, atol=1e-8, err_msg=k)
+    return ref_diags, diags
+
+
+def test_sharded_hybrid_step_production_config():
+    """The PRODUCTION coupled step — spherical metric + psum'd area x dp/g
+    water fixer + energy epilogue (the stability-run config,
+    artifacts/stability_run.py) — is reproduced by the 8-device sharded
+    step, not just the reduced fix_water=False subset."""
+    cfg = HostLoopConfig(scheme="fv", fix_water=True, fix_energy=True,
+                         geometry="sphere")
+    ref_diags, diags = _sharded_vs_single(cfg)
+    # the psum'd diagnostics match the single-device ones too
+    np.testing.assert_allclose(float(diags["energy_int"]),
+                               float(ref_diags["energy_int"]), rtol=1e-6)
+    np.testing.assert_allclose(float(diags["energy_resid"]),
+                               float(ref_diags["energy_resid"]),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_sharded_hybrid_step_vertical_advection():
+    """Omega-diagnosed vertical transport in the sharded step (halo-1
+    exchange of updated winds for the divergence) == single device, on
+    both the spherical and flat metrics."""
+    for geometry in ("sphere", "flat"):
+        cfg = HostLoopConfig(scheme="fv", fix_water=True, fix_energy=True,
+                             vertical_advection=True, geometry=geometry)
+        _sharded_vs_single(cfg)
+
+
+def test_sharded_hybrid_step_semi_lagrangian():
+    """Semi-Lagrangian transport sharded via the halo-aware back-trajectory
+    kernel == single device (sphere + flat)."""
+    for geometry in ("sphere", "flat"):
+        cfg = HostLoopConfig(scheme="semi_lagrangian", fix_water=True,
+                             geometry=geometry)
+        _sharded_vs_single(cfg)
+
+
+def test_energy_fixer_keeps_global_energy_flat():
+    """With the energy epilogue on, a conservative emulator (zero column
+    energy residual: cp*dT == Lv*dqc, no precip) keeps the global
+    moist-energy integral flat over 1,000 coupled steps — the
+    differentiable-epilogue form of the reference's energy budget check
+    (rnn/metrics.py:193-239)."""
+    from climsim_tpu import constants as C
+
+    def conservative_emulator(x_main, x_sfc, mem):
+        B, L, _ = x_main.shape
+        dT = 1e-5
+        pt = jnp.zeros((B, L, 6))
+        pt = pt.at[:, :, 0].set(dT)
+        pt = pt.at[:, :, 2].set(C.CP * dT / C.LV)   # heat from condensation
+        return pt, jnp.zeros((B, 8)), mem
+
+    g = Grid.from_file(GRID_PATH)
+    cfg = HostLoopConfig(scheme="fv", fix_water=True, fix_energy=True)
+    loop = HybridLoop(conservative_emulator, g, cfg)
+    state = _init_state()
+    mem = jnp.zeros((384, 60, 2))
+    x_sfc = jnp.concatenate([jnp.full((384, 1), 1e5),
+                             jnp.ones((384, 23))], axis=1)
+    roll = jax.jit(lambda s, m: loop.rollout(s, m, x_sfc, 1000))
+    st2, _, diags = roll(state, mem)
+    e = np.asarray(diags["energy_int"])
+    assert np.isfinite(e).all()
+    # flat to float32 round-off accumulation (each step's epilogue is exact
+    # in real arithmetic; ~1e-7 relative rounding per step random-walks)
+    drift = abs(e[-1] - e[0]) / abs(e[0])
+    assert drift < 1e-4, drift
+    # and without the epilogue the same emulator's integral drifts more
+    cfg0 = HostLoopConfig(scheme="fv", fix_water=False, fix_energy=False)
+    loop0 = HybridLoop(conservative_emulator, g, cfg0)
+    st0, _, _ = jax.jit(lambda s, m: loop0.rollout(s, m, x_sfc, 1000))(
+        state, mem)
+    w = loop.grid.mass_weights(x_sfc[:, 0]) * loop.area_wgt[:, None]
+    efix = float(jnp.sum(w * (C.CP * st2["T"] - C.LV * st2["qc"]
+                              - C.LSUB * st2["qi"])))
+    eraw = float(jnp.sum(w * (C.CP * st0["T"] - C.LV * st0["qc"]
+                              - C.LSUB * st0["qi"])))
+    e0 = float(e[0])
+    assert abs(efix - e0) / abs(e0) <= abs(eraw - e0) / abs(e0) + 1e-12

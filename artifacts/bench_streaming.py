@@ -61,7 +61,7 @@ def write_h5(path, n_steps, seed=0, block=256):
     return gb
 
 
-def build_trainer():
+def build_trainer(nneur=128):
     import jax
     import jax.numpy as jnp
     from climsim_tpu.grid import Grid
@@ -72,7 +72,7 @@ def build_trainer():
     g = Grid.from_file(
         "/root/reference/grid_info/ClimSim_low-res_grid-info.nc")
     model = RNNAutoreg(nx=NX, nx_sfc=NS, ny=NY, ny_sfc=NYS,
-                       nneur=(128, 128), nh_mem=8, add_pres=False,
+                       nneur=(nneur, nneur), nh_mem=8, add_pres=False,
                        policy=BF16)
     cfg = RolloutConfig(rollout_schedule={0: 1}, lr=1e-3)
     tr = RolloutTrainer(model, cfg, np.asarray(g.hyai), np.asarray(g.hybi),
@@ -124,11 +124,22 @@ def rss_gb():
     return psutil.Process().memory_info().rss / 1e9
 
 
+def peak_rss_gb():
+    """High-water-mark RSS (VmHWM) — the honest 'bounded memory' number."""
+    with open("/proc/self/status") as f:
+        for line in f:
+            if line.startswith("VmHWM:"):
+                return float(line.split()[1]) / 1e6   # kB -> GB
+    return float("nan")
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--platform", default=None)
     ap.add_argument("--big-gb", type=float, default=50.0)
     ap.add_argument("--skip-big", action="store_true")
+    ap.add_argument("--skip-small", action="store_true")
+    ap.add_argument("--nneur", type=int, default=128)
     ap.add_argument("--small-steps", type=int, default=2048)
     ap.add_argument("--chunk-size", type=int, default=64)
     ap.add_argument("--workdir", default="/tmp/stream_bench")
@@ -140,35 +151,38 @@ def main():
     enable_cache()
     os.makedirs(args.workdir, exist_ok=True)
 
-    # ---------------- phase 1: resident vs streamed at HBM-fitting size
-    small = os.path.join(args.workdir, f"small_{args.small_steps}.h5")
-    if not os.path.exists(small):
-        write_h5(small, args.small_steps)
-    tr, params, mem = build_trainer()
+    tr, params, mem = build_trainer(args.nneur)
     cs = args.chunk_size
 
-    # warm both paths (compile)
-    warm = stream_chunks(small, min(args.small_steps, 2 * cs), cs)
-    run_epoch(tr, params, mem, warm)
+    # ---------------- phase 1: resident vs streamed at HBM-fitting size
+    if not args.skip_small:
+        small = os.path.join(args.workdir, f"small_{args.small_steps}.h5")
+        if not os.path.exists(small):
+            write_h5(small, args.small_steps)
 
-    t0 = time.time()
-    rec = run_epoch(tr, params, mem,
-                    resident_chunks(small, args.small_steps, cs))
-    t_res = time.time() - t0
-    t0 = time.time()
-    rec2 = run_epoch(tr, params, mem,
-                     stream_chunks(small, args.small_steps, cs))
-    t_str = time.time() - t0
-    cols = args.small_steps * B
-    print(json.dumps({
-        "phase": "resident_vs_stream",
-        "steps": args.small_steps,
-        "resident_s": round(t_res, 2),
-        "stream_s": round(t_str, 2),
-        "stream_over_resident": round(t_str / t_res, 3),
-        "stream_cols_per_s": round(cols / t_str, 1),
-        "loss_equal": abs(rec["loss"] - rec2["loss"]) < 1e-5,
-    }), flush=True)
+        # warm both paths (compile)
+        warm = stream_chunks(small, min(args.small_steps, 2 * cs), cs)
+        run_epoch(tr, params, mem, warm)
+
+        t0 = time.time()
+        rec = run_epoch(tr, params, mem,
+                        resident_chunks(small, args.small_steps, cs))
+        t_res = time.time() - t0
+        t0 = time.time()
+        rec2 = run_epoch(tr, params, mem,
+                         stream_chunks(small, args.small_steps, cs))
+        t_str = time.time() - t0
+        cols = args.small_steps * B
+        print(json.dumps({
+            "phase": "resident_vs_stream",
+            "steps": args.small_steps,
+            "nneur": args.nneur,
+            "resident_s": round(t_res, 2),
+            "stream_s": round(t_str, 2),
+            "stream_over_resident": round(t_str / t_res, 3),
+            "stream_cols_per_s": round(cols / t_str, 1),
+            "loss_equal": abs(rec["loss"] - rec2["loss"]) < 1e-5,
+        }), flush=True)
 
     # ---------------- phase 2: stream >> HBM with bounded RSS
     if args.skip_big:
@@ -179,6 +193,8 @@ def main():
             os.path.getsize(big) < 0.9 * args.big_gb * 1e9:
         write_h5(big, n_big, block=512)
     rss0 = rss_gb()
+    # warm-compile on a short prefix so the epoch timing is pure pipeline
+    run_epoch(tr, params, mem, stream_chunks(big, 2 * cs, cs))
     t0 = time.time()
     rec = run_epoch(tr, params, mem, stream_chunks(big, n_big, cs))
     t_big = time.time() - t0
@@ -186,11 +202,13 @@ def main():
         "phase": "big_stream",
         "dataset_gb": round(n_big * B * ROW_BYTES / 1e9, 1),
         "steps": n_big,
+        "nneur": args.nneur,
         "epoch_s": round(t_big, 1),
         "cols_per_s": round(n_big * B / t_big, 1),
         "gb_per_s": round(n_big * B * ROW_BYTES / 1e9 / t_big, 3),
         "rss_before_gb": round(rss0, 2),
         "rss_after_gb": round(rss_gb(), 2),
+        "peak_rss_gb": round(peak_rss_gb(), 2),
         "loss": rec["loss"],
     }), flush=True)
 

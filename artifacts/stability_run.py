@@ -53,6 +53,19 @@ def parse_args():
     p.add_argument("--quick", action="store_true",
                    help="tiny settings for a CPU smoke test")
     p.add_argument("--nneur", type=int, default=192)
+    p.add_argument("--amp-max", type=float, default=6.0,
+                   help="peak off-attractor T perturbation [K] for the "
+                        "segmented training data (0 = attractor only)")
+    p.add_argument("--w-water", type=float, default=0.0,
+                   help="water-conservation loss weight (RolloutConfig "
+                        "w_water; reference w_wcon)")
+    p.add_argument("--w-energy", type=float, default=0.0,
+                   help="energy-conservation loss weight (w_hcon)")
+    p.add_argument("--lr", type=float, default=2e-3)
+    p.add_argument("--lr-gamma", type=float, default=0.7)
+    p.add_argument("--no-fix-energy", action="store_true",
+                   help="disable the host-loop energy epilogue")
+    p.add_argument("--skip-scoreboard", action="store_true")
     p.add_argument("--out", default=os.path.join(
         os.path.dirname(__file__), "stability_run"))
     return p.parse_args()
@@ -115,6 +128,7 @@ def main():
 
     truth = equilibrium_emulator(g, eq_cfg)
     loop_cfg = HostLoopConfig(scheme="fv", fix_water=True,
+                              fix_energy=not args.no_fix_energy,
                               geometry="sphere")
     truth_loop = HybridLoop(truth, g, loop_cfg)
 
@@ -191,7 +205,7 @@ def main():
     # tendencies that erase them — the emulator learns to pull back.
     seg_len = 160 if not args.quick else 48   # multiple of chunk_T
     n_seg = max(args.train_steps // seg_len, 1)
-    amp_max = 6.0                             # K, peak T perturbation
+    amp_max = args.amp_max                    # K, peak T perturbation
 
     def perturb(st, key, amp):
         kT, kc, kq, ku, kv = jax.random.split(key, 5)
@@ -199,7 +213,7 @@ def main():
         st = dict(st)
         st["T"] = st["T"] + amp * colT
         st["qv"] = jnp.clip(
-            st["qv"] * (1.0 + 0.12 * (amp / amp_max)
+            st["qv"] * (1.0 + 0.12 * (amp / max(amp_max, 1e-12))
                         * jax.random.normal(kq, (ncol, nlev))), 0.0, None)
         st["u"] = st["u"] + 0.5 * amp * jax.random.normal(
             ku, (ncol, nlev))
@@ -300,8 +314,9 @@ def main():
     rcfg = RolloutConfig(
         rollout_schedule={0: 1, 4: 2, 10: 4, 18: 8} if not args.quick
         else {0: 1, 2: 2},
-        loss="huber", lr=2e-3, lr_schedule="step",
-        lr_gamma=0.7, decay_every=1200,
+        loss="huber", lr=args.lr, lr_schedule="step",
+        lr_gamma=args.lr_gamma, decay_every=1200,
+        w_water=args.w_water, w_energy=args.w_energy,
         semi_online=True, replay="mixed", remat=True,
         gradual_mixing_end_epoch=max(args.epochs // 2, 1),
         n_prog=6, pass_x_raw=False, seed=0)
@@ -356,6 +371,39 @@ def main():
     with open(args.out + "_emulator.msgpack", "wb") as f:
         f.write(serialization.to_bytes(params))
 
+    # ------- offline scoreboard: teacher-forced one-step predictions on
+    # the held-out validation segment, scored with the reference's
+    # ~40-metric epoch scoreboard (train/epoch_metrics.py; the online run
+    # below collects the matching online table)
+    offline_metrics = None
+    if not args.skip_scoreboard:
+        from climsim_tpu.train.epoch_metrics import epoch_metrics
+        v0, v1 = T_tr, args.train_steps
+        mem_off = jnp.zeros((ncol, nlev, nh_mem), jnp.float32)
+
+        @jax.jit
+        def offline_preds(xl, xsf):
+            def ostep(memc, inp):
+                xn, sn = inp
+                out, out_sfc, memc = model.apply(params, xn, sn, memc)
+                return memc, (out, out_sfc)
+            _, (pl, psf) = jax.lax.scan(ostep, mem_off, (xl, xsf))
+            return pl / yscale_lev, psf / yscale_sca
+
+        pl, psf = offline_preds(x_lev_n[v0:v1], x_sfc_n[v0:v1])
+        skip = min(8, max(v1 - v0 - 1, 0))     # memory spin-up steps
+        flat = lambda a: np.asarray(a[skip:]).reshape((-1,) + a.shape[2:])
+        offline_metrics = epoch_metrics(
+            flat(pl), flat(psf), flat(y_raw[v0:v1]),
+            flat(y_sfc_raw[v0:v1]),
+            np.asarray(sp_t[v0:v1][skip:]).ravel(),
+            np.asarray(g.hyai), np.asarray(g.hybi))
+        print(f"[{time.time()-t_wall0:7.1f}s] offline scoreboard: "
+              f"R2_dT={offline_metrics['R2_dT']:.3f} "
+              f"R2_dqv={offline_metrics['R2_dqv']:.3f} "
+              f"r2_lev_mean={offline_metrics['r2_lev_mean']:.3f}",
+              flush=True)
+
     # ------------------------------------------------ 3. the long paired run
     def emulator(x_main_raw, x_sfc_raw, mem):
         feats = jnp.concatenate([x_main_raw, derived(x_main_raw)], axis=-1)
@@ -393,6 +441,12 @@ def main():
                 "prec999_t": jnp.percentile(dg_t["precc"], 99.9),
                 "rmse_T": jnp.sqrt(wmean((st_m["T"] - st_t["T"]) ** 2)),
                 "rmse_qv": jnp.sqrt(wmean((st_m["qv"] - st_t["qv"]) ** 2)),
+                # global moist-energy integrals + per-step emulator/truth
+                # physics energy residuals (reference rnn/metrics.py:197)
+                "energy_m": dg_m["energy_int"],
+                "energy_t": dg_t["energy_int"],
+                "eresid_m": dg_m["energy_resid"],
+                "eresid_t": dg_t["energy_resid"],
             }
             return (st_m, mem_m, st_t), d
         carry, d = jax.lax.scan(step, (st_m, mem_m, st_t),
@@ -400,7 +454,17 @@ def main():
         st_m, mem_m, st_t = carry
         # chunk-mean fields for zonal/column statistics
         means = {"T_m": st_m["T"], "T_t": st_t["T"]}
-        return st_m, mem_m, st_t, d, means
+        # ONLINE tendency sampling at the chunk-end state: the emulator's
+        # prediction vs the truth physics evaluated AT THE SAME (hybrid)
+        # state — accumulated over the run this yields the online
+        # scoreboard that isolates emulator skill from trajectory
+        # divergence (the online/offline R2 comparison of the north star)
+        sfc_end = sfc_at(t0 + args.chunk)
+        x_raw_end = jnp.stack([st_m[k] for k in FIELDS], axis=-1)
+        pt_m, ptsfc_m, _ = emulator(x_raw_end, sfc_end, mem_m)
+        pt_t, ptsfc_t = truth(x_raw_end, sfc_end, dummy_mem)[:2]
+        samp = (pt_m, ptsfc_m, pt_t, ptsfc_t)
+        return st_m, mem_m, st_t, d, means, samp
 
     st_m = {k: v for k, v in state.items()}
     st_t = {k: v for k, v in state.items()}
@@ -412,9 +476,11 @@ def main():
     print(f"[{time.time()-t_wall0:7.1f}s] long run: {args.steps} steps "
           f"({args.steps * C.DT_STEP / 86400 / 365:.2f} sim years)",
           flush=True)
+    online_samples = []
     for ci in range(n_chunks):
-        st_m, mem_m, st_t, d, means = paired_chunk(
+        st_m, mem_m, st_t, d, means, samp = paired_chunk(
             st_m, mem_m, st_t, jnp.int32(run_t0 + ci * args.chunk))
+        online_samples.append(tuple(np.asarray(s) for s in samp))
         d = {k: np.asarray(v) for k, v in d.items()}
         bad = not np.isfinite(d["T_m"]).all()
         rec = {"chunk": ci, "step_end": (ci + 1) * args.chunk,
@@ -445,6 +511,28 @@ def main():
 
     # ------------------------------------------------------------ 4. report
     series = {k: np.concatenate(v) for k, v in per_step.items()}
+
+    # online scoreboard over the chunk-end tendency samples
+    online_metrics = None
+    online_vs_offline = None
+    if online_samples and not args.skip_scoreboard:
+        from climsim_tpu.train.epoch_metrics import epoch_metrics
+        cat = lambda i: np.concatenate([s[i] for s in online_samples])
+        sp_on = np.tile(np.asarray(base_sfc[:, 0]), len(online_samples))
+        online_metrics = epoch_metrics(cat(0), cat(1), cat(2), cat(3),
+                                       sp_on, np.asarray(g.hyai),
+                                       np.asarray(g.hybi))
+        if offline_metrics is not None:
+            keys = ["R2_dT", "R2_dqv", "R2_dqliq", "R2_dqice", "R2_du",
+                    "R2_dv", "R2_NETSW", "R2_FLWDS", "R2_PRECSC",
+                    "R2_PRECC", "r2_lev_mean"]
+            online_vs_offline = {
+                k: {"offline": round(float(offline_metrics[k]), 4),
+                    "online": round(float(online_metrics[k]), 4)}
+                for k in keys if k in offline_metrics
+                and k in online_metrics}
+            print("online vs offline R2:", json.dumps(online_vs_offline),
+                  flush=True)
     zonal_bands = np.linspace(-90, 90, 17)
     bidx = np.digitize(lat, zonal_bands) - 1
     zbias = np.array([
@@ -471,20 +559,34 @@ def main():
         "Tmin_overall": float(np.min(series["Tmin_m"])),
         "zonal_bias_K": [None if np.isnan(b) else round(float(b), 3)
                          for b in zbias],
+        "energy_ratio_final": float(series["energy_m"][-1]
+                                    / series["energy_t"][-1])
+        if "energy_m" in series else None,
+        "eresid_m_mean_W_m2": float(np.mean(series["eresid_m"]))
+        if "eresid_m" in series else None,
+        "eresid_t_mean_W_m2": float(np.mean(series["eresid_t"]))
+        if "eresid_t" in series else None,
         "train_final_loss": history[-1]["loss"] if history else None,
         "train_final_val": history[-1].get("val_loss") if history else None,
+        "config": {"nneur": args.nneur, "train_steps": args.train_steps,
+                   "epochs": args.epochs, "amp_max": args.amp_max,
+                   "w_water": args.w_water, "w_energy": args.w_energy,
+                   "lr": args.lr, "fix_energy": not args.no_fix_energy},
         "wall_seconds": round(time.time() - t_wall0, 1),
     }
+    if online_vs_offline is not None:
+        summary["online_vs_offline_R2"] = online_vs_offline
     with open(args.out + ".json", "w") as f:
-        json.dump({"summary": summary, "train_history": history}, f,
-                  indent=1)
+        json.dump({"summary": summary, "train_history": history,
+                   "offline_metrics": offline_metrics,
+                   "online_metrics": online_metrics}, f, indent=1)
     print(json.dumps(summary, indent=1), flush=True)
 
     try:
         import matplotlib
         matplotlib.use("Agg")
         import matplotlib.pyplot as plt
-        fig, axes = plt.subplots(2, 2, figsize=(11, 7))
+        fig, axes = plt.subplots(2, 3, figsize=(15, 7))
         x_d = np.linspace(0, summary["sim_years"] * 365,
                           len(series["T_m"]))
         ax = axes[0, 0]
@@ -518,6 +620,24 @@ def main():
         ax.set_ylabel("global precip [mm/day]")
         ax.set_title("precipitation")
         ax.legend()
+        if "energy_m" in series:
+            ax = axes[0, 2]
+            e0 = series["energy_t"][0]
+            ax.plot(x_d, series["energy_m"] / e0, label="hybrid", lw=0.8)
+            ax.plot(x_d, series["energy_t"] / e0, label="truth", lw=0.8)
+            ax.set_xlabel("simulated day")
+            ax.set_ylabel("global moist energy / E0")
+            ax.set_title("energy integral")
+            ax.legend()
+            ax = axes[1, 2]
+            ax.plot(x_d, series["eresid_m"], label="hybrid", lw=0.6,
+                    alpha=0.8)
+            ax.plot(x_d, series["eresid_t"], label="truth", lw=0.6,
+                    alpha=0.8)
+            ax.set_xlabel("simulated day")
+            ax.set_ylabel("physics energy residual [W m$^{-2}$]")
+            ax.set_title("column energy residual (ref. rnn/metrics.py)")
+            ax.legend()
         fig.tight_layout()
         fig.savefig(args.out + ".png", dpi=110)
         print(f"wrote {args.out}.png", flush=True)

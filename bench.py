@@ -93,9 +93,18 @@ def build(ncol_shape, stencil_pallas: bool, emulator_pallas: bool):
         def layer_thickness(self, ps):
             return jnp.full((ps.shape[0], nlev), 1e3)
 
+    if ncol == 384:
+        # canonical low-res case runs on the REAL ne4 grid: actual column
+        # lat/lon layout (gather/scatter through the latitude-band proxy)
+        # and the area x dp/g weighted fixer (data_utils.py:74)
+        from climsim_tpu.grid import Grid
+        grid = Grid.from_file(
+            "/root/reference/grid_info/ClimSim_low-res_grid-info.nc")
+    else:
+        grid = ProxyGrid()
     cfg = HostLoopConfig(nlat=nlat, nlon=nlon, scheme="fv",
                          use_pallas=stencil_pallas, fix_water=True)
-    loop = HybridLoop(emulator, ProxyGrid(), cfg)
+    loop = HybridLoop(emulator, grid, cfg)
 
     rng = np.random.default_rng(1)
     state = {

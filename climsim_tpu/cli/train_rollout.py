@@ -143,21 +143,45 @@ def main(argv=None):
 
     x_lev, x_lev_raw_src, x_sfc = prep_raw(x_lev, x_sfc)
 
-    # normalization from data statistics; per-level by default, or one
-    # scalar per channel (reference input_norm_per_level /
-    # output_norm_per_level, autoreg_LSTM.yaml)
-    if dcfg.get("input_norm_per_level", True):
-        xm = x_lev.mean((0, 1)); xsd = x_lev.std((0, 1)) + 1e-8
+    # normalization: the REFERENCE norm-file chain when data.norm=reference
+    # (per-var per-level mean/(max-min) from input_*_v4_pervar.nc +
+    # output_scale.nc assembled exactly as the reference hydra driver,
+    # rnn/train_rnn_rollout_torchscript_hydra.py:323-456 — the shipped
+    # coefficients pair with the exp cloud-lambda txts, whose transform IS
+    # the cloud channels' normalization: the files carry mean 0 / div 1
+    # there); otherwise fitted from the data statistics (per-level by
+    # default, reference input_norm_per_level / output_norm_per_level)
+    if dcfg.get("norm") == "reference":
+        from ..data.normalization import reference_level_normalizer
+        nz = reference_level_normalizer(
+            vset,
+            dcfg.get("norm_input_mean"), dcfg.get("norm_input_max"),
+            dcfg.get("norm_input_min"), dcfg.get("norm_output_scale"),
+            snowhice_fix=bool(dcfg.get("snowhice_fix", True)),
+            remove_past_sfc=bool(dcfg.get("remove_past_sfc_inputs",
+                                          False)))
+        xm, xsd = np.asarray(nz.mean_lev), np.asarray(nz.div_lev)
+        xms, xss = np.asarray(nz.mean_sfc), np.asarray(nz.div_sfc)
+        ysc_lev = np.asarray(nz.scale_lev)
+        ysc_sfc = np.asarray(nz.scale_sfc)
+        if xm.shape[1] != x_lev.shape[-1] or xms.shape[0] != x_sfc.shape[-1]:
+            raise ValueError(
+                f"data.norm=reference coefficient shapes {xm.shape}/"
+                f"{xms.shape} do not match data {x_lev.shape}/"
+                f"{x_sfc.shape}; check vset/preprocessing flags")
     else:
-        xm = x_lev.mean((0, 1, 2)); xsd = x_lev.std((0, 1, 2)) + 1e-8
-    xms = x_sfc.mean((0, 1)); xss = x_sfc.std((0, 1)) + 1e-8
-    if dcfg.get("output_norm_per_level", True):
-        ysc_lev = 1.0 / (np.abs(y_lev).std((0, 1)) + 1e-12)
-    else:
-        ysc_lev = np.broadcast_to(
-            1.0 / (np.abs(y_lev).std((0, 1, 2)) + 1e-12),
-            y_lev.shape[2:]).copy()
-    ysc_sfc = 1.0 / (np.abs(y_sfc).std((0, 1)) + 1e-12)
+        if dcfg.get("input_norm_per_level", True):
+            xm = x_lev.mean((0, 1)); xsd = x_lev.std((0, 1)) + 1e-8
+        else:
+            xm = x_lev.mean((0, 1, 2)); xsd = x_lev.std((0, 1, 2)) + 1e-8
+        xms = x_sfc.mean((0, 1)); xss = x_sfc.std((0, 1)) + 1e-8
+        if dcfg.get("output_norm_per_level", True):
+            ysc_lev = 1.0 / (np.abs(y_lev).std((0, 1)) + 1e-12)
+        else:
+            ysc_lev = np.broadcast_to(
+                1.0 / (np.abs(y_lev).std((0, 1, 2)) + 1e-12),
+                y_lev.shape[2:]).copy()
+        ysc_sfc = 1.0 / (np.abs(y_sfc).std((0, 1)) + 1e-12)
     sp = x_sfc[..., 0]
     x_lev_n = (x_lev - xm) / xsd
     x_sfc_n = (x_sfc - xms) / xss

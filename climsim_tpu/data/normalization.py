@@ -208,6 +208,86 @@ class LevelNormalizer:
                    jnp.ones(outl.n_sfc_vars, dtype))
 
 
+REF_NORM_DIR = "/root/reference/preprocessing/normalizations"
+
+
+def reference_level_normalizer(vset: V.VariableSet,
+                               input_mean: str | None = None,
+                               input_max: str | None = None,
+                               input_min: str | None = None,
+                               output_scale: str | None = None,
+                               snowhice_fix: bool = True,
+                               remove_past_sfc: bool = False,
+                               dtype=jnp.float32) -> "LevelNormalizer":
+    """Assemble coefficients EXACTLY as the reference hydra driver does
+    (rnn/train_rnn_rollout_torchscript_hydra.py:323-456) from the shipped
+    per-variable norm files (input_{mean,max,min}_v4_pervar.nc,
+    output_scale.nc):
+
+    * per-level mean and (max - min) div for every level variable, scalar
+      mean/div for surface variables, y scale from output_scale;
+    * zero-division fix for channels whose div vanishes in part of the
+      column (CH4/N2O in the lower atmosphere): zeros replaced by the
+      channel's smallest positive div (driver :410-421);
+    * ``snowhice_fix``: SNOWHICE is overwritten upstream by the >=1e10
+      sentinel rewrite, so its normalization is neutralized
+      (mean 0, div 1; driver :452-455);
+    * ``remove_past_sfc``: drop the five tm_* previous-step surface
+      channels (driver :433-437) to match data.remove_past_sfc_inputs.
+    """
+    paths = {
+        "input_mean": input_mean
+        or f"{REF_NORM_DIR}/inputs/input_mean_v4_pervar.nc",
+        "input_max": input_max
+        or f"{REF_NORM_DIR}/inputs/input_max_v4_pervar.nc",
+        "input_min": input_min
+        or f"{REF_NORM_DIR}/inputs/input_min_v4_pervar.nc",
+        "output_scale": output_scale
+        or f"{REF_NORM_DIR}/outputs/output_scale.nc",
+    }
+    mean = read_netcdf(paths["input_mean"])
+    maxv = read_netcdf(paths["input_max"])
+    minv = read_netcdf(paths["input_min"])
+    scale = read_netcdf(paths["output_scale"])
+    inl, outl = vset.inputs, vset.outputs
+
+    def mat(stats, names, rows):
+        out = np.zeros((rows, len(names)), np.float64)
+        for j, n in enumerate(names):
+            if n not in stats:
+                raise KeyError(f"variable {n!r} missing from norm file")
+            v = np.asarray(stats[n], np.float64).ravel()
+            out[:, j] = v if v.size == rows else v.mean()
+        return out
+
+    mean_lev = mat(mean, inl.lev_names, NLEV)
+    div_lev = mat(maxv, inl.lev_names, NLEV) - mat(minv, inl.lev_names, NLEV)
+    # zero-division fix (CH4/N2O vanish below ~the tropopause in the files)
+    for j in range(div_lev.shape[1]):
+        col = div_lev[:, j]
+        if (col == 0.0).any():
+            pos = col[col > 0.0]
+            col[col == 0.0] = pos.min() if pos.size else 1.0
+    mean_sfc = mat(mean, inl.sfc_names, 1)[0]
+    div_sfc = (mat(maxv, inl.sfc_names, 1)[0]
+               - mat(minv, inl.sfc_names, 1)[0])
+    div_sfc = np.where(div_sfc == 0.0, 1.0, div_sfc)
+    if snowhice_fix and "cam_in_SNOWHICE" in inl.sfc_names:
+        i = inl.sfc_names.index("cam_in_SNOWHICE")
+        mean_sfc[i], div_sfc[i] = 0.0, 1.0
+    if remove_past_sfc:
+        keep = [i for i, n in enumerate(inl.sfc_names)
+                if n not in ("tm_state_ps", "tm_pbuf_SOLIN",
+                             "tm_pbuf_LHFLX", "tm_pbuf_SHFLX",
+                             "tm_pbuf_COSZRS")]
+        mean_sfc, div_sfc = mean_sfc[keep], div_sfc[keep]
+    scale_lev = mat(scale, outl.lev_names, NLEV)
+    scale_sfc = mat(scale, outl.sfc_names, 1)[0]
+    j = lambda a: jnp.asarray(a, dtype)
+    return LevelNormalizer(j(mean_lev), j(div_lev), j(mean_sfc), j(div_sfc),
+                           j(scale_lev), j(scale_sfc))
+
+
 def load_exp_lambdas(path: str) -> np.ndarray:
     """Per-level lambda for the exponential cloud transform from the
     reference's txt files (qc/qi/qn_exp_lambda_large.txt — one

@@ -6,9 +6,11 @@ optionally retrains ONLY a replacement output layer that reduces the native
 128 (LW) / 112 (SW) g-points to a smaller custom-band set, with Slingo-band
 mapping and solar-source band weights (rnn/utils.py:314-645
 ``mlp_gasopt_inlined_processing`` / ``load_gas_optics_model``;
-rnn/layers.py:170-281 ``gasopt_mlp``). The real weight blobs
-(rnn/data/rrtmgp-data-{lw-g128,sw-g112}-210809.nc) are STRIPPED from this
-snapshot (.MISSING_LARGE_BLOBS), so :func:`write_gas_optics_weights`
+rnn/layers.py:170-281 ``gasopt_mlp``). The real weight files ARE present
+in the snapshot under NN_GCM_NWP names
+(rnn/data/rrtmgp-data-*-NN_GCM_NWP*.nc — see DEFAULT_LW/DEFAULT_SW below;
+loading is parity-tested against the reference's own gasopt_mlp in
+tests/test_rrtmgp.py); :func:`write_gas_optics_weights` additionally
 fabricates schema-identical files for round-trip tests and for users who
 regenerate weights elsewhere.
 

@@ -139,15 +139,35 @@ def _bigru_kernel(xp_ref, h0u_ref, h0d_ref, whh_u_ref, bhh_u_ref,
     lasth_ref[:] = h2.astype(lasth_ref.dtype)
 
 
+def _divisor_tile(B: int, cap: int, gran: int) -> int:
+    """Largest tile <= cap that DIVIDES B and is a multiple of ``gran``
+    (the sublane granularity). Full tiles without padding: the pad path
+    round-trips the whole [L, B, 3H] projected series through HBM twice
+    (jnp.pad + output slice), which measured ~25% of the flagship
+    emulator forward at B=21,600 (round-2 bench regression)."""
+    start = min(cap, B) // gran * gran
+    for bt in range(start, gran - 1, -gran):
+        if B % bt == 0:
+            return bt
+    return 0
+
+
 def _auto_block_b(B: int, L: int, H: int, itemsize: int) -> int:
-    """Largest power-of-two-ish tile whose VMEM working set fits the
-    budget: double-buffered xp [L, Bt, 3H] + scratch [L, Bt, H] +
-    double-buffered down [L, Bt, H] (all in the input dtype; the carried
-    h is registers/f32 and negligible)."""
+    """Largest tile whose VMEM working set fits the budget:
+    double-buffered xp [L, Bt, 3H] + scratch [L, Bt, H] + double-buffered
+    down [L, Bt, H] (all in the input dtype; the carried h is
+    registers/f32 and negligible). Prefers a tile that divides B exactly
+    (no pad copy); falls back to fixed power-of-two-ish tiles + in-op
+    padding for batches without a usable divisor."""
+    per_row = L * (2 * 3 * H + H + 2 * H) * itemsize
+    cap = int(_VMEM_BUDGET // max(per_row, 1))
+    gran = 16 if itemsize == 2 else 8
+    div = _divisor_tile(B, min(cap, 512), gran)
+    if div >= 128 or (div > 0 and div == B):
+        return div
     for bt in (512, 384, 256, 192, 128, 96, 64, 32, 16, 8):
         if bt > B and bt != 8:
             continue
-        per_row = L * (2 * 3 * H + H + 2 * H) * itemsize
         if bt * per_row <= _VMEM_BUDGET:
             return min(bt, max(B, 8))
     return 8
@@ -498,6 +518,11 @@ def _auto_block_b_bwd(B: int, L: int, H: int, itemsize: int) -> int:
     # extra buffering): 192 rows at flagship bf16 shapes measured 130.8M
     # on the v5e (128M cap), 128 rows fits
     budget = 96 * 1024 * 1024
+    cap = int(budget // max(per_row, 1))
+    gran = 16 if itemsize == 2 else 8
+    div = _divisor_tile(B, min(cap, 256), gran)
+    if div >= 96 or (div > 0 and div == B):
+        return div
     for bt in (256, 192, 128, 96, 64, 32, 16, 8):
         if bt > B and bt != 8:
             continue

@@ -86,3 +86,66 @@ def test_train_classifier_gradout_cli(tmp_path):
     first2 = next(rec for rec in recs2 if "train_ce" in rec)
     # restart resumes near the donor's trained loss, below a cold start
     assert first2["train_ce"] < eps[0]["train_ce"]
+
+
+def test_train_rollout_cli_reference_norm(tmp_path):
+    """The shipped reference-normalization conf trains end-to-end: the
+    CLI loads input_{mean,max,min}_v4_pervar.nc + output_scale.nc + the
+    qc/qi exp-lambda txts (data.norm=reference) instead of fitting stats
+    from the data."""
+    r = _run(["climsim_tpu.cli.train_rollout",
+              "conf/autoreg_gru_refnorm.yaml",
+              "platform=cpu", "epochs=2", "data.steps=8",
+              "model.nneur=[24,24]", f"log_path={tmp_path}/log.jsonl"])
+    assert r.returncode == 0, r.stderr[-2000:]
+    recs = [json.loads(l) for l in open(tmp_path / "log.jsonl")]
+    assert len(recs) == 2
+    assert np.isfinite(recs[-1]["loss"])
+
+
+def test_reference_norm_assembly_matches_driver():
+    """reference_level_normalizer reproduces the reference driver's
+    coefficient assembly (train_rnn_rollout_torchscript_hydra.py:323-456)
+    against hand-read file values: per-level mean/(max-min), the CH4/N2O
+    zero-division fix, and the SNOWHICE neutralization."""
+    sys.path.insert(0, REPO)
+    from climsim_tpu import variables as V
+    from climsim_tpu.data.normalization import (reference_level_normalizer,
+                                                read_netcdf, REF_NORM_DIR)
+    vset = V.get("v4_rnn")
+    nz = reference_level_normalizer(vset)
+    mean = read_netcdf(f"{REF_NORM_DIR}/inputs/input_mean_v4_pervar.nc")
+    maxv = read_netcdf(f"{REF_NORM_DIR}/inputs/input_max_v4_pervar.nc")
+    minv = read_netcdf(f"{REF_NORM_DIR}/inputs/input_min_v4_pervar.nc")
+    scal = read_netcdf(f"{REF_NORM_DIR}/outputs/output_scale.nc")
+    # plain per-level channel (state_t, idx 0)
+    np.testing.assert_allclose(np.asarray(nz.mean_lev)[:, 0],
+                               np.asarray(mean["state_t"], np.float32))
+    np.testing.assert_allclose(
+        np.asarray(nz.div_lev)[:, 0],
+        np.asarray(maxv["state_t"] - minv["state_t"], np.float32),
+        rtol=1e-6)
+    # CH4/N2O zero-division fix: divs strictly positive, zeros replaced by
+    # the channel's minimum positive div (driver :410-421)
+    for name in ("pbuf_CH4", "pbuf_N2O"):
+        j = vset.inputs.lev_names.index(name)
+        div_raw = np.asarray(maxv[name] - minv[name])
+        div = np.asarray(nz.div_lev)[:, j]
+        assert (div_raw == 0.0).any()          # the files DO have zeros
+        assert (div > 0.0).all()
+        np.testing.assert_allclose(div[div_raw == 0.0],
+                                   div_raw[div_raw > 0.0].min(), rtol=1e-6)
+        np.testing.assert_allclose(div[div_raw > 0.0],
+                                   div_raw[div_raw > 0.0], rtol=1e-6)
+    # SNOWHICE neutralized (driver :452-455)
+    i = vset.inputs.sfc_names.index("cam_in_SNOWHICE")
+    assert float(nz.mean_sfc[i]) == 0.0 and float(nz.div_sfc[i]) == 1.0
+    # output scales straight from output_scale.nc
+    np.testing.assert_allclose(np.asarray(nz.scale_lev)[:, 0],
+                               np.asarray(scal["ptend_t"], np.float32))
+    # cloud channels carry the identity normalization (the exp transform
+    # is their normalization): mean 0, div 1
+    for name in ("state_q0002", "state_q0003"):
+        j = vset.inputs.lev_names.index(name)
+        np.testing.assert_allclose(np.asarray(nz.mean_lev)[:, j], 0.0)
+        np.testing.assert_allclose(np.asarray(nz.div_lev)[:, j], 1.0)

@@ -7,6 +7,7 @@ one jitted lax.scan, scalar fetch as the sync, trivial-fetch subtracted.
 
 Run serialized on the one chip:  timeout 1800 python artifacts/bench_bigru_kernel.py
 """
+import functools
 import os
 import sys
 import time
@@ -123,7 +124,11 @@ def main():
             _bigru_reference_lbh, args, "scan-bf16")
     except Exception as e:
         print(f"scan-bf16 FAILED: {type(e).__name__}: {e}", flush=True)
-    for bb, acc32 in ((None, True),):
+    # acc32=True (f32 gates) is the production default; acc32=False runs
+    # the gate arithmetic in bf16 (2x VPU packing) — measured here since
+    # commit 36982a4 made the explicitly-typed transcendentals lower
+    # (VERDICT round-2 item 6)
+    for bb, acc32 in ((None, True), (None, False)):
         label = f"pallas-bf16-bb{bb or 'auto'}-{'f32' if acc32 else 'bf16'}g"
         try:
             results[label] = measure(
@@ -147,6 +152,44 @@ def main():
     except Exception as e:
         print(f"grad-pallas-bf16 FAILED: {type(e).__name__}: {e}",
               flush=True)
+    # ---- v3 fused-heads kernel at the flagship ONLINE batch (in-kernel
+    # input projection + latent/output heads; round-3)
+    from climsim_tpu.ops.pallas_rnn import fused_bigru_heads_lbh
+    import time as _time
+    import statistics as _stats
+    B3, nx, nm, ny = 21600, 26, 16, 6
+    ks = jax.random.split(jax.random.PRNGKey(1), 15)
+    s = 0.3
+    shp = [(L, B3, nx), (B3, H), (B3, H), (nx, 3 * H), (3 * H,),
+           (H, 3 * H), (3 * H,), (H, 3 * H), (3 * H,), (H, 3 * H),
+           (3 * H,), (H, nm), (nm,), (nm, ny), (ny,)]
+    args3 = tuple(jax.random.normal(k, sh, jnp.float32).astype(jnp.bfloat16)
+                  * s for k, sh in zip(ks, shp))
+    jkw = {"compiler_options": {"xla_tpu_scoped_vmem_limit_kib": 130048}}
+
+    @functools.partial(jax.jit, **jkw)
+    def loop_v3(a):
+        def body(h0u, _):
+            out, mem, lasth = fused_bigru_heads_lbh(a[0], h0u, *a[2:])
+            return lasth, jnp.sum(out[0, 0].astype(jnp.float32))
+        lasth, accs = jax.lax.scan(body, a[1], None, length=N)
+        return jnp.sum(accs)
+
+    try:
+        float(loop_v3(args3))
+        times = []
+        for _ in range(5):
+            t0 = _time.perf_counter()
+            float(loop_v3(args3))
+            times.append(_time.perf_counter() - t0)
+        med = _stats.median(times) / N
+        results[f"pallas-v3-heads-B{B3}"] = B3 / med
+        print(f"pallas-v3-heads B={B3}: {med*1e3:.2f} ms "
+              f"({B3/med:,.0f} cols/s)", flush=True)
+    except Exception as e:
+        print(f"pallas-v3-heads FAILED: {type(e).__name__}: {e}",
+              flush=True)
+
     print("\nsummary:")
     for k, v in sorted(results.items(), key=lambda kv: -kv[1]):
         print(f"  {k:26s} {v:>12,.0f} cols/s")

@@ -11,6 +11,7 @@ Run serialized with any other TPU work:  timeout 5400 python artifacts/profile_h
 import json
 import os
 import statistics
+from functools import partial
 import sys
 import time
 
@@ -42,7 +43,9 @@ def build(geometry, stencil_pallas, emulator_pallas, scheme="fv",
     xm = jnp.ones((ncol, nlev, 6), jnp.float32) * 0.1
     xs = jnp.ones((ncol, 24), jnp.float32) * 0.1
     mem0 = jnp.zeros((ncol, nlev, 16), jnp.float32)
-    params = model.init(jax.random.PRNGKey(0), xm, xs, mem0)
+    from bench import _vmem_jkw
+    params = jax.jit(model.init, **_vmem_jkw())(jax.random.PRNGKey(0),
+                                                xm, xs, mem0)
 
     xscale = jnp.asarray([250.0, 1e-3, 1e-5, 1e-5, 10.0, 10.0])
     yscale = jnp.asarray([1e-5, 1e-8, 1e-9, 1e-9, 1e-5, 1e-5])
@@ -130,7 +133,8 @@ def main():
         try:
             loop, emu, state, mem, x_sfc, ncol = build(geom, st_p, em_p)
 
-            @jax.jit
+            from bench import _vmem_jkw
+            @partial(jax.jit, **_vmem_jkw())
             def run(state, mem):
                 st, m, d = loop.rollout(state, mem, x_sfc, N_STEPS)
                 return d["mean_T"][-1]
@@ -152,7 +156,8 @@ def main():
             loop, emu, state, mem, x_sfc, ncol = build(
                 "sphere", False, em_p, scheme="none", fix_water=False)
 
-            @jax.jit
+            from bench import _vmem_jkw
+            @partial(jax.jit, **_vmem_jkw())
             def run(state, mem):
                 st, m, d = loop.rollout(state, mem, x_sfc, N_STEPS)
                 return d["mean_T"][-1]
@@ -172,7 +177,8 @@ def main():
         loop, emu, state, mem, x_sfc, ncol = build("sphere", True, False,
                                                    fix_water=False)
 
-        @jax.jit
+        from bench import _vmem_jkw
+        @partial(jax.jit, **_vmem_jkw())
         def run(state, mem):
             st, m, d = loop.rollout(state, mem, x_sfc, N_STEPS)
             return d["mean_T"][-1]
@@ -193,7 +199,8 @@ def main():
             xm = jnp.stack([state["T"], state["qv"], state["qc"],
                             state["qi"], state["u"], state["v"]], axis=-1)
 
-            @jax.jit
+            from bench import _vmem_jkw
+            @partial(jax.jit, **_vmem_jkw())
             def run(xm, mem):
                 def step(carry, _):
                     m, acc = carry

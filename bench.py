@@ -28,6 +28,7 @@ import os
 import statistics
 import sys
 import time
+from functools import partial
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
@@ -70,7 +71,11 @@ def build(ncol_shape, stencil_pallas: bool, emulator_pallas: bool):
     xm = jnp.ones((ncol, nlev, 6), jnp.float32) * 0.1
     xs = jnp.ones((ncol, 24), jnp.float32) * 0.1
     mem0 = jnp.zeros((ncol, nlev, 16), jnp.float32)
-    params = model.init(jax.random.PRNGKey(0), xm, xs, mem0)
+    # init must run under the raised scoped-VMEM limit too: eagerly the
+    # fused-heads kernel's small outputs get placed in scoped VMEM and
+    # blow the 16 MB default (see measure())
+    params = jax.jit(model.init, **_vmem_jkw())(jax.random.PRNGKey(0),
+                                                xm, xs, mem0)
 
     xscale = jnp.asarray([250.0, 1e-3, 1e-5, 1e-5, 10.0, 10.0])
     yscale = jnp.asarray([1e-5, 1e-8, 1e-9, 1e-9, 1e-5, 1e-5])
@@ -123,12 +128,28 @@ def build(ncol_shape, stencil_pallas: bool, emulator_pallas: bool):
     return loop, state, mem0, x_sfc, ncol
 
 
+def _vmem_jkw():
+    """jit kwargs raising XLA's scoped-VMEM limit on real TPUs: the
+    fused-heads pallas kernel's outputs/tiles exceed the 16 MB default
+    (train/rollout.py::_vmem_jit_kwargs is the in-package twin)."""
+    try:
+        from climsim_tpu.ops import on_tpu
+        if on_tpu():
+            return {"compiler_options":
+                    {"xla_tpu_scoped_vmem_limit_kib": 130048}}
+    except Exception:
+        pass
+    return {}
+
+
 def measure(loop, state, mem, x_sfc, ncol, repeats=REPEATS):
     """Median seconds per coupled step over `repeats` timed runs."""
     import jax
     import jax.numpy as jnp
 
-    @jax.jit
+    jkw = _vmem_jkw()
+
+    @partial(jax.jit, **jkw)
     def run(state, mem):
         st, m, diags = loop.rollout(state, mem, x_sfc, N_STEPS)
         return diags["mean_T"][-1]

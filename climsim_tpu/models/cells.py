@@ -356,6 +356,61 @@ class FusedBiGRULayer(nn.Module):
         return jnp.swapaxes(down, 0, 1), lasth
 
 
+class FusedBiGRUHeadsLayer(nn.Module):
+    """FusedBiGRULayer with the up-sweep input projection AND the
+    latent-memory + output heads inside the kernel (ops.pallas_rnn v3):
+    the kernel streams x [B, L, nx] in and (out [B, L, ny],
+    mem [B, L, nh_mem]) out instead of materializing the [L, B, 3H]
+    projection and [L, B, H] down stream in HBM (~3 GB/step at the
+    flagship 21,600-column online shapes). Replaces the rnn_up/rnn_down
+    pair plus mlp_latent/mlp_output of RNNAutoreg (models.py:461-552)
+    when the memory width differs from the RNN width."""
+
+    hidden: int
+    nh_mem: int
+    ny: int
+    block_b: Any = None
+    acc32: bool = True
+    force_reference: bool = False
+
+    @nn.compact
+    def __call__(self, x, h0_up, h0_dn):
+        from ..ops.pallas_rnn import fused_bigru_heads_lbh, _heads_compose
+
+        H = self.hidden
+        nx = x.shape[-1]
+        init = nn.initializers.lecun_normal()
+        zeros = nn.initializers.zeros
+        win1 = self.param("win1", init, (nx, 3 * H), jnp.float32)
+        bin1 = self.param("bin1", zeros, (3 * H,), jnp.float32)
+        whh_up = self.param("whh_up", init, (H, 3 * H), jnp.float32)
+        bhh_up = self.param("bhh_up", zeros, (3 * H,), jnp.float32)
+        win2 = self.param("win2", init, (H, 3 * H), jnp.float32)
+        bin2 = self.param("bin2", zeros, (3 * H,), jnp.float32)
+        whh_dn = self.param("whh_dn", init, (H, 3 * H), jnp.float32)
+        bhh_dn = self.param("bhh_dn", zeros, (3 * H,), jnp.float32)
+        wlat = self.param("wlat", init, (H, self.nh_mem), jnp.float32)
+        blat = self.param("blat", zeros, (self.nh_mem,), jnp.float32)
+        wout = self.param("wout", init, (self.nh_mem, self.ny),
+                          jnp.float32)
+        bout = self.param("bout", zeros, (self.ny,), jnp.float32)
+
+        dt = x.dtype
+        a = lambda t: t.astype(dt)
+        args = (jnp.swapaxes(x, 0, 1), a(h0_up), a(h0_dn), a(win1),
+                a(bin1), a(whh_up), a(bhh_up), a(win2), a(bin2),
+                a(whh_dn), a(bhh_dn), a(wlat), a(blat), a(wout), a(bout))
+        from ..ops import on_tpu
+        use_kernel = (not self.force_reference) and on_tpu()
+        if use_kernel:
+            out, mem, lasth = fused_bigru_heads_lbh(*args, self.block_b,
+                                                    False, self.acc32)
+        else:
+            out, mem, lasth = _heads_compose(*args, self.block_b, False,
+                                             self.acc32, False)
+        return (jnp.swapaxes(out, 0, 1), jnp.swapaxes(mem, 0, 1), lasth)
+
+
 class GLU(nn.Module):
     """S4-style GLU block (models_torch_kernels.py:1329-1355): optional
     pre-LayerNorm -> dropout(GELU(x)) -> Linear(features ->

@@ -29,7 +29,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .cells import RNNLayer, FusedBiGRULayer, QRNNLayer, needs_cell_state
+from .cells import (RNNLayer, FusedBiGRULayer, FusedBiGRUHeadsLayer,
+                    QRNNLayer, needs_cell_state)
 from .common import Policy, F32
 
 DT = 1200.0
@@ -62,6 +63,12 @@ class RNNAutoreg(nn.Module):
     # currently interpret-mode-only (Mosaic lowering bug on hardware —
     # see cells.FusedBiGRULayer.acc32)
     pallas_acc32: bool = True
+    # with use_pallas, additionally fuse the up-sweep input projection and
+    # the mlp_latent/mlp_output heads into the kernel (v3: no [L,B,3H]
+    # projection or [L,B,H] down stream in HBM). Applies when the memory
+    # width differs from the RNN width (the flagship config); the fused
+    # layer owns the head parameters (wlat/blat/wout/bout)
+    fuse_heads: bool = True
     # AR(1) noise threading (rnn/utils.py:940-959 noise modes; the wrapper
     # signature's eps_prev, save_wrapper_mem_prevtend_ftorch.py:333-360):
     # eps_new = rho*eps_prev + sqrt(1-rho^2)*N(0,1) drives the stochastic
@@ -131,7 +138,15 @@ class RNNAutoreg(nn.Module):
 
         use_fused = (self.use_pallas and self.cell == "gru"
                      and not self.add_stochastic_layer and nh1 == nh2)
-        if use_fused:
+        fuse_heads = (use_fused and self.fuse_heads and self.use_memory
+                      and self.nh_mem != nh2
+                      and not self.separate_radiation)
+        if fuse_heads:
+            out, new_mem, last_h = FusedBiGRUHeadsLayer(
+                nh1, self.nh_mem, self.ny, acc32=self.pallas_acc32,
+                name="bigru_fused")(h, hx1, hx2)
+            down_out = None
+        elif use_fused:
             down_out, last_h = FusedBiGRULayer(
                 nh1, acc32=self.pallas_acc32,
                 name="bigru_fused")(h, hx1, hx2)
@@ -205,20 +220,23 @@ class RNNAutoreg(nn.Module):
         # ---- latent convective memory + output heads. As the reference,
         # the intermediate MLP exists only when the memory width differs
         # from the last RNN's width (models.py:249-252: nh_mem ==
-        # nneur[-1] -> the RNN output IS the memory)
-        if not self.use_memory:
-            # memory-None mode: head reads the RNN stream, mem untouched
-            head_in = down_out
-            new_mem = mem
-        elif self.nh_mem == down_out.shape[-1]:
-            head_in = new_mem = down_out
-        else:
-            head_in = new_mem = nn.Dense(self.nh_mem,
-                                         dtype=pol.compute_dtype,
-                                         param_dtype=pol.param_dtype,
-                                         name="mlp_latent")(down_out)
-        out = nn.Dense(self.ny, dtype=pol.compute_dtype,
-                       param_dtype=pol.param_dtype, name="mlp_output")(head_in)
+        # nneur[-1] -> the RNN output IS the memory). With fuse_heads the
+        # kernel already produced out/new_mem.
+        if not fuse_heads:
+            if not self.use_memory:
+                # memory-None mode: head reads the RNN stream, mem untouched
+                head_in = down_out
+                new_mem = mem
+            elif self.nh_mem == down_out.shape[-1]:
+                head_in = new_mem = down_out
+            else:
+                head_in = new_mem = nn.Dense(self.nh_mem,
+                                             dtype=pol.compute_dtype,
+                                             param_dtype=pol.param_dtype,
+                                             name="mlp_latent")(down_out)
+            out = nn.Dense(self.ny, dtype=pol.compute_dtype,
+                           param_dtype=pol.param_dtype,
+                           name="mlp_output")(head_in)
         # with separate radiation the CRM head predicts only PRECSC/PRECC;
         # the radiative scalars come from the radiation RNN (models.py:380)
         ny_sfc_crm = 2 if self.separate_radiation else self.ny_sfc

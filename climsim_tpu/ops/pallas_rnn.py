@@ -618,6 +618,225 @@ def fused_bigru(x_proj_up, h0_up, h0_dn, whh_up, bhh_up, win2, bin2,
     return jnp.swapaxes(down, 0, 1), lasth
 
 
+# --------------------------------------------------------------------------
+# v3: input projection + latent/output heads fused into the kernel
+# --------------------------------------------------------------------------
+#
+# At the flagship online shapes (B=21,600, H=192) the v2 kernel is fed a
+# materialized xp [60, B, 576] (~1.5 GB bf16) and emits down [60, B, 192]
+# (~0.5 GB) that tiny head matmuls immediately reduce to 6+16 channels —
+# ~3 GB of pure HBM round-trip per coupled step, measured as most of the
+# kernel->full-model throughput gap (VERDICT round-2 weak #3). v3 moves
+# the up-sweep input projection and the latent/output heads inside the
+# kernel: it streams x [60, B, nx~26] in and (out [.., ny], mem [.., nm])
+# out, ~0.2 GB total.
+
+
+def _bigru_heads_kernel(x_ref, h0u_ref, h0d_ref, win1_ref, bin1_ref,
+                        whh_u_ref, bhh_u_ref, win2_ref, bin2_ref,
+                        whh_d_ref, bhh_d_ref, wlat_ref, blat_ref,
+                        wout_ref, bout_ref, out_ref, mem_ref, lasth_ref,
+                        up_scratch, *, L: int, H: int, acc32: bool = True):
+    acc = jnp.float32 if acc32 else x_ref.dtype
+    mm = jnp.promote_types(acc, jnp.float32)
+    win1 = win1_ref[:]
+    bin1 = bin1_ref[:].astype(mm)
+    whh_u = whh_u_ref[:]
+    bhh_u = bhh_u_ref[:].astype(acc)
+    whh_d = whh_d_ref[:]
+    bhh_d = bhh_d_ref[:].astype(acc)
+    win2 = win2_ref[:]
+    bin2 = bin2_ref[:].astype(acc)
+    wlat = wlat_ref[:]
+    blat = blat_ref[:].astype(mm)
+    wout = wout_ref[:]
+    bout = bout_ref[:].astype(mm)
+
+    h = h0u_ref[:].astype(acc)
+
+    def up_body(i, h):
+        l = L - 1 - i
+        xp = (jnp.dot(x_ref[l], win1, preferred_element_type=mm)
+              + bin1).astype(acc)
+        h = _gru_step(h, xp, whh_u, bhh_u, H)
+        up_scratch[l] = h.astype(up_scratch.dtype)
+        return h
+
+    jax.lax.fori_loop(0, L, up_body, h)
+
+    h2 = h0d_ref[:].astype(acc)
+
+    def down_body(l, h2):
+        up_l = up_scratch[l]
+        xp2 = (jnp.dot(up_l, win2, preferred_element_type=mm)
+               + bin2.astype(mm)).astype(acc)
+        h2 = _gru_step(h2, xp2, whh_d, bhh_d, H)
+        hd = h2.astype(wlat.dtype)
+        mem_l = (jnp.dot(hd, wlat, preferred_element_type=mm)
+                 + blat).astype(mem_ref.dtype)
+        out_l = (jnp.dot(mem_l.astype(wout.dtype), wout,
+                         preferred_element_type=mm) + bout)
+        mem_ref[l] = mem_l
+        out_ref[l] = out_l.astype(out_ref.dtype)
+        return h2
+
+    h2 = jax.lax.fori_loop(0, L, down_body, h2)
+    lasth_ref[:] = h2.astype(lasth_ref.dtype)
+
+
+def _auto_block_b_heads(B: int, L: int, nx: int, H: int, nm: int, ny: int,
+                        itemsize: int) -> int:
+    """VMEM working set per row counts 128-lane padding of the narrow
+    x/mem/out blocks; without the fat xp block tiles grow to ~1k rows."""
+    pl128 = lambda n: -(-n // 128) * 128
+    per_row = L * itemsize * (2 * pl128(nx) + H + 2 * pl128(nm)
+                              + 2 * pl128(ny))
+    cap = int(_VMEM_BUDGET // max(per_row, 1))
+    gran = 16 if itemsize == 2 else 8
+    div = _divisor_tile(B, min(cap, 1024), gran)
+    if div >= 128 or (div > 0 and div == B):
+        return div
+    for bt in (1024, 512, 384, 256, 192, 128, 96, 64, 32, 16, 8):
+        if bt > B and bt != 8:
+            continue
+        if bt * per_row <= _VMEM_BUDGET:
+            return min(bt, max(B, 8))
+    return 8
+
+
+def _bigru_heads_pallas_lbh(x, h0_up, h0_dn, win1, bin1, whh_up, bhh_up,
+                            win2, bin2, whh_dn, bhh_dn, wlat, blat, wout,
+                            bout, block_b=None, interpret=False,
+                            acc32=True):
+    """x [L, B, nx] -> (out [L, B, ny], mem [L, B, nm], last_h [B, H])."""
+    L, B, nx = x.shape
+    H = whh_up.shape[0]
+    nm = wlat.shape[1]
+    ny = wout.shape[1]
+    if block_b is None:
+        block_b = _auto_block_b_heads(B, L, nx, H, nm, ny,
+                                      x.dtype.itemsize)
+    B0 = B
+    if B % block_b:
+        pad = block_b * pl.cdiv(B, block_b) - B
+        padB = lambda a, ax: jnp.pad(a, [(0, pad) if i == ax else (0, 0)
+                                         for i in range(a.ndim)])
+        x = padB(x, 1)
+        h0_up, h0_dn = padB(h0_up, 0), padB(h0_dn, 0)
+        B = B + pad
+    nb = pl.cdiv(B, block_b)
+
+    kernel = functools.partial(_bigru_heads_kernel, L=L, H=H, acc32=acc32)
+    full = lambda shape: pl.BlockSpec(shape, lambda i: (0,) * len(shape),
+                                      memory_space=pltpu.VMEM)
+    in_specs = [
+        pl.BlockSpec((L, block_b, nx), lambda i: (0, i, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((block_b, H), lambda i: (i, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((block_b, H), lambda i: (i, 0),
+                     memory_space=pltpu.VMEM),
+        full((nx, 3 * H)), full((3 * H,)),
+        full((H, 3 * H)), full((3 * H,)),
+        full((H, 3 * H)), full((3 * H,)),
+        full((H, 3 * H)), full((3 * H,)),
+        full((H, nm)), full((nm,)),
+        full((nm, ny)), full((ny,)),
+    ]
+    out_specs = [
+        pl.BlockSpec((L, block_b, ny), lambda i: (0, i, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((L, block_b, nm), lambda i: (0, i, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((block_b, H), lambda i: (i, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    out, mem, lasth = pl.pallas_call(
+        kernel,
+        grid=(nb,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=[
+            jax.ShapeDtypeStruct((L, B, ny), x.dtype),
+            jax.ShapeDtypeStruct((L, B, nm), x.dtype),
+            jax.ShapeDtypeStruct((B, H), x.dtype),
+        ],
+        scratch_shapes=[pltpu.VMEM((L, block_b, H), x.dtype)],
+        interpret=interpret,
+    )(x, h0_up, h0_dn, win1, bin1, whh_up, bhh_up, win2, bin2, whh_dn,
+      bhh_dn, wlat, blat, wout, bout)
+    if B0 != B:
+        out, mem, lasth = out[:, :B0], mem[:, :B0], lasth[:B0]
+    return out, mem, lasth
+
+
+def _heads_compose(x, h0_up, h0_dn, win1, bin1, whh_up, bhh_up, win2,
+                   bin2, whh_dn, bhh_dn, wlat, blat, wout, bout,
+                   block_b, interpret, acc32, use_kernel):
+    """Reference composition of v3 = einsum projection + (v2 kernel | scan
+    reference) + head einsums. Differentiable; the kernel path reuses the
+    v2 hand-written backward."""
+    dt = x.dtype
+    xp = (jnp.einsum("lbn,nh->lbh", x, win1) + bin1).astype(dt)
+    if use_kernel:
+        down, lasth = fused_bigru_lbh(xp, h0_up, h0_dn, whh_up, bhh_up,
+                                      win2, bin2, whh_dn, bhh_dn,
+                                      block_b, interpret, acc32)
+    else:
+        down, lasth = _bigru_reference_lbh(xp, h0_up, h0_dn, whh_up,
+                                           bhh_up, win2, bin2, whh_dn,
+                                           bhh_dn)
+    mem = (jnp.einsum("lbh,hm->lbm", down, wlat) + blat).astype(dt)
+    out = (jnp.einsum("lbm,mo->lbo", mem, wout) + bout).astype(dt)
+    return out, mem, lasth
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(15, 16, 17))
+def fused_bigru_heads_lbh(x, h0_up, h0_dn, win1, bin1, whh_up, bhh_up,
+                          win2, bin2, whh_dn, bhh_dn, wlat, blat, wout,
+                          bout, block_b=None, interpret: bool = False,
+                          acc32: bool = True):
+    """v3 fused BiGRU with in-kernel input projection and latent/output
+    heads: x [L, B, nx] -> (out [L, B, ny], mem [L, B, nm], last_h [B, H]).
+    Off-TPU (and not interpret) falls back to the differentiable
+    composition."""
+    from . import on_tpu
+    if on_tpu() or interpret:
+        return _bigru_heads_pallas_lbh(x, h0_up, h0_dn, win1, bin1,
+                                       whh_up, bhh_up, win2, bin2,
+                                       whh_dn, bhh_dn, wlat, blat, wout,
+                                       bout, block_b, interpret, acc32)
+    return _heads_compose(x, h0_up, h0_dn, win1, bin1, whh_up, bhh_up,
+                          win2, bin2, whh_dn, bhh_dn, wlat, blat, wout,
+                          bout, block_b, interpret, acc32, False)
+
+
+def _heads_fwd(x, h0_up, h0_dn, win1, bin1, whh_up, bhh_up, win2, bin2,
+               whh_dn, bhh_dn, wlat, blat, wout, bout, block_b, interpret,
+               acc32):
+    out = fused_bigru_heads_lbh(x, h0_up, h0_dn, win1, bin1, whh_up,
+                                bhh_up, win2, bin2, whh_dn, bhh_dn, wlat,
+                                blat, wout, bout, block_b, interpret,
+                                acc32)
+    return out, (x, h0_up, h0_dn, win1, bin1, whh_up, bhh_up, win2, bin2,
+                 whh_dn, bhh_dn, wlat, blat, wout, bout)
+
+
+def _heads_bwd(block_b, interpret, acc32, res, g):
+    # differentiate the composition: the projection/head einsums get XLA
+    # VJPs, the recurrent core gets the v2 hand-written backward kernel
+    # (on TPU) or the scan VJP elsewhere — one extra v2 forward replay
+    from . import on_tpu
+    use_kernel = on_tpu() and not interpret
+    _, vjp = jax.vjp(
+        lambda *a: _heads_compose(*a, block_b, interpret, acc32,
+                                  use_kernel), *res)
+    return vjp(g)
+
+
+fused_bigru_heads_lbh.defvjp(_heads_fwd, _heads_bwd)
+
+
 class PallasBiGRU:
     """Parameter container + apply logic for the fused kernel, usable from
     flax modules. Owns the same matmuls as two RNNLayer('gru') sweeps:

@@ -329,3 +329,80 @@ def test_fv_tracers_kernel_matches_per_field():
     for a, b in zip(g, ge):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-6, atol=1e-8)
+
+
+def _make_heads(B=16, L=60, nx=26, H=32, nm=8, ny=6, dtype=jnp.float32,
+                seed=3):
+    ks = jax.random.split(K(seed), 15)
+    s = 0.25
+    shp = [(L, B, nx), (B, H), (B, H), (nx, 3 * H), (3 * H,),
+           (H, 3 * H), (3 * H,), (H, 3 * H), (3 * H,), (H, 3 * H),
+           (3 * H,), (H, nm), (nm,), (nm, ny), (ny,)]
+    return tuple(jax.random.normal(k, sh, dtype) * s
+                 for k, sh in zip(ks, shp))
+
+
+def test_fused_bigru_heads_matches_compose():
+    """v3 (in-kernel input projection + latent/output heads, interpret
+    mode) == the einsum + scan-reference composition, incl. a ragged
+    batch exercising the pad path."""
+    from climsim_tpu.ops.pallas_rnn import (_bigru_heads_pallas_lbh,
+                                            _heads_compose)
+    for B in (16, 20):
+        args = _make_heads(B=B)
+        got = _bigru_heads_pallas_lbh(*args, 8, True, True)
+        ref = _heads_compose(*args, None, False, True, False)
+        for g, r, nm_ in zip(got, ref, ("out", "mem", "lasth")):
+            np.testing.assert_allclose(np.asarray(g), np.asarray(r),
+                                       rtol=2e-5, atol=2e-6,
+                                       err_msg=f"B={B} {nm_}")
+
+
+def test_fused_bigru_heads_grad():
+    """custom_vjp of v3 (compose backward) == autodiff of the pure
+    composition."""
+    from climsim_tpu.ops.pallas_rnn import (fused_bigru_heads_lbh,
+                                            _heads_compose)
+    args = _make_heads(B=8, L=12, H=16)
+
+    def loss_v3(a):
+        o, m, h = fused_bigru_heads_lbh(*a)
+        return jnp.sum(o ** 2) + jnp.sum(m ** 2) + jnp.sum(h ** 2)
+
+    def loss_ref(a):
+        o, m, h = _heads_compose(*a, None, False, True, False)
+        return jnp.sum(o ** 2) + jnp.sum(m ** 2) + jnp.sum(h ** 2)
+
+    g3 = jax.grad(loss_v3)(args)
+    gr = jax.grad(loss_ref)(args)
+    for a, b, i in zip(g3, gr, range(len(g3))):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=1e-5, err_msg=str(i))
+
+
+def test_rnn_autoreg_fuse_heads_model():
+    """RNNAutoreg with use_pallas (fuse_heads path off-TPU = compose
+    fallback): output shapes, finiteness, and gradient flow through a
+    training-style loss."""
+    from climsim_tpu.models.rnn import RNNAutoreg
+    m = RNNAutoreg(nx=6, nx_sfc=24, ny=6, ny_sfc=8, nneur=(32, 32),
+                   nh_mem=8, add_pres=False, use_pallas=True)
+    xm = jax.random.normal(K(0), (4, 60, 6)) * 0.3
+    xs = jax.random.normal(K(1), (4, 24)) * 0.3
+    mem = jnp.zeros((4, 60, 8))
+    p = m.init(K(2), xm, xs, mem)
+    out, out_sfc, new_mem = m.apply(p, xm, xs, mem)
+    assert out.shape == (4, 60, 6) and out_sfc.shape == (4, 8)
+    assert new_mem.shape == (4, 60, 8)
+    # the fused layer owns the head params
+    assert "wlat" in p["params"]["bigru_fused"]
+    assert "wout" in p["params"]["bigru_fused"]
+
+    def loss(p):
+        o, s, mm_ = m.apply(p, xm, xs, mem)
+        return jnp.mean(o ** 2) + jnp.mean(s ** 2) + jnp.mean(mm_ ** 2)
+
+    g = jax.grad(loss)(p)
+    leaves = jax.tree_util.tree_leaves(g)
+    assert all(np.isfinite(np.asarray(l)).all() for l in leaves)
+    assert any(float(jnp.abs(l).max()) > 0 for l in leaves)

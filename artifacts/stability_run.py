@@ -66,6 +66,8 @@ def parse_args():
     p.add_argument("--no-fix-energy", action="store_true",
                    help="disable the host-loop energy epilogue")
     p.add_argument("--skip-scoreboard", action="store_true")
+    p.add_argument("--no-lat-feature", action="store_true",
+                   help="drop the cos/sin-latitude input features")
     p.add_argument("--out", default=os.path.join(
         os.path.dirname(__file__), "stability_run"))
     return p.parse_args()
@@ -252,15 +254,25 @@ def main():
           "training steps", flush=True)
 
     # feature construction: 6 prognostic channels + rh + sigma
+    # (+ cos/sin latitude — the reference's clat/slat inputs,
+    # climsim_adding_input.py — unless --no-lat-feature)
     pmid = g.mid_pressure(base_sfc[:, 0])                   # [B,L]
     sigma = (pmid / base_sfc[:, 0:1]).astype(jnp.float32)
+    clat_f = jnp.asarray(np.cos(np.deg2rad(lat)), jnp.float32)
+    slat_f = jnp.asarray(np.sin(np.deg2rad(lat)), jnp.float32)
+    use_lat = not args.no_lat_feature
 
     def derived(xr):
         rh = xr[..., 1] / jnp.maximum(thermo.qsat(xr[..., 0], pmid), 1e-8)
         sg = jnp.broadcast_to(sigma, xr.shape[:-1])
-        return jnp.stack([rh, sg], axis=-1)
+        feats = [rh, sg]
+        if use_lat:
+            feats.append(jnp.broadcast_to(clat_f[:, None], xr.shape[:-1]))
+            feats.append(jnp.broadcast_to(slat_f[:, None], xr.shape[:-1]))
+        return jnp.stack(feats, axis=-1)
 
-    feats_raw = jnp.concatenate([x_raw, derived(x_raw)], axis=-1)  # [T,B,L,8]
+    nx_feat = 6 + 2 + (2 if use_lat else 0)
+    feats_raw = jnp.concatenate([x_raw, derived(x_raw)], axis=-1)
 
     f64 = lambda a: np.asarray(a, np.float64)
     xm = f64(feats_raw.mean(axis=(0, 1, 2)))
@@ -306,7 +318,7 @@ def main():
     sp_t = jnp.broadcast_to(base_sfc[:, 0][None], sfc_t.shape[:2])
 
     nh_mem = 16 if args.nneur >= 64 else 8
-    model = RNNAutoreg(nx=8, nx_sfc=24, ny=6, ny_sfc=8,
+    model = RNNAutoreg(nx=nx_feat, nx_sfc=24, ny=6, ny_sfc=8,
                        nneur=(args.nneur, args.nneur),
                        nh_mem=nh_mem, add_pres=False, output_prune=False)
     n_val = max(args.chunk // 4, 32)

@@ -583,7 +583,8 @@ def main():
         "config": {"nneur": args.nneur, "train_steps": args.train_steps,
                    "epochs": args.epochs, "amp_max": args.amp_max,
                    "w_water": args.w_water, "w_energy": args.w_energy,
-                   "lr": args.lr, "fix_energy": not args.no_fix_energy},
+                   "lr": args.lr, "fix_energy": not args.no_fix_energy,
+                   "lat_feature": use_lat},
         "wall_seconds": round(time.time() - t_wall0, 1),
     }
     if online_vs_offline is not None:

@@ -369,19 +369,34 @@ class FusedBiGRUHeadsLayer(nn.Module):
     hidden: int
     nh_mem: int
     ny: int
+    # >0: additionally fuse the initial MLP (tanh Dense of width
+    # init_width) and the memory concat into the kernel (v4); the layer
+    # is then called as (feat, h0_up, h0_dn, mem) with raw features
+    init_width: int = 0
     block_b: Any = None
     acc32: bool = True
     force_reference: bool = False
 
     @nn.compact
-    def __call__(self, x, h0_up, h0_dn):
-        from ..ops.pallas_rnn import fused_bigru_heads_lbh, _heads_compose
+    def __call__(self, x, h0_up, h0_dn, mem=None):
+        from ..ops.pallas_rnn import (fused_bigru_heads_lbh,
+                                      fused_bigru_heads_init_lbh,
+                                      _heads_compose, _heads_init_compose)
 
         H = self.hidden
         nx = x.shape[-1]
         init = nn.initializers.lecun_normal()
         zeros = nn.initializers.zeros
-        win1 = self.param("win1", init, (nx, 3 * H), jnp.float32)
+        use_init = self.init_width > 0 and mem is not None
+        if use_init:
+            w_init = self.param("w_init", init, (nx, self.init_width),
+                                jnp.float32)
+            b_init = self.param("b_init", zeros, (self.init_width,),
+                                jnp.float32)
+            nx_up = self.init_width + mem.shape[-1]
+        else:
+            nx_up = nx
+        win1 = self.param("win1", init, (nx_up, 3 * H), jnp.float32)
         bin1 = self.param("bin1", zeros, (3 * H,), jnp.float32)
         whh_up = self.param("whh_up", init, (H, 3 * H), jnp.float32)
         bhh_up = self.param("bhh_up", zeros, (3 * H,), jnp.float32)
@@ -397,18 +412,29 @@ class FusedBiGRUHeadsLayer(nn.Module):
 
         dt = x.dtype
         a = lambda t: t.astype(dt)
-        args = (jnp.swapaxes(x, 0, 1), a(h0_up), a(h0_dn), a(win1),
-                a(bin1), a(whh_up), a(bhh_up), a(win2), a(bin2),
-                a(whh_dn), a(bhh_dn), a(wlat), a(blat), a(wout), a(bout))
         from ..ops import on_tpu
         use_kernel = (not self.force_reference) and on_tpu()
-        if use_kernel:
-            out, mem, lasth = fused_bigru_heads_lbh(*args, self.block_b,
-                                                    False, self.acc32)
+        w_args = (a(win1), a(bin1), a(whh_up), a(bhh_up), a(win2),
+                  a(bin2), a(whh_dn), a(bhh_dn), a(wlat), a(blat),
+                  a(wout), a(bout))
+        if use_init:
+            args = (jnp.swapaxes(x, 0, 1), jnp.swapaxes(a(mem), 0, 1),
+                    a(h0_up), a(h0_dn), a(w_init), a(b_init)) + w_args
+            if use_kernel:
+                out, mem_o, lasth = fused_bigru_heads_init_lbh(
+                    *args, self.block_b, False, self.acc32)
+            else:
+                out, mem_o, lasth = _heads_init_compose(
+                    *args, self.block_b, False, self.acc32, False)
         else:
-            out, mem, lasth = _heads_compose(*args, self.block_b, False,
-                                             self.acc32, False)
-        return (jnp.swapaxes(out, 0, 1), jnp.swapaxes(mem, 0, 1), lasth)
+            args = (jnp.swapaxes(x, 0, 1), a(h0_up), a(h0_dn)) + w_args
+            if use_kernel:
+                out, mem_o, lasth = fused_bigru_heads_lbh(
+                    *args, self.block_b, False, self.acc32)
+            else:
+                out, mem_o, lasth = _heads_compose(
+                    *args, self.block_b, False, self.acc32, False)
+        return (jnp.swapaxes(out, 0, 1), jnp.swapaxes(mem_o, 0, 1), lasth)
 
 
 class GLU(nn.Module):

@@ -118,12 +118,20 @@ class RNNAutoreg(nn.Module):
             x_sfc_crm = x_sfc
             x_crm_in = x_main
 
+        fuse_heads = (self.use_pallas and self.cell == "gru"
+                      and not self.add_stochastic_layer
+                      and nh1 == nh2 and self.fuse_heads
+                      and self.use_memory and self.nh_mem != nh2
+                      and not self.separate_radiation)
+        # v4: with fuse_heads the initial MLP and memory concat run inside
+        # the kernel — skip materializing h [B, L, H] here
+        fuse_init = fuse_heads and self.use_initial_mlp
         h = x_crm_in
-        if self.use_initial_mlp:
+        if self.use_initial_mlp and not fuse_init:
             h = jnp.tanh(nn.Dense(nh1, dtype=pol.compute_dtype,
                                   param_dtype=pol.param_dtype,
                                   name="mlp_initial")(h))
-        if self.use_memory:
+        if self.use_memory and not fuse_init:
             h = jnp.concatenate([h, mem], axis=-1)
 
         # ---- upward sweep (surface -> TOA): reverse scan, surface MLP init
@@ -138,13 +146,12 @@ class RNNAutoreg(nn.Module):
 
         use_fused = (self.use_pallas and self.cell == "gru"
                      and not self.add_stochastic_layer and nh1 == nh2)
-        fuse_heads = (use_fused and self.fuse_heads and self.use_memory
-                      and self.nh_mem != nh2
-                      and not self.separate_radiation)
         if fuse_heads:
             out, new_mem, last_h = FusedBiGRUHeadsLayer(
-                nh1, self.nh_mem, self.ny, acc32=self.pallas_acc32,
-                name="bigru_fused")(h, hx1, hx2)
+                nh1, self.nh_mem, self.ny,
+                init_width=nh1 if fuse_init else 0,
+                acc32=self.pallas_acc32, name="bigru_fused")(
+                h, hx1, hx2, mem=mem if fuse_init else None)
             down_out = None
         elif use_fused:
             down_out, last_h = FusedBiGRULayer(

@@ -837,6 +837,216 @@ def _heads_bwd(block_b, interpret, acc32, res, g):
 fused_bigru_heads_lbh.defvjp(_heads_fwd, _heads_bwd)
 
 
+# --------------------------------------------------------------------------
+# v4: + in-kernel initial MLP and memory concat
+# --------------------------------------------------------------------------
+#
+# The flagship model computes h = tanh(mlp_initial(x)) [L, B, H] and
+# concatenates the latent memory before the up projection — another
+# ~1 GB/step of HBM intermediates at B=21,600. v4 takes the raw features
+# [L, B, nf] and memory [L, B, nm] and evaluates the initial MLP, the
+# concat, and the up projection per tile in VMEM.
+
+
+def _bigru_heads_init_kernel(feat_ref, memin_ref, h0u_ref, h0d_ref,
+                             winit_ref, binit_ref, win1_ref, bin1_ref,
+                             whh_u_ref, bhh_u_ref, win2_ref, bin2_ref,
+                             whh_d_ref, bhh_d_ref, wlat_ref, blat_ref,
+                             wout_ref, bout_ref, out_ref, mem_ref,
+                             lasth_ref, up_scratch, *, L: int, H: int,
+                             acc32: bool = True):
+    acc = jnp.float32 if acc32 else feat_ref.dtype
+    mm = jnp.promote_types(acc, jnp.float32)
+    dt = feat_ref.dtype
+    winit = winit_ref[:]
+    binit = binit_ref[:].astype(mm)
+    win1 = win1_ref[:]
+    bin1 = bin1_ref[:].astype(mm)
+    whh_u = whh_u_ref[:]
+    bhh_u = bhh_u_ref[:].astype(acc)
+    whh_d = whh_d_ref[:]
+    bhh_d = bhh_d_ref[:].astype(acc)
+    win2 = win2_ref[:]
+    bin2 = bin2_ref[:].astype(acc)
+    wlat = wlat_ref[:]
+    blat = blat_ref[:].astype(mm)
+    wout = wout_ref[:]
+    bout = bout_ref[:].astype(mm)
+
+    h = h0u_ref[:].astype(acc)
+
+    def up_body(i, h):
+        l = L - 1 - i
+        xi = _tanh_typed((jnp.dot(feat_ref[l], winit,
+                                  preferred_element_type=mm)
+                          + binit).astype(dt))
+        xcat = jnp.concatenate([xi, memin_ref[l]], axis=-1)
+        xp = (jnp.dot(xcat, win1, preferred_element_type=mm)
+              + bin1).astype(acc)
+        h = _gru_step(h, xp, whh_u, bhh_u, H)
+        up_scratch[l] = h.astype(up_scratch.dtype)
+        return h
+
+    jax.lax.fori_loop(0, L, up_body, h)
+
+    h2 = h0d_ref[:].astype(acc)
+
+    def down_body(l, h2):
+        up_l = up_scratch[l]
+        xp2 = (jnp.dot(up_l, win2, preferred_element_type=mm)
+               + bin2.astype(mm)).astype(acc)
+        h2 = _gru_step(h2, xp2, whh_d, bhh_d, H)
+        hd = h2.astype(wlat.dtype)
+        mem_l = (jnp.dot(hd, wlat, preferred_element_type=mm)
+                 + blat).astype(mem_ref.dtype)
+        out_l = (jnp.dot(mem_l.astype(wout.dtype), wout,
+                         preferred_element_type=mm) + bout)
+        mem_ref[l] = mem_l
+        out_ref[l] = out_l.astype(out_ref.dtype)
+        return h2
+
+    h2 = jax.lax.fori_loop(0, L, down_body, h2)
+    lasth_ref[:] = h2.astype(lasth_ref.dtype)
+
+
+def _auto_block_b_heads_init(B, L, nf, nm_in, H, nm, ny, itemsize):
+    pl128 = lambda n: -(-n // 128) * 128
+    per_row = L * itemsize * (2 * pl128(nf) + 2 * pl128(nm_in) + H
+                              + 2 * pl128(nm) + 2 * pl128(ny))
+    cap = int(_VMEM_BUDGET // max(per_row, 1))
+    gran = 16 if itemsize == 2 else 8
+    div = _divisor_tile(B, min(cap, 1024), gran)
+    if div >= 128 or (div > 0 and div == B):
+        return div
+    for bt in (512, 384, 256, 192, 128, 96, 64, 32, 16, 8):
+        if bt > B and bt != 8:
+            continue
+        if bt * per_row <= _VMEM_BUDGET:
+            return min(bt, max(B, 8))
+    return 8
+
+
+def _bigru_heads_init_pallas_lbh(feat, mem_in, h0_up, h0_dn, w_init,
+                                 b_init, win1, bin1, whh_up, bhh_up,
+                                 win2, bin2, whh_dn, bhh_dn, wlat, blat,
+                                 wout, bout, block_b=None, interpret=False,
+                                 acc32=True):
+    """feat [L,B,nf], mem_in [L,B,nm_in] ->
+    (out [L,B,ny], mem [L,B,nm], last_h [B,H])."""
+    L, B, nf = feat.shape
+    nm_in = mem_in.shape[-1]
+    H = whh_up.shape[0]
+    nm = wlat.shape[1]
+    ny = wout.shape[1]
+    if block_b is None:
+        block_b = _auto_block_b_heads_init(B, L, nf, nm_in, H, nm, ny,
+                                           feat.dtype.itemsize)
+    B0 = B
+    if B % block_b:
+        pad = block_b * pl.cdiv(B, block_b) - B
+        padB = lambda a, ax: jnp.pad(a, [(0, pad) if i == ax else (0, 0)
+                                         for i in range(a.ndim)])
+        feat, mem_in = padB(feat, 1), padB(mem_in, 1)
+        h0_up, h0_dn = padB(h0_up, 0), padB(h0_dn, 0)
+        B = B + pad
+    nb = pl.cdiv(B, block_b)
+
+    kernel = functools.partial(_bigru_heads_init_kernel, L=L, H=H,
+                               acc32=acc32)
+    full = lambda shape: pl.BlockSpec(shape, lambda i: (0,) * len(shape),
+                                      memory_space=pltpu.VMEM)
+    lb = lambda w: pl.BlockSpec((L, block_b, w), lambda i: (0, i, 0),
+                                memory_space=pltpu.VMEM)
+    bh = pl.BlockSpec((block_b, H), lambda i: (i, 0),
+                      memory_space=pltpu.VMEM)
+    in_specs = [
+        lb(nf), lb(nm_in), bh, bh,
+        full((nf, w_init.shape[1])), full((w_init.shape[1],)),
+        full(win1.shape), full((3 * H,)),
+        full((H, 3 * H)), full((3 * H,)),
+        full((H, 3 * H)), full((3 * H,)),
+        full((H, 3 * H)), full((3 * H,)),
+        full((H, nm)), full((nm,)),
+        full((nm, ny)), full((ny,)),
+    ]
+    out_specs = [lb(ny), lb(nm), bh]
+    out, mem, lasth = pl.pallas_call(
+        kernel,
+        grid=(nb,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=[
+            jax.ShapeDtypeStruct((L, B, ny), feat.dtype),
+            jax.ShapeDtypeStruct((L, B, nm), feat.dtype),
+            jax.ShapeDtypeStruct((B, H), feat.dtype),
+        ],
+        scratch_shapes=[pltpu.VMEM((L, block_b, H), feat.dtype)],
+        interpret=interpret,
+    )(feat, mem_in, h0_up, h0_dn, w_init, b_init, win1, bin1, whh_up,
+      bhh_up, win2, bin2, whh_dn, bhh_dn, wlat, blat, wout, bout)
+    if B0 != B:
+        out, mem, lasth = out[:, :B0], mem[:, :B0], lasth[:B0]
+    return out, mem, lasth
+
+
+def _heads_init_compose(feat, mem_in, h0_up, h0_dn, w_init, b_init, win1,
+                        bin1, whh_up, bhh_up, win2, bin2, whh_dn, bhh_dn,
+                        wlat, blat, wout, bout, block_b, interpret, acc32,
+                        use_kernel):
+    dt = feat.dtype
+    xi = jnp.tanh((jnp.einsum("lbn,nh->lbh", feat, w_init)
+                   + b_init).astype(dt))
+    x = jnp.concatenate([xi, mem_in], axis=-1)
+    return _heads_compose(x, h0_up, h0_dn, win1, bin1, whh_up, bhh_up,
+                          win2, bin2, whh_dn, bhh_dn, wlat, blat, wout,
+                          bout, block_b, interpret, acc32, use_kernel)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(18, 19, 20))
+def fused_bigru_heads_init_lbh(feat, mem_in, h0_up, h0_dn, w_init, b_init,
+                               win1, bin1, whh_up, bhh_up, win2, bin2,
+                               whh_dn, bhh_dn, wlat, blat, wout, bout,
+                               block_b=None, interpret: bool = False,
+                               acc32: bool = True):
+    """v4: v3 + in-kernel initial MLP and memory concat. feat [L, B, nf],
+    mem_in [L, B, nm_in] -> (out, mem, last_h)."""
+    from . import on_tpu
+    if on_tpu() or interpret:
+        return _bigru_heads_init_pallas_lbh(
+            feat, mem_in, h0_up, h0_dn, w_init, b_init, win1, bin1,
+            whh_up, bhh_up, win2, bin2, whh_dn, bhh_dn, wlat, blat,
+            wout, bout, block_b, interpret, acc32)
+    return _heads_init_compose(feat, mem_in, h0_up, h0_dn, w_init, b_init,
+                               win1, bin1, whh_up, bhh_up, win2, bin2,
+                               whh_dn, bhh_dn, wlat, blat, wout, bout,
+                               block_b, interpret, acc32, False)
+
+
+def _heads_init_fwd(feat, mem_in, h0_up, h0_dn, w_init, b_init, win1,
+                    bin1, whh_up, bhh_up, win2, bin2, whh_dn, bhh_dn,
+                    wlat, blat, wout, bout, block_b, interpret, acc32):
+    out = fused_bigru_heads_init_lbh(feat, mem_in, h0_up, h0_dn, w_init,
+                                     b_init, win1, bin1, whh_up, bhh_up,
+                                     win2, bin2, whh_dn, bhh_dn, wlat,
+                                     blat, wout, bout, block_b, interpret,
+                                     acc32)
+    return out, (feat, mem_in, h0_up, h0_dn, w_init, b_init, win1, bin1,
+                 whh_up, bhh_up, win2, bin2, whh_dn, bhh_dn, wlat, blat,
+                 wout, bout)
+
+
+def _heads_init_bwd(block_b, interpret, acc32, res, g):
+    from . import on_tpu
+    use_kernel = on_tpu() and not interpret
+    _, vjp = jax.vjp(
+        lambda *a: _heads_init_compose(*a, block_b, interpret, acc32,
+                                       use_kernel), *res)
+    return vjp(g)
+
+
+fused_bigru_heads_init_lbh.defvjp(_heads_init_fwd, _heads_init_bwd)
+
+
 class PallasBiGRU:
     """Parameter container + apply logic for the fused kernel, usable from
     flax modules. Owns the same matmuls as two RNNLayer('gru') sweeps:

@@ -406,3 +406,50 @@ def test_rnn_autoreg_fuse_heads_model():
     leaves = jax.tree_util.tree_leaves(g)
     assert all(np.isfinite(np.asarray(l)).all() for l in leaves)
     assert any(float(jnp.abs(l).max()) > 0 for l in leaves)
+
+
+def _make_heads_init(B=16, L=24, nf=26, nmi=8, H=32, nm=8, ny=6,
+                     dtype=jnp.float32, seed=7):
+    ks = jax.random.split(K(seed), 18)
+    s = 0.25
+    shp = [(L, B, nf), (L, B, nmi), (B, H), (B, H), (nf, H), (H,),
+           (H + nmi, 3 * H), (3 * H,), (H, 3 * H), (3 * H,), (H, 3 * H),
+           (3 * H,), (H, 3 * H), (3 * H,), (H, nm), (nm,), (nm, ny),
+           (ny,)]
+    return tuple(jax.random.normal(k, sh, dtype) * s
+                 for k, sh in zip(ks, shp))
+
+
+def test_fused_bigru_heads_init_matches_compose():
+    """v4 (in-kernel initial MLP + memory concat + heads, interpret
+    mode) == the composition, incl. a ragged batch."""
+    from climsim_tpu.ops.pallas_rnn import (_bigru_heads_init_pallas_lbh,
+                                            _heads_init_compose)
+    for B in (16, 20):
+        args = _make_heads_init(B=B)
+        got = _bigru_heads_init_pallas_lbh(*args, 8, True, True)
+        ref = _heads_init_compose(*args, None, False, True, False)
+        for g, r, nm_ in zip(got, ref, ("out", "mem", "lasth")):
+            np.testing.assert_allclose(np.asarray(g), np.asarray(r),
+                                       rtol=2e-5, atol=2e-6,
+                                       err_msg=f"B={B} {nm_}")
+
+
+def test_fused_bigru_heads_init_grad():
+    from climsim_tpu.ops.pallas_rnn import (fused_bigru_heads_init_lbh,
+                                            _heads_init_compose)
+    args = _make_heads_init(B=8, L=12, H=16)
+
+    def loss_v4(a):
+        o, m, h = fused_bigru_heads_init_lbh(*a)
+        return jnp.sum(o ** 2) + jnp.sum(m ** 2) + jnp.sum(h ** 2)
+
+    def loss_ref(a):
+        o, m, h = _heads_init_compose(*a, None, False, True, False)
+        return jnp.sum(o ** 2) + jnp.sum(m ** 2) + jnp.sum(h ** 2)
+
+    g4 = jax.grad(loss_v4)(args)
+    gr = jax.grad(loss_ref)(args)
+    for a, b, i in zip(g4, gr, range(len(g4))):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=1e-5, err_msg=str(i))

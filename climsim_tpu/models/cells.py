@@ -313,11 +313,10 @@ class FusedBiGRULayer(nn.Module):
 
     hidden: int
     block_b: Any = None      # None = auto VMEM-budget tile sizing
-    # f32 gate arithmetic inside the kernel. False would run the gates
-    # in the input dtype (2x VPU packing) but currently FAILS Mosaic
-    # verification on real TPU (f32 scalar broadcasts inside the
-    # sigmoid/tanh lowering, see docs/kernels.md) — only the
-    # interpret-mode path works; leave True on hardware.
+    # f32 gate arithmetic inside the kernel. False runs the gates in the
+    # input dtype — it lowers on hardware since the explicitly-typed
+    # transcendentals, but measures 28% SLOWER than f32 gates
+    # (docs/kernels.md), so True stays the default.
     acc32: bool = True
     force_reference: bool = False
 

@@ -59,9 +59,9 @@ class RNNAutoreg(nn.Module):
     add_stochastic_layer: bool = False
     stochastic_cell: str = "sgru"
     use_pallas: bool = False     # fused BiGRU kernel (gru cell only)
-    # gate arithmetic precision inside the fused kernel; False is
-    # currently interpret-mode-only (Mosaic lowering bug on hardware —
-    # see cells.FusedBiGRULayer.acc32)
+    # gate arithmetic precision inside the fused kernel; False (bf16
+    # gates) lowers on hardware but measured 28% slower than f32 gates
+    # (docs/kernels.md), so True stays the default
     pallas_acc32: bool = True
     # with use_pallas, additionally fuse the up-sweep input projection and
     # the mlp_latent/mlp_output heads into the kernel (v3: no [L,B,3H]

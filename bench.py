@@ -65,17 +65,20 @@ def build(ncol_shape, stencil_pallas: bool, emulator_pallas: bool):
 
     nlat, nlon, nlev = ncol_shape
     ncol = nlat * nlon
+    # fuse_heads=False: the v2 kernel path — v3/v4 (fused heads) are
+    # FASTER at the kernel level (12.42 ms full emulator at B=21,600)
+    # but their small outputs trigger XLA scoped-VMEM placement, and the
+    # program-wide raised limit that placement needs costs MORE on the
+    # rest of the step than the kernels save (measured: the same scan
+    # program goes 21.1 -> 41.7 ms under the 127 MB limit). Until the
+    # placement is tamed per-op, the headline runs v2 under a plain jit.
     model = RNNAutoreg(nx=6, nx_sfc=24, ny=6, ny_sfc=8, nneur=(192, 192),
                        nh_mem=16, add_pres=False, policy=BF16,
-                       use_pallas=emulator_pallas)
+                       use_pallas=emulator_pallas, fuse_heads=False)
     xm = jnp.ones((ncol, nlev, 6), jnp.float32) * 0.1
     xs = jnp.ones((ncol, 24), jnp.float32) * 0.1
     mem0 = jnp.zeros((ncol, nlev, 16), jnp.float32)
-    # init must run under the raised scoped-VMEM limit too: eagerly the
-    # fused-heads kernel's small outputs get placed in scoped VMEM and
-    # blow the 16 MB default (see measure())
-    params = jax.jit(model.init, **_vmem_jkw())(jax.random.PRNGKey(0),
-                                                xm, xs, mem0)
+    params = model.init(jax.random.PRNGKey(0), xm, xs, mem0)
 
     xscale = jnp.asarray([250.0, 1e-3, 1e-5, 1e-5, 10.0, 10.0])
     yscale = jnp.asarray([1e-5, 1e-8, 1e-9, 1e-9, 1e-5, 1e-5])
@@ -147,9 +150,7 @@ def measure(loop, state, mem, x_sfc, ncol, repeats=REPEATS):
     import jax
     import jax.numpy as jnp
 
-    jkw = _vmem_jkw()
-
-    @partial(jax.jit, **jkw)
+    @jax.jit
     def run(state, mem):
         st, m, diags = loop.rollout(state, mem, x_sfc, N_STEPS)
         return diags["mean_T"][-1]
@@ -173,11 +174,68 @@ def measure(loop, state, mem, x_sfc, ncol, repeats=REPEATS):
     return med, spread
 
 
+def calibrate():
+    """Chip-state probe: a fixed compute-bound bf16 matmul chain
+    (512 serialized [2048x2048]@[2048x2048] = 8.8 TFLOP, ~24 ms at the
+    v5e's ~85%-of-peak matmul rate), trivial-fetch subtracted. The
+    tunnel/chip intermittently enters whole-process ~2x-degraded windows
+    (PERFORMANCE.md round-3 caveat); this number lets a reader judge the
+    chip state of THIS run without touching the honest raw headline."""
+    import jax
+    import jax.numpy as jnp
+    k = jax.random.PRNGKey(0)
+    a = jax.random.normal(k, (2048, 2048), jnp.bfloat16)
+
+    @jax.jit
+    def chain(a):
+        def body(x, _):
+            x = jnp.dot(x, a, preferred_element_type=jnp.float32)
+            return (x / (jnp.abs(x).max() + 1.0)).astype(jnp.bfloat16), ()
+        x, _ = jax.lax.scan(body, a, None, length=512)
+        return jnp.sum(x[0, 0].astype(jnp.float32))
+
+    # HBM probe: 32 serialized full read+write passes over a 268 MB f32
+    # buffer = 17 GB of traffic, ~21 ms at the v5e's ~800 GB/s
+    b = jax.random.normal(k, (8192, 8192), jnp.float32)
+
+    @jax.jit
+    def hbm_chain(b):
+        def body(x, _):
+            return x * 1.0000001 + 1e-12, ()
+        x, _ = jax.lax.scan(body, b, None, length=32)
+        return jnp.sum(x[0, :4])
+
+    triv = jax.jit(lambda a: jnp.sum(a[0, 0].astype(jnp.float32)))
+    float(triv(a))
+    float(chain(a))
+    float(hbm_chain(b))
+    t0 = time.perf_counter()
+    for _ in range(3):
+        float(triv(a))
+    fetch = (time.perf_counter() - t0) / 3
+
+    def med(fn, arg):
+        times = []
+        for _ in range(5):
+            t0 = time.perf_counter()
+            float(fn(arg))
+            times.append(max(time.perf_counter() - t0 - fetch, 1e-9))
+        return statistics.median(times) * 1e3
+
+    return med(chain, a), med(hbm_chain, b)
+
+
 def main():
     HI = (120, 180, 60)   # 21,600 columns (high-res ncol)
     LO = (16, 24, 60)     # 384 columns  (low-res canonical batch)
 
     results = {}
+    try:
+        calib_mxu, calib_hbm = calibrate()
+        print(f"# calib: mxu {calib_mxu:.2f} ms, hbm {calib_hbm:.2f} ms",
+              file=sys.stderr)
+    except Exception:
+        calib_mxu = calib_hbm = None
     # pallas stencil + pallas emulator is the production config; fall back
     # if either fails to compile on this platform
     hi_best, hi_cfg, hi_spread = None, None, None
@@ -236,6 +294,11 @@ def main():
         "pallas_vs_xla_same_process": ratio,
         "cols_per_s_384": round(lo_cols, 1) if lo_cols else None,
         "sypd_highres": round(sypd, 1),
+        # chip-state calibration (PERFORMANCE.md round-3 caveat): MXU
+        # probe = 8.8 TFLOP serialized matmul chain; HBM probe = 17 GB
+        # read+write chain (~21 ms at ~800 GB/s healthy)
+        "calib_mxu_ms": round(calib_mxu, 2) if calib_mxu else None,
+        "calib_hbm_ms": round(calib_hbm, 2) if calib_hbm else None,
     }
     print(json.dumps(out))
 

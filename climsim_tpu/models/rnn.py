@@ -63,12 +63,25 @@ class RNNAutoreg(nn.Module):
     # gates) lowers on hardware but measured 28% slower than f32 gates
     # (docs/kernels.md), so True stays the default
     pallas_acc32: bool = True
-    # with use_pallas, additionally fuse the up-sweep input projection and
-    # the mlp_latent/mlp_output heads into the kernel (v3: no [L,B,3H]
-    # projection or [L,B,H] down stream in HBM). Applies when the memory
-    # width differs from the RNN width (the flagship config); the fused
-    # layer owns the head parameters (wlat/blat/wout/bout)
-    fuse_heads: bool = True
+    # with use_pallas, additionally fuse the up-sweep input projection,
+    # the mlp_latent/mlp_output heads (v3), and the initial MLP + memory
+    # concat (v4) into the kernel: the emulator then streams only raw
+    # features + memory in and (out, mem) out (12.42 ms full forward at
+    # B=21,600 vs ~15 ms for v2). OPT-IN (default False): the kernel's
+    # small outputs trigger XLA scoped-VMEM placement, so every jit
+    # containing the model (incl. init) MUST raise
+    # xla_tpu_scoped_vmem_limit_kib — and that program-wide limit makes
+    # XLA place OTHER buffers in VMEM too, which measurably slows the
+    # surrounding program (the same online-step scan went 21.1 -> 41.7 ms
+    # under the 127 MB limit). Enable for standalone-emulator serving;
+    # keep off inside larger programs until the placement is tamed.
+    fuse_heads: bool = False
+    # explicit kernel batch tile (None = auto VMEM sizing). Smaller tiles
+    # let the whole program compile under a MODEST scoped-vmem limit,
+    # which matters: a raised (127 MB) limit lets XLA place scan buffers
+    # in VMEM and measurably derails the rest of the step (2x on the
+    # flagship online program — PERFORMANCE.md round-3)
+    pallas_block_b: int | None = None
     # AR(1) noise threading (rnn/utils.py:940-959 noise modes; the wrapper
     # signature's eps_prev, save_wrapper_mem_prevtend_ftorch.py:333-360):
     # eps_new = rho*eps_prev + sqrt(1-rho^2)*N(0,1) drives the stochastic
@@ -150,12 +163,14 @@ class RNNAutoreg(nn.Module):
             out, new_mem, last_h = FusedBiGRUHeadsLayer(
                 nh1, self.nh_mem, self.ny,
                 init_width=nh1 if fuse_init else 0,
+                block_b=self.pallas_block_b,
                 acc32=self.pallas_acc32, name="bigru_fused")(
                 h, hx1, hx2, mem=mem if fuse_init else None)
             down_out = None
         elif use_fused:
             down_out, last_h = FusedBiGRULayer(
-                nh1, acc32=self.pallas_acc32,
+                nh1, block_b=self.pallas_block_b,
+                acc32=self.pallas_acc32,
                 name="bigru_fused")(h, hx1, hx2)
         elif self.cell == "qrnn":
             # QRNN fo-pooling sweeps (no serial recurrent matmul) — the

@@ -386,7 +386,8 @@ def test_rnn_autoreg_fuse_heads_model():
     training-style loss."""
     from climsim_tpu.models.rnn import RNNAutoreg
     m = RNNAutoreg(nx=6, nx_sfc=24, ny=6, ny_sfc=8, nneur=(32, 32),
-                   nh_mem=8, add_pres=False, use_pallas=True)
+                   nh_mem=8, add_pres=False, use_pallas=True,
+                   fuse_heads=True)
     xm = jax.random.normal(K(0), (4, 60, 6)) * 0.3
     xs = jax.random.normal(K(1), (4, 24)) * 0.3
     mem = jnp.zeros((4, 60, 8))

@@ -909,6 +909,75 @@ def _bigru_heads_init_kernel(feat_ref, memin_ref, h0u_ref, h0d_ref,
     lasth_ref[:] = h2.astype(lasth_ref.dtype)
 
 
+def _bigru_heads_init_kernel_merged(feat_ref, memin_ref, h0u_ref,
+                                    h0d_ref, winit_ref, binit_ref,
+                                    win1_ref, bin1_ref, whh_u_ref,
+                                    bhh_u_ref, win2_ref, bin2_ref,
+                                    whh_d_ref, bhh_d_ref, wlat_ref,
+                                    blat_ref, wout_ref, bout_ref,
+                                    outmem_ref, lasth_ref, up_scratch,
+                                    *, L: int, H: int,
+                                    acc32: bool = True):
+    """v4 with a MERGED [L, Bt, nm+ny] level output (mem || out): one
+    store per level instead of two. (Tried and disproved: merging the
+    outputs into one large buffer does NOT stop XLA's scoped-VMEM stack
+    placement of the custom-call results — the raised
+    xla_tpu_scoped_vmem_limit_kib jit option is still required; see
+    PERFORMANCE.md round-3.)"""
+    acc = jnp.float32 if acc32 else feat_ref.dtype
+    mm = jnp.promote_types(acc, jnp.float32)
+    dt = feat_ref.dtype
+    winit = winit_ref[:]
+    binit = binit_ref[:].astype(mm)
+    win1 = win1_ref[:]
+    bin1 = bin1_ref[:].astype(mm)
+    whh_u = whh_u_ref[:]
+    bhh_u = bhh_u_ref[:].astype(acc)
+    whh_d = whh_d_ref[:]
+    bhh_d = bhh_d_ref[:].astype(acc)
+    win2 = win2_ref[:]
+    bin2 = bin2_ref[:].astype(acc)
+    wlat = wlat_ref[:]
+    blat = blat_ref[:].astype(mm)
+    wout = wout_ref[:]
+    bout = bout_ref[:].astype(mm)
+
+    h = h0u_ref[:].astype(acc)
+
+    def up_body(i, h):
+        l = L - 1 - i
+        xi = _tanh_typed((jnp.dot(feat_ref[l], winit,
+                                  preferred_element_type=mm)
+                          + binit).astype(dt))
+        xcat = jnp.concatenate([xi, memin_ref[l]], axis=-1)
+        xp = (jnp.dot(xcat, win1, preferred_element_type=mm)
+              + bin1).astype(acc)
+        h = _gru_step(h, xp, whh_u, bhh_u, H)
+        up_scratch[l] = h.astype(up_scratch.dtype)
+        return h
+
+    jax.lax.fori_loop(0, L, up_body, h)
+
+    h2 = h0d_ref[:].astype(acc)
+
+    def down_body(l, h2):
+        up_l = up_scratch[l]
+        xp2 = (jnp.dot(up_l, win2, preferred_element_type=mm)
+               + bin2.astype(mm)).astype(acc)
+        h2 = _gru_step(h2, xp2, whh_d, bhh_d, H)
+        hd = h2.astype(wlat.dtype)
+        mem_l = (jnp.dot(hd, wlat, preferred_element_type=mm)
+                 + blat).astype(outmem_ref.dtype)
+        out_l = (jnp.dot(mem_l.astype(wout.dtype), wout,
+                         preferred_element_type=mm) + bout)
+        outmem_ref[l] = jnp.concatenate(
+            [mem_l, out_l.astype(outmem_ref.dtype)], axis=-1)
+        return h2
+
+    h2 = jax.lax.fori_loop(0, L, down_body, h2)
+    lasth_ref[:] = h2.astype(lasth_ref.dtype)
+
+
 def _auto_block_b_heads_init(B, L, nf, nm_in, H, nm, ny, itemsize):
     pl128 = lambda n: -(-n // 128) * 128
     per_row = L * itemsize * (2 * pl128(nf) + 2 * pl128(nm_in) + H
@@ -951,7 +1020,9 @@ def _bigru_heads_init_pallas_lbh(feat, mem_in, h0_up, h0_dn, w_init,
         B = B + pad
     nb = pl.cdiv(B, block_b)
 
-    kernel = functools.partial(_bigru_heads_init_kernel, L=L, H=H,
+    # merged level output (mem || out): one store per level; the scoped
+    # VMEM placement caveat is unchanged (see kernel docstring)
+    kernel = functools.partial(_bigru_heads_init_kernel_merged, L=L, H=H,
                                acc32=acc32)
     full = lambda shape: pl.BlockSpec(shape, lambda i: (0,) * len(shape),
                                       memory_space=pltpu.VMEM)
@@ -969,15 +1040,14 @@ def _bigru_heads_init_pallas_lbh(feat, mem_in, h0_up, h0_dn, w_init,
         full((H, nm)), full((nm,)),
         full((nm, ny)), full((ny,)),
     ]
-    out_specs = [lb(ny), lb(nm), bh]
-    out, mem, lasth = pl.pallas_call(
+    out_specs = [lb(nm + ny), bh]
+    outmem, lasth = pl.pallas_call(
         kernel,
         grid=(nb,),
         in_specs=in_specs,
         out_specs=out_specs,
         out_shape=[
-            jax.ShapeDtypeStruct((L, B, ny), feat.dtype),
-            jax.ShapeDtypeStruct((L, B, nm), feat.dtype),
+            jax.ShapeDtypeStruct((L, B, nm + ny), feat.dtype),
             jax.ShapeDtypeStruct((B, H), feat.dtype),
         ],
         scratch_shapes=[pltpu.VMEM((L, block_b, H), feat.dtype)],
@@ -985,8 +1055,8 @@ def _bigru_heads_init_pallas_lbh(feat, mem_in, h0_up, h0_dn, w_init,
     )(feat, mem_in, h0_up, h0_dn, w_init, b_init, win1, bin1, whh_up,
       bhh_up, win2, bin2, whh_dn, bhh_dn, wlat, blat, wout, bout)
     if B0 != B:
-        out, mem, lasth = out[:, :B0], mem[:, :B0], lasth[:B0]
-    return out, mem, lasth
+        outmem, lasth = outmem[:, :B0], lasth[:B0]
+    return outmem[..., nm:], outmem[..., :nm], lasth
 
 
 def _heads_init_compose(feat, mem_in, h0_up, h0_dn, w_init, b_init, win1,

@@ -55,7 +55,10 @@ N_STEPS = 20
 REPEATS = 7
 
 
-def build(ncol_shape, stencil_pallas: bool, emulator_pallas: bool):
+def build(ncol_shape, stencil_pallas: bool, emulator_pallas: bool,
+          fuse_heads: bool = False, fix_energy: bool = True,
+          fuse_init: bool = False, scheme: str = "fv",
+          fix_water: bool = True):
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -65,28 +68,39 @@ def build(ncol_shape, stencil_pallas: bool, emulator_pallas: bool):
 
     nlat, nlon, nlev = ncol_shape
     ncol = nlat * nlon
-    # fuse_heads=False: the v2 kernel path — v3/v4 (fused heads) are
-    # FASTER at the kernel level (12.42 ms full emulator at B=21,600)
-    # but their small outputs trigger XLA scoped-VMEM placement, and the
-    # program-wide raised limit that placement needs costs MORE on the
-    # rest of the step than the kernels save (measured: the same scan
-    # program goes 21.1 -> 41.7 ms under the 127 MB limit). Until the
-    # placement is tamed per-op, the headline runs v2 under a plain jit.
+    # fuse_heads=True selects the v4 kernel (in-kernel input projection,
+    # initial MLP, memory concat and latent/output heads — 12.42 ms full
+    # emulator at B=21,600 vs ~15 ms for v2). Round 3 shipped it opt-in
+    # because its custom call lowered without a Mosaic vmem_limit
+    # declaration, forcing the program-wide scoped-VMEM raise that slowed
+    # the surrounding step 2x; with the declaration (round-4 fix in
+    # ops/pallas_rnn.py) it compiles under a PLAIN jit like v2.
+    # fuse_heads pairs with the level-major activation contract: narrow
+    # [B, L, c] arrays are 128-lane padded on TPU, so the batch-major
+    # swapaxes around the level-major kernel cost ~20x their logical
+    # bytes (measured 16.4 -> 34.8 ms on this step before the contract)
     model = RNNAutoreg(nx=6, nx_sfc=24, ny=6, ny_sfc=8, nneur=(192, 192),
                        nh_mem=16, add_pres=False, policy=BF16,
-                       use_pallas=emulator_pallas, fuse_heads=False)
-    xm = jnp.ones((ncol, nlev, 6), jnp.float32) * 0.1
+                       use_pallas=emulator_pallas, fuse_heads=fuse_heads,
+                       fuse_init=fuse_init, level_major=fuse_heads)
+    # channel-major [L, C, B] activations in the fused path (see
+    # RNNAutoreg.level_major)
+    xm_shape = (nlev, 6, ncol) if fuse_heads else (ncol, nlev, 6)
+    mem_shape = (nlev, 16, ncol) if fuse_heads else (ncol, nlev, 16)
+    xm = jnp.ones(xm_shape, jnp.float32) * 0.1
     xs = jnp.ones((ncol, 24), jnp.float32) * 0.1
-    mem0 = jnp.zeros((ncol, nlev, 16), jnp.float32)
-    params = model.init(jax.random.PRNGKey(0), xm, xs, mem0)
+    mem0 = jnp.zeros(mem_shape, jnp.float32)
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), xm, xs, mem0)
 
     xscale = jnp.asarray([250.0, 1e-3, 1e-5, 1e-5, 10.0, 10.0])
     yscale = jnp.asarray([1e-5, 1e-8, 1e-9, 1e-9, 1e-5, 1e-5])
+    xsc = xscale[:, None] if fuse_heads else xscale
+    ysc = yscale[:, None] if fuse_heads else yscale
 
     def emulator(x_main_raw, x_sfc_raw, mem):
-        xn = (x_main_raw / xscale).astype(jnp.float32)
+        xn = (x_main_raw / xsc).astype(jnp.float32)
         out, out_sfc, mem = model.apply(params, xn, x_sfc_raw, mem)
-        return out * yscale, out_sfc, mem
+        return out * ysc, out_sfc, mem
 
     class ProxyGrid:
         def __init__(self):
@@ -110,8 +124,13 @@ def build(ncol_shape, stencil_pallas: bool, emulator_pallas: bool):
             "/root/reference/grid_info/ClimSim_low-res_grid-info.nc")
     else:
         grid = ProxyGrid()
-    cfg = HostLoopConfig(nlat=nlat, nlon=nlon, scheme="fv",
-                         use_pallas=stencil_pallas, fix_water=True)
+    # fix_water + fix_energy = the certified production step (the
+    # stability-run config and the driver dryrun both run both fixers;
+    # round-3 VERDICT weak #6)
+    cfg = HostLoopConfig(nlat=nlat, nlon=nlon, scheme=scheme,
+                         use_pallas=stencil_pallas, fix_water=fix_water,
+                         fix_energy=fix_energy,
+                         emulator_level_major=fuse_heads)
     loop = HybridLoop(emulator, grid, cfg)
 
     rng = np.random.default_rng(1)
@@ -131,26 +150,13 @@ def build(ncol_shape, stencil_pallas: bool, emulator_pallas: bool):
     return loop, state, mem0, x_sfc, ncol
 
 
-def _vmem_jkw():
-    """jit kwargs raising XLA's scoped-VMEM limit on real TPUs: the
-    fused-heads pallas kernel's outputs/tiles exceed the 16 MB default
-    (train/rollout.py::_vmem_jit_kwargs is the in-package twin)."""
-    try:
-        from climsim_tpu.ops import on_tpu
-        if on_tpu():
-            return {"compiler_options":
-                    {"xla_tpu_scoped_vmem_limit_kib": 130048}}
-    except Exception:
-        pass
-    return {}
-
-
-def measure(loop, state, mem, x_sfc, ncol, repeats=REPEATS):
+def measure(loop, state, mem, x_sfc, ncol, repeats=REPEATS,
+            jit_kwargs=None):
     """Median seconds per coupled step over `repeats` timed runs."""
     import jax
     import jax.numpy as jnp
 
-    @jax.jit
+    @partial(jax.jit, **(jit_kwargs or {}))
     def run(state, mem):
         st, m, diags = loop.rollout(state, mem, x_sfc, N_STEPS)
         return diags["mean_T"][-1]

@@ -375,18 +375,40 @@ class FusedBiGRUHeadsLayer(nn.Module):
     block_b: Any = None
     acc32: bool = True
     force_reference: bool = False
+    # True: CHANNEL-MAJOR contract — x arrives [L, CX, B] and
+    # (out [L, ny, B], mem [L, nh_mem, B]) return channel-major (h0s
+    # stay [B, H]; last_h returns [B, H]). On TPU a narrow [., ., c<128]
+    # array is 128-lane padded, so batch-major narrow activations cost
+    # ~20x their logical bytes at every producer/consumer; channel-major
+    # puts the big batch dim on the lanes with zero padding (the v5
+    # kernel, ops.pallas_rnn.fused_bigru_heads_cm). Requires
+    # init_width == 0 (init-MLP fusion is a batch-major-only option).
+    level_major: bool = False
 
     @nn.compact
     def __call__(self, x, h0_up, h0_dn, mem=None):
         from ..ops.pallas_rnn import (fused_bigru_heads_lbh,
                                       fused_bigru_heads_init_lbh,
-                                      _heads_compose, _heads_init_compose)
+                                      fused_bigru_heads_cm,
+                                      _heads_compose, _heads_init_compose,
+                                      _heads_cm_compose)
 
         H = self.hidden
-        nx = x.shape[-1]
+        if self.level_major:
+            # channel-major: x [L, CH, B] is the init-MLP stream and mem
+            # [L, nm_in, B] stays a SEPARATE kernel input (split up
+            # projection); win1 keeps the concatenated [CH+nm_in, 3H]
+            # shape so the param tree matches the batch-major model
+            if self.init_width > 0:
+                raise ValueError("level_major (channel-major) does not "
+                                 "support in-kernel init fusion")
+            nx = x.shape[1] + (mem.shape[1] if mem is not None else 0)
+        else:
+            nx = x.shape[-1]
         init = nn.initializers.lecun_normal()
         zeros = nn.initializers.zeros
-        use_init = self.init_width > 0 and mem is not None
+        use_init = (self.init_width > 0 and mem is not None
+                    and not self.level_major)
         if use_init:
             w_init = self.param("w_init", init, (nx, self.init_width),
                                 jnp.float32)
@@ -413,11 +435,33 @@ class FusedBiGRUHeadsLayer(nn.Module):
         a = lambda t: t.astype(dt)
         from ..ops import on_tpu
         use_kernel = (not self.force_reference) and on_tpu()
+        if self.level_major:
+            # channel-major v5: pre-transposed weights, [ch, 1] biases,
+            # split up projection (win1 rows CH | nm_in)
+            tw = lambda t: a(t).T
+            tb = lambda t: a(t)[:, None]
+            CH = x.shape[1]
+            mem_in = a(mem) if mem is not None else \
+                jnp.zeros((x.shape[0], 0, x.shape[2]), x.dtype)
+            args = (x, mem_in, a(h0_up).T, a(h0_dn).T,
+                    tw(win1[:CH]), tw(win1[CH:]), tb(bin1),
+                    tw(whh_up), tb(bhh_up), tw(win2), tb(bin2),
+                    tw(whh_dn), tb(bhh_dn), tw(wlat), tb(blat),
+                    tw(wout), tb(bout))
+            if use_kernel:
+                outmem, lasth = fused_bigru_heads_cm(
+                    *args, self.block_b, False, self.acc32)
+            else:
+                outmem, lasth = _heads_cm_compose(
+                    *args, self.block_b, False, self.acc32, False)
+            nm = self.nh_mem
+            return outmem[:, nm:, :], outmem[:, :nm, :], lasth.T
+        lm = lambda t: jnp.swapaxes(t, 0, 1)
         w_args = (a(win1), a(bin1), a(whh_up), a(bhh_up), a(win2),
                   a(bin2), a(whh_dn), a(bhh_dn), a(wlat), a(blat),
                   a(wout), a(bout))
         if use_init:
-            args = (jnp.swapaxes(x, 0, 1), jnp.swapaxes(a(mem), 0, 1),
+            args = (lm(x), lm(a(mem)),
                     a(h0_up), a(h0_dn), a(w_init), a(b_init)) + w_args
             if use_kernel:
                 out, mem_o, lasth = fused_bigru_heads_init_lbh(
@@ -426,14 +470,14 @@ class FusedBiGRUHeadsLayer(nn.Module):
                 out, mem_o, lasth = _heads_init_compose(
                     *args, self.block_b, False, self.acc32, False)
         else:
-            args = (jnp.swapaxes(x, 0, 1), a(h0_up), a(h0_dn)) + w_args
+            args = (lm(x), a(h0_up), a(h0_dn)) + w_args
             if use_kernel:
                 out, mem_o, lasth = fused_bigru_heads_lbh(
                     *args, self.block_b, False, self.acc32)
             else:
                 out, mem_o, lasth = _heads_compose(
                     *args, self.block_b, False, self.acc32, False)
-        return (jnp.swapaxes(out, 0, 1), jnp.swapaxes(mem_o, 0, 1), lasth)
+        return (lm(out), lm(mem_o), lasth)
 
 
 class GLU(nn.Module):

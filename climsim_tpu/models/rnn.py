@@ -37,6 +37,26 @@ DT = 1200.0
 INV_DT = 1.0 / DT
 
 
+class _ChannelDense(nn.Module):
+    """Dense over the CHANNEL axis of [L, C, B] activations, with the
+    same param tree as ``nn.Dense`` ({kernel [C, F], bias [F]}) so
+    batch-major checkpoints load unchanged in channel-major serving."""
+
+    features: int
+    dtype: object = None
+    param_dtype: object = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        k = self.param("kernel", nn.initializers.lecun_normal(),
+                       (x.shape[1], self.features), self.param_dtype)
+        b = self.param("bias", nn.initializers.zeros, (self.features,),
+                       self.param_dtype)
+        dt = self.dtype or x.dtype
+        return (jnp.einsum("lcb,ch->lhb", x.astype(dt), k.astype(dt))
+                + b.astype(dt)[None, :, None])
+
+
 class RNNAutoreg(nn.Module):
     """Bi-directional vertical RNN emulator with latent convective memory."""
 
@@ -63,19 +83,40 @@ class RNNAutoreg(nn.Module):
     # gates) lowers on hardware but measured 28% slower than f32 gates
     # (docs/kernels.md), so True stays the default
     pallas_acc32: bool = True
-    # with use_pallas, additionally fuse the up-sweep input projection,
-    # the mlp_latent/mlp_output heads (v3), and the initial MLP + memory
-    # concat (v4) into the kernel: the emulator then streams only raw
-    # features + memory in and (out, mem) out (12.42 ms full forward at
-    # B=21,600 vs ~15 ms for v2). OPT-IN (default False): the kernel's
-    # small outputs trigger XLA scoped-VMEM placement, so every jit
-    # containing the model (incl. init) MUST raise
-    # xla_tpu_scoped_vmem_limit_kib — and that program-wide limit makes
-    # XLA place OTHER buffers in VMEM too, which measurably slows the
-    # surrounding program (the same online-step scan went 21.1 -> 41.7 ms
-    # under the 127 MB limit). Enable for standalone-emulator serving;
-    # keep off inside larger programs until the placement is tamed.
+    # with use_pallas, additionally fuse the up-sweep input projection
+    # and the mlp_latent/mlp_output heads into the kernel (the v3 kernel,
+    # ops/pallas_rnn.fused_bigru_heads_lbh): the [L, B, 3H] projection
+    # and [L, B, H] down stream never touch HBM. Round 3 shipped this
+    # opt-in because the kernels lowered WITHOUT a Mosaic vmem_limit
+    # declaration, which forced the program-wide
+    # xla_tpu_scoped_vmem_limit_kib raise and its 2x collateral on the
+    # surrounding program; with the declaration (round 4) the kernel
+    # compiles under a PLAIN jit like v2 and measures 4.99 ms standalone
+    # at B=21,600 (v2 full model: ~15 ms in-context).
+    # NOTE the flax param tree differs from the unfused path
+    # (bigru_fused owns win1/wlat/wout instead of separate Dense
+    # modules); use params_fused_to_unfused/params_unfused_to_fused to
+    # convert checkpoints across the flag.
     fuse_heads: bool = False
+    # ALSO fold the initial MLP + memory concat into the kernel (v4).
+    # Measured SLOWER than leaving them to XLA (8.05 vs 4.99 ms kernel
+    # standalone at B=21,600): the narrow [L, Bt, 6]/[L, Bt, 16] operand
+    # DMAs are 128-lane padded and the extra serial matmul sits on the
+    # level-recurrence critical path. Kept for completeness; default off.
+    fuse_init: bool = False
+    # CHANNEL-MAJOR activation layout: x_main and mem arrive [L, C, B]
+    # and out/new_mem return [L, ny, B] / [L, nh_mem, B] (x_sfc/out_sfc
+    # stay [B, .]). On TPU any narrow [., ., c<128] array is 128-lane
+    # padded, so batch-major narrow activations cost ~20x their logical
+    # bytes at every producer/consumer that cannot fuse them away —
+    # measured 16.4 -> 34.8 ms on the 21,600-column coupled step when
+    # the v3 kernel's narrow custom-call outputs forced them to
+    # materialize. Channel-major puts the batch dim on the 128-lane axis
+    # (zero padding, dense per-channel slices) and runs the v5 kernel.
+    # Pair with online.HostLoopConfig(emulator_level_major=True).
+    # Requires the fused-heads path; the param tree is identical to the
+    # batch-major fused model, so the same checkpoint serves both.
+    level_major: bool = False
     # explicit kernel batch tile (None = auto VMEM sizing). Smaller tiles
     # let the whole program compile under a MODEST scoped-vmem limit,
     # which matters: a raised (127 MB) limit lets XLA place scan buffers
@@ -103,7 +144,10 @@ class RNNAutoreg(nn.Module):
     @nn.compact
     def __call__(self, x_main, x_sfc, mem, deterministic: bool = True,
                  eps_prev=None):
-        B, L, _ = x_main.shape
+        if self.level_major:
+            L, _, B = x_main.shape
+        else:
+            B, L, _ = x_main.shape
         nh1, nh2 = self.nneur[0], self.nneur[1]
         pol = self.policy
 
@@ -114,10 +158,18 @@ class RNNAutoreg(nn.Module):
         if self.add_pres:
             # normalized sqrt-pressure feature (rnn/layers.py:101-121)
             sp = x_sfc[:, 0] * self.sp_div + self.sp_mean
-            pres = (jnp.asarray(self.hyam, x_main.dtype) * 1.0e5
-                    + sp[:, None] * jnp.asarray(self.hybm, x_main.dtype))
-            pres = jnp.sqrt(pres) / 314.0
-            x_main = jnp.concatenate([x_main, pres[:, :, None]], axis=-1)
+            hyam = jnp.asarray(self.hyam, x_main.dtype)
+            hybm = jnp.asarray(self.hybm, x_main.dtype)
+            if self.level_major:
+                pres = hyam[:, None] * 1.0e5 + sp[None, :] * hybm[:, None]
+                pres = jnp.sqrt(pres) / 314.0
+                x_main = jnp.concatenate([x_main, pres[:, None, :]],
+                                         axis=1)
+            else:
+                pres = hyam * 1.0e5 + sp[:, None] * hybm
+                pres = jnp.sqrt(pres) / 314.0
+                x_main = jnp.concatenate([x_main, pres[..., None]],
+                                         axis=-1)
 
         if self.separate_radiation:
             # CRM sees non-radiation surface vars and only the bottom 50
@@ -136,15 +188,30 @@ class RNNAutoreg(nn.Module):
                       and nh1 == nh2 and self.fuse_heads
                       and self.use_memory and self.nh_mem != nh2
                       and not self.separate_radiation)
-        # v4: with fuse_heads the initial MLP and memory concat run inside
-        # the kernel — skip materializing h [B, L, H] here
-        fuse_init = fuse_heads and self.use_initial_mlp
+        if self.level_major and not fuse_heads:
+            raise ValueError("level_major requires the fused-heads path "
+                             "(use_pallas + fuse_heads with gru cell)")
+        # v4: with fuse_init the initial MLP and memory concat run inside
+        # the kernel — skip materializing h [B, L, H] here. Default off:
+        # measured slower than the XLA init MLP (see the field comment).
+        fuse_init = fuse_heads and self.use_initial_mlp and self.fuse_init
+        if self.level_major and fuse_init:
+            raise ValueError("fuse_init is a batch-major-only option")
         h = x_crm_in
         if self.use_initial_mlp and not fuse_init:
-            h = jnp.tanh(nn.Dense(nh1, dtype=pol.compute_dtype,
-                                  param_dtype=pol.param_dtype,
-                                  name="mlp_initial")(h))
-        if self.use_memory and not fuse_init:
+            if self.level_major:
+                h = jnp.tanh(_ChannelDense(nh1, dtype=pol.compute_dtype,
+                                           param_dtype=pol.param_dtype,
+                                           name="mlp_initial")(h))
+            else:
+                h = jnp.tanh(nn.Dense(nh1, dtype=pol.compute_dtype,
+                                      param_dtype=pol.param_dtype,
+                                      name="mlp_initial")(h))
+        if self.use_memory and not fuse_init and not self.level_major:
+            # channel-major passes mem to the kernel UNCONCATENATED (the
+            # split up projection): the [L, CH+nm, B] concat is ~1.1 GB
+            # of HBM per online step and its K=CH+nm matmul lowers 3x
+            # slower than the split K=CH + K=nm pair
             h = jnp.concatenate([h, mem], axis=-1)
 
         # ---- upward sweep (surface -> TOA): reverse scan, surface MLP init
@@ -164,8 +231,11 @@ class RNNAutoreg(nn.Module):
                 nh1, self.nh_mem, self.ny,
                 init_width=nh1 if fuse_init else 0,
                 block_b=self.pallas_block_b,
-                acc32=self.pallas_acc32, name="bigru_fused")(
-                h, hx1, hx2, mem=mem if fuse_init else None)
+                acc32=self.pallas_acc32,
+                level_major=self.level_major, name="bigru_fused")(
+                h, hx1, hx2,
+                mem=mem if (fuse_init or (self.level_major
+                                          and self.use_memory)) else None)
             down_out = None
         elif use_fused:
             down_out, last_h = FusedBiGRULayer(
@@ -268,8 +338,12 @@ class RNNAutoreg(nn.Module):
 
         if self.output_prune and not self.separate_radiation:
             # only dT is nonzero in the top 12 levels (models.py:554-559)
-            mask = np.ones((1, L, self.ny), np.float32)
-            mask[:, :12, 1:] = 0.0
+            if self.level_major:
+                mask = np.ones((L, self.ny, 1), np.float32)
+                mask[:12, 1:, :] = 0.0
+            else:
+                mask = np.ones((1, L, self.ny), np.float32)
+                mask[:, :12, 1:] = 0.0
             out = out * jnp.asarray(mask, out.dtype)
 
         if self.separate_radiation:
@@ -319,6 +393,52 @@ class RNNAutoreg(nn.Module):
         out_sfc = jnp.concatenate([out_sfc_rad[:, 0:2], out_sfc_crm,
                                    out_sfc_rad[:, 2:]], axis=1)
         return out, out_sfc
+
+
+# --------------------------------------------------------------------------
+# fused <-> unfused checkpoint conversion
+# --------------------------------------------------------------------------
+#
+# fuse_heads changes the flax param tree: the fused kernel layer
+# ("bigru_fused") owns the latent/output head weights (wlat/blat,
+# wout/bout) — and with fuse_init also the initial MLP (w_init/b_init) —
+# instead of the separate mlp_latent/mlp_output/mlp_initial Dense
+# modules. These helpers remap checkpoints across the flag so a model
+# trained one way can serve the other (ADVICE round-3).
+
+
+def params_unfused_to_fused(params, fuse_init: bool = False):
+    """Remap a ``fuse_heads=False`` RNNAutoreg param tree to the
+    ``fuse_heads=True`` layout (optionally ``fuse_init=True``)."""
+    wrapped = "params" in params
+    inner = dict(params["params"]) if wrapped else dict(params)
+    fused = dict(inner["bigru_fused"])
+    lat = inner.pop("mlp_latent")
+    out = inner.pop("mlp_output")
+    fused["wlat"], fused["blat"] = lat["kernel"], lat["bias"]
+    fused["wout"], fused["bout"] = out["kernel"], out["bias"]
+    if fuse_init:
+        ini = inner.pop("mlp_initial")
+        fused["w_init"], fused["b_init"] = ini["kernel"], ini["bias"]
+    inner["bigru_fused"] = fused
+    return {"params": inner} if wrapped else inner
+
+
+def params_fused_to_unfused(params):
+    """Inverse of :func:`params_unfused_to_fused` (handles both the v3
+    and v4 fused layouts)."""
+    wrapped = "params" in params
+    inner = dict(params["params"]) if wrapped else dict(params)
+    fused = dict(inner["bigru_fused"])
+    inner["mlp_latent"] = {"kernel": fused.pop("wlat"),
+                           "bias": fused.pop("blat")}
+    inner["mlp_output"] = {"kernel": fused.pop("wout"),
+                           "bias": fused.pop("bout")}
+    if "w_init" in fused:
+        inner["mlp_initial"] = {"kernel": fused.pop("w_init"),
+                                "bias": fused.pop("b_init")}
+    inner["bigru_fused"] = fused
+    return {"params": inner} if wrapped else inner
 
 
 # --------------------------------------------------------------------------

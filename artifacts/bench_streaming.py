@@ -40,20 +40,20 @@ B, L, NX, NS, NY, NYS = 384, 60, 9, 24, 6, 8
 ROW_BYTES = 4 * (L * NX + NS + L * NY + NYS)
 
 
-def write_h5(path, n_steps, seed=0, block=256):
+def write_h5(path, n_steps, seed=0, block=256, compression="lzf"):
     """Synthetic keeplev H5 written in bounded blocks (no full-RAM copy)."""
     from climsim_tpu.data.h5store import KeeplevWriter
     rng = np.random.default_rng(seed)
     t0 = time.time()
-    with KeeplevWriter(path) as w:
+    normf = lambda shape, s=1.0: s * rng.standard_normal(
+        shape, dtype=np.float32)
+    with KeeplevWriter(path, compression=compression) as w:
         done = 0
         while done < n_steps:
             n = min(block, n_steps - done)
             rows = n * B
-            w.append(rng.normal(0, 1, (rows, L, NX)).astype(np.float32),
-                     rng.normal(0, 1, (rows, NS)).astype(np.float32),
-                     rng.normal(0, 1e-5, (rows, L, NY)).astype(np.float32),
-                     rng.normal(0, 1, (rows, NYS)).astype(np.float32))
+            w.append(normf((rows, L, NX)), normf((rows, NS)),
+                     normf((rows, L, NY), 1e-5), normf((rows, NYS)))
             done += n
     gb = n_steps * B * ROW_BYTES / 1e9
     print(f"# wrote {path}: {n_steps} steps, {gb:.1f} GB in "
@@ -96,13 +96,14 @@ def run_epoch(tr, params, mem, chunks_iter):
     return rec
 
 
-def stream_chunks(path, n_steps, cs, prefetch=3):
+def stream_chunks(path, n_steps, cs, prefetch=3, t_start=0, t_stop=None):
     from climsim_tpu.data.h5store import KeeplevReader
     from climsim_tpu.data.loader import stream_keeplev_chunks
     r = KeeplevReader(path)
     return stream_keeplev_chunks(r.load_slice, n_steps, B, cs,
                                  shuffle=True, seed=1, prefetch=prefetch,
-                                 to_device=True)
+                                 to_device=True, t_start=t_start,
+                                 t_stop=t_stop)
 
 
 def resident_chunks(path, n_steps, cs):
@@ -140,6 +141,26 @@ def main():
     ap.add_argument("--skip-big", action="store_true")
     ap.add_argument("--skip-small", action="store_true")
     ap.add_argument("--nneur", type=int, default=128)
+    ap.add_argument("--big-nneur", type=int, default=8,
+                    help="model width for the big stream — phase 2 proves "
+                         "the DATA PATH (bounded RSS at >HBM scale), so a "
+                         "small model keeps the 2-core host from being "
+                         "compute-starved (round-3's 50 GB runs died to "
+                         "wall timeouts at nneur=128; measured CPU rates: "
+                         "nneur=32 0.2 GB/min, nneur=8 fused 0.9 GB/min "
+                         "vs 15 GB/min pure data path)")
+    ap.add_argument("--segments", type=int, default=10,
+                    help="split the big epoch into N sequential stream "
+                         "segments, one interim JSON line after each — a "
+                         "kill at any point still leaves committed "
+                         "evidence, and params/optimizer thread through "
+                         "so the pass is still one training epoch")
+    ap.add_argument("--group", type=int, default=1,
+                    help="concatenate G contiguous time-chunks along the "
+                         "batch axis (stability_run.py's S_GROUP trick). "
+                         "Measured on this 2-core CPU host the big epoch "
+                         "is matmul-compute-bound, not dispatch-bound, and "
+                         "G=8 HURT (cache pressure at B=3072) — default 1")
     ap.add_argument("--small-steps", type=int, default=2048)
     ap.add_argument("--chunk-size", type=int, default=64)
     ap.add_argument("--workdir", default="/tmp/stream_bench")
@@ -187,25 +208,99 @@ def main():
     # ---------------- phase 2: stream >> HBM with bounded RSS
     if args.skip_big:
         return
+    import jax
+    import jax.numpy as jnp
+    tr, params, mem = build_trainer(args.big_nneur)
     n_big = int(args.big_gb * 1e9 / (B * ROW_BYTES))
     big = os.path.join(args.workdir, f"big_{n_big}.h5")
     if not os.path.exists(big) or \
             os.path.getsize(big) < 0.9 * args.big_gb * 1e9:
-        write_h5(big, n_big, block=512)
+        # lzf on synthetic-noise data buys nothing and costs write time
+        write_h5(big, n_big, block=512, compression=None)
     rss0 = rss_gb()
+    G = max(args.group, 1)
+
+    def group_tf(xl, xs, yl, ys):
+        # [G*cs, B, ...] contiguous window -> [cs, G*B, ...]: G batch
+        # groups, each seeing cs CONTIGUOUS steps (autoregression intact)
+        def g(a):
+            a = a.reshape((G, cs) + a.shape[1:])
+            a = np.moveaxis(a, 0, 1)
+            return a.reshape((cs, G * a.shape[2]) + a.shape[3:])
+        xl, xs, yl, ys = g(xl), g(xs), g(yl), g(ys)
+        return {"x_lev": xl, "x_sfc": xs, "y_lev": yl, "y_sfc": ys,
+                "sp": xs[..., 0]}
+
+    def big_chunks(t_start, t_stop):
+        from climsim_tpu.data.h5store import KeeplevReader
+        from climsim_tpu.data.loader import stream_keeplev_chunks
+        r = KeeplevReader(big)
+        return stream_keeplev_chunks(r.load_slice, n_big, B, G * cs,
+                                     shuffle=True, seed=1, prefetch=3,
+                                     to_device=True, transform=group_tf,
+                                     t_start=t_start, t_stop=t_stop)
+
+    from climsim_tpu.train.rollout import run_epoch_fused
+    mem_g = jnp.zeros((G * B,) + mem.shape[1:], mem.dtype)
     # warm-compile on a short prefix so the epoch timing is pure pipeline
-    run_epoch(tr, params, mem, stream_chunks(big, 2 * cs, cs))
-    t0 = time.time()
-    rec = run_epoch(tr, params, mem, stream_chunks(big, n_big, cs))
-    t_big = time.time() - t0
+    # (the fused step donates params/opt_state/mem — every call gets
+    # fresh copies here)
+    cp = lambda t: jax.tree_util.tree_map(jnp.copy, t)
+    run_epoch_fused(tr, cp(params), tr.tx.init(cp(params)), cp(mem_g),
+                    big_chunks(0, 2 * G * cs), 0)
+    if G > 1:       # tail shape (ungrouped) also needs a compile
+        run_epoch_fused(tr, cp(params), tr.tx.init(cp(params)), cp(mem),
+                        stream_chunks(big, 2 * cs, cs), 0)
+    # segmented single epoch: one contiguous step range per segment
+    # (shuffled chunk order inside each), params/opt threaded through.
+    # Segment bounds align to the G*cs group so no segment drops a tail;
+    # the global remainder is streamed ungrouped (chunk=cs) at the end.
+    p = jax.tree_util.tree_map(jnp.copy, params)
+    o = tr.tx.init(p)
+    m = mem_g
+    unit = G * cs
+    n_units = n_big // unit
+    bounds = (np.linspace(0, n_units, args.segments + 1).astype(int)
+              * unit).tolist() + [n_big]
+    t_big = 0.0
+    steps_done = 0
+    for si in range(len(bounds) - 1):
+        lo, hi = int(bounds[si]), int(bounds[si + 1])
+        if hi - lo < cs:        # empty/sub-chunk interval: nothing to do
+            steps_done = hi
+            continue
+        if hi - lo >= unit:
+            it = big_chunks(lo, hi)
+            m_in = m
+        else:       # global tail < one group: ungrouped stream
+            it = stream_chunks(big, n_big, cs, t_start=lo, t_stop=hi)
+            m_in = m[:B]
+        t0 = time.time()
+        p, o, m_out, rec = run_epoch_fused(tr, p, o, m_in, it, epoch=0)
+        jax.block_until_ready(p)
+        if m_out.shape == m.shape:
+            m = m_out
+        t_big += time.time() - t0
+        steps_done = hi
+        print(json.dumps({
+            "phase": "big_stream_segment", "segment": si + 1,
+            "of": len(bounds) - 1,
+            "gb_done": round(steps_done * B * ROW_BYTES / 1e9, 1),
+            "elapsed_s": round(t_big, 1),
+            "gb_per_s": round(steps_done * B * ROW_BYTES / 1e9 / t_big, 3),
+            "peak_rss_gb": round(peak_rss_gb(), 2),
+            "loss": rec["loss"],
+        }), flush=True)
     print(json.dumps({
         "phase": "big_stream",
         "dataset_gb": round(n_big * B * ROW_BYTES / 1e9, 1),
         "steps": n_big,
-        "nneur": args.nneur,
+        "nneur": args.big_nneur,
+        "segments": len(bounds) - 1,
+        "group": G,
         "epoch_s": round(t_big, 1),
-        "cols_per_s": round(n_big * B / t_big, 1),
-        "gb_per_s": round(n_big * B * ROW_BYTES / 1e9 / t_big, 3),
+        "cols_per_s": round(steps_done * B / t_big, 1),
+        "gb_per_s": round(steps_done * B * ROW_BYTES / 1e9 / t_big, 3),
         "rss_before_gb": round(rss0, 2),
         "rss_after_gb": round(rss_gb(), 2),
         "peak_rss_gb": round(peak_rss_gb(), 2),

@@ -68,6 +68,29 @@ def parse_args():
     p.add_argument("--skip-scoreboard", action="store_true")
     p.add_argument("--no-lat-feature", action="store_true",
                    help="drop the cos/sin-latitude input features")
+    p.add_argument("--load-emulator", default=None,
+                   help="msgpack path: skip training and load these "
+                        "weights (the collection/normalization stage is "
+                        "deterministic per seed, so stats match the "
+                        "original run)")
+    p.add_argument("--env-restore-tau", type=float, default=5.0,
+                   help="envelope-restoring timescale [days]; 0 disables. "
+                        "Outside the per-level training T envelope the NN "
+                        "input is clipped (it extrapolates blindly), so "
+                        "nothing pulls the STATE back — round 3's hybrid "
+                        "developed a 110 K polar cold pool this way. The "
+                        "restoring term relaxes out-of-envelope T toward "
+                        "the envelope edge (the state-space analog of the "
+                        "reference wrapper's input clipping, "
+                        "save_wrapper_mem_prevtend_ftorch.py:199-249)")
+    p.add_argument("--env-margin", type=float, default=5.0,
+                   help="envelope margin [K] beyond the training min/max")
+    p.add_argument("--qv-perturb", type=float, default=0.12,
+                   help="peak fractional qv perturbation for segmented "
+                        "training data (precip-branch coverage)")
+    p.add_argument("--xprotocol-steps", type=int, default=360,
+                   help="steps of paired trajectory recording for the "
+                        "cross-protocol (2x2 states x memory) scoreboard")
     p.add_argument("--out", default=os.path.join(
         os.path.dirname(__file__), "stability_run"))
     return p.parse_args()
@@ -215,7 +238,7 @@ def main():
         st = dict(st)
         st["T"] = st["T"] + amp * colT
         st["qv"] = jnp.clip(
-            st["qv"] * (1.0 + 0.12 * (amp / max(amp_max, 1e-12))
+            st["qv"] * (1.0 + args.qv_perturb * (amp / max(amp_max, 1e-12))
                         * jax.random.normal(kq, (ncol, nlev))), 0.0, None)
         st["u"] = st["u"] + 0.5 * amp * jax.random.normal(
             ku, (ncol, nlev))
@@ -309,6 +332,14 @@ def main():
     xhi = jnp.asarray(np.asarray(x_lev_n.max(axis=(0, 1, 2))))
     slo = jnp.asarray(np.asarray(x_sfc_n.min(axis=(0, 1))))
     shi = jnp.asarray(np.asarray(x_sfc_n.max(axis=(0, 1))))
+    # per-level T envelope of the TRAINING data (for the state-space
+    # restoring term; --env-restore-tau). Input clipping alone leaves the
+    # state free to keep drifting once outside the envelope.
+    Tenv_lo = jnp.asarray(np.asarray(x_raw[..., 0].min(axis=(0, 1)))
+                          - args.env_margin, jnp.float32)       # [L]
+    Tenv_hi = jnp.asarray(np.asarray(x_raw[..., 0].max(axis=(0, 1)))
+                          + args.env_margin, jnp.float32)
+    tau_env_s = args.env_restore_tau * 86400.0
     y_lev_n = (y_raw * yscale_lev).astype(jnp.float32)
     y_sfc_n = (y_sfc_raw * yscale_sca).astype(jnp.float32)
     for nm, a in (("x_lev_n", x_lev_n), ("x_sfc_n", x_sfc_n),
@@ -366,22 +397,27 @@ def main():
     params, opt_state, mem = trainer.init(
         jax.random.PRNGKey(0), next(iter(chunks(0, chunk_T, 0, False))))
     history = []
-    for ep in range(args.epochs):
-        params, opt_state, mem, rec = trainer.run_epoch(
-            params, opt_state, mem, chunks(0, T_tr, ep), ep)
-        _, _, mem, vrec = trainer.run_epoch(
-            params, opt_state, mem, chunks(T_tr, args.train_steps, 0, False),
-            ep, train=False)
-        rec["val_loss"] = vrec["loss"]
-        history.append(rec)
-        if True:
-            print(f"[{time.time()-t_wall0:7.1f}s] epoch {ep:3d} W={rec['window']} "
-                  f"loss={rec['loss']:.4f} val={vrec['loss']:.4f}",
-                  flush=True)
-
     from flax import serialization
-    with open(args.out + "_emulator.msgpack", "wb") as f:
-        f.write(serialization.to_bytes(params))
+    if args.load_emulator:
+        with open(args.load_emulator, "rb") as f:
+            params = serialization.from_bytes(params, f.read())
+        print(f"[{time.time()-t_wall0:7.1f}s] loaded emulator from "
+              f"{args.load_emulator} (training skipped)", flush=True)
+    else:
+        for ep in range(args.epochs):
+            params, opt_state, mem, rec = trainer.run_epoch(
+                params, opt_state, mem, chunks(0, T_tr, ep), ep)
+            _, _, mem, vrec = trainer.run_epoch(
+                params, opt_state, mem,
+                chunks(T_tr, args.train_steps, 0, False), ep, train=False)
+            rec["val_loss"] = vrec["loss"]
+            history.append(rec)
+            print(f"[{time.time()-t_wall0:7.1f}s] epoch {ep:3d} "
+                  f"W={rec['window']} loss={rec['loss']:.4f} "
+                  f"val={vrec['loss']:.4f}", flush=True)
+
+        with open(args.out + "_emulator.msgpack", "wb") as f:
+            f.write(serialization.to_bytes(params))
 
     # ------- offline scoreboard: teacher-forced one-step predictions on
     # the held-out validation segment, scored with the reference's
@@ -422,7 +458,14 @@ def main():
         xn = jnp.clip((feats - xm_j) / xs_j, xlo, xhi)
         sn = jnp.clip((x_sfc_raw - sfm_j) / sfs_j, slo, shi)
         out, out_sfc, mem = model.apply(params, xn, sn, mem)
-        return out / yscale_lev, out_sfc / yscale_sca, mem
+        out = out / yscale_lev
+        if tau_env_s > 0:
+            # state-space envelope restoring: relax out-of-envelope T
+            # toward the per-level training envelope (see --env-restore-tau)
+            T = x_main_raw[..., 0]
+            out = out.at[..., 0].add(
+                (jnp.clip(T, Tenv_lo, Tenv_hi) - T) / tau_env_s)
+        return out, out_sfc / yscale_sca, mem
 
     model_loop = HybridLoop(emulator, g, loop_cfg)
     mem0 = jnp.zeros((ncol, nlev, nh_mem), jnp.float32)
@@ -444,6 +487,11 @@ def main():
                 "water_t": jnp.sum(w_phys * (st_t["qv"] + st_t["qc"]
                                              + st_t["qi"])),
                 "Tmin_m": st_m["T"].min(), "Tmax_m": st_m["T"].max(),
+                # location of the global T minimum (round-3 VERDICT:
+                # disclose WHERE/WHEN the cold extreme lives)
+                "Tmin_col": jnp.argmin(st_m["T"]) // nlev,
+                "Tmin_lev": jnp.argmin(st_m["T"]) % nlev,
+                "Tmin_t": st_t["T"].min(),
                 "umax_m": jnp.abs(st_m["u"]).max(),
                 "prec_m": wmean(dg_m["precc"][:, None] *
                                 jnp.ones((1, nlev))),
@@ -521,6 +569,85 @@ def main():
             break
     jsonl.close()
 
+    # ------- cross-protocol scoreboard: 2x2 {state distribution} x
+    # {memory protocol}. Round-3 VERDICT weak #4: the offline scoreboard
+    # (teacher-forced on truth-trajectory states) and the online one
+    # (at-state on hybrid-visited states) sample DIFFERENT state
+    # distributions, so their agreement is not apples-to-apples. Here the
+    # SAME one-step scoring protocol runs on two contiguous recorded
+    # trajectories — a truth continuation and a hybrid continuation —
+    # each scored twice: memory threaded from a cold start ("tf", the
+    # offline protocol) and from the long run's carried memory
+    # ("online_mem"). Reference scoreboard semantics rnn/utils.py:1413-1766.
+    xp_summary = None
+    xp_full = None
+    if args.xprotocol_steps > 0 and not args.skip_scoreboard \
+            and online_samples:
+        from climsim_tpu.train.epoch_metrics import epoch_metrics
+        XP = args.xprotocol_steps
+        t_end = run_t0 + (ci + 1) * args.chunk
+
+        def record_traj(loop_obj, st, mem_init):
+            @jax.jit
+            def rec(st, m, tt0):
+                def step(carry, dt_i):
+                    st, m = carry
+                    sfc = sfc_at(tt0 + dt_i)
+                    xr = jnp.stack([st[k] for k in FIELDS], axis=-1)
+                    ptt, ptsfct = truth(xr, sfc, dummy_mem)[:2]
+                    st, m, _ = loop_obj.coupled_step(st, m, sfc)
+                    return (st, m), (xr, sfc, ptt, ptsfct)
+                (st, m), outs = jax.lax.scan(step, (st, m),
+                                             jnp.arange(XP))
+                return outs
+            return rec(st, mem_init, jnp.int32(t_end))
+
+        def score_traj(outs, mem0, skip):
+            xr, sfc_s, ptt, ptsfct = outs
+            feats = jnp.concatenate([xr, derived(xr)], axis=-1)
+            xn = jnp.clip((feats - xm_j) / xs_j, xlo, xhi)
+            sn = jnp.clip((sfc_s - sfm_j) / sfs_j, slo, shi)
+
+            @jax.jit
+            def preds(xn, sn, m0):
+                def ostep(m, inp):
+                    out, out_sfc, m = model.apply(params, inp[0], inp[1], m)
+                    return m, (out, out_sfc)
+                _, (pl, psf) = jax.lax.scan(ostep, m0, (xn, sn))
+                return pl / yscale_lev, psf / yscale_sca
+
+            pl, psf = preds(xn, sn, m0=mem0)
+            flat = lambda a: np.asarray(a[skip:]).reshape(
+                (-1,) + a.shape[2:])
+            return epoch_metrics(
+                flat(pl), flat(psf), flat(ptt), flat(ptsfct),
+                np.tile(np.asarray(base_sfc[:, 0]), XP - skip),
+                np.asarray(g.hyai), np.asarray(g.hybi))
+
+        outs_t = record_traj(truth_loop, st_t, dummy_mem)
+        outs_m = record_traj(model_loop, st_m, mem_m)
+        skip_tf = min(8, XP - 1)
+        cells = {
+            "truth_states": {
+                "tf": score_traj(outs_t, mem0, skip_tf),
+                "online_mem": score_traj(outs_t, mem_m, 0)},
+            "hybrid_states": {
+                "tf": score_traj(outs_m, mem0, skip_tf),
+                "online_mem": score_traj(outs_m, mem_m, 0)},
+        }
+        KEYS = ["R2_dT", "R2_dqv", "R2_dqliq", "R2_dqice", "R2_du",
+                "R2_dv", "R2_NETSW", "R2_FLWDS", "R2_PRECSC", "R2_PRECC",
+                "r2_lev_mean"]
+        xp_summary = {
+            s: {p: {k: round(float(m[k]), 4) for k in KEYS if k in m}
+                for p, m in d.items()} for s, d in cells.items()}
+        xp_full = {s: {p: {k: (v if not isinstance(v, np.ndarray)
+                               else v.tolist())
+                           for k, v in m.items()}
+                       for p, m in d.items()} for s, d in cells.items()}
+        print("cross-protocol R2 (states x memory):",
+              json.dumps(xp_summary), flush=True)
+
     # ------------------------------------------------------------ 4. report
     series = {k: np.concatenate(v) for k, v in per_step.items()}
 
@@ -569,6 +696,8 @@ def main():
                                  / max(np.mean(series["prec999_t"]), 1e-30)),
         "Tmax_overall": float(np.max(series["Tmax_m"])),
         "Tmin_overall": float(np.min(series["Tmin_m"])),
+        "Tmin_truth_overall": float(np.min(series["Tmin_t"]))
+        if "Tmin_t" in series else None,
         "zonal_bias_K": [None if np.isnan(b) else round(float(b), 3)
                          for b in zbias],
         "energy_ratio_final": float(series["energy_m"][-1]
@@ -584,15 +713,34 @@ def main():
                    "epochs": args.epochs, "amp_max": args.amp_max,
                    "w_water": args.w_water, "w_energy": args.w_energy,
                    "lr": args.lr, "fix_energy": not args.no_fix_energy,
-                   "lat_feature": use_lat},
+                   "lat_feature": use_lat,
+                   "env_restore_tau_days": args.env_restore_tau,
+                   "env_margin_K": args.env_margin,
+                   "qv_perturb": args.qv_perturb},
         "wall_seconds": round(time.time() - t_wall0, 1),
     }
+    # where/when the cold extreme lives (round-3 VERDICT weak #2)
+    if "Tmin_col" in series:
+        imin = int(np.argmin(series["Tmin_m"]))
+        col = int(series["Tmin_col"][imin])
+        summary["Tmin_location"] = {
+            "col": col, "lev": int(series["Tmin_lev"][imin]),
+            "lat_deg": round(float(lat[col]), 2),
+            "lon_deg": round(float(lon[col]), 2),
+            "modal_lev": int(np.bincount(
+                series["Tmin_lev"].astype(int)).argmax()),
+            "modal_lat_deg": round(float(np.median(
+                lat[series["Tmin_col"].astype(int)])), 2),
+        }
     if online_vs_offline is not None:
         summary["online_vs_offline_R2"] = online_vs_offline
+    if xp_summary is not None:
+        summary["xprotocol_R2"] = xp_summary
     with open(args.out + ".json", "w") as f:
         json.dump({"summary": summary, "train_history": history,
                    "offline_metrics": offline_metrics,
-                   "online_metrics": online_metrics}, f, indent=1)
+                   "online_metrics": online_metrics,
+                   "xprotocol_metrics": xp_full}, f, indent=1)
     print(json.dumps(summary, indent=1), flush=True)
 
     try:

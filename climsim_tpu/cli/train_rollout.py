@@ -145,7 +145,9 @@ def main(argv=None):
 
     # normalization: the REFERENCE norm-file chain when data.norm=reference
     # (per-var per-level mean/(max-min) from input_*_v4_pervar.nc +
-    # output_scale.nc assembled exactly as the reference hydra driver,
+    # output_scale_std_lowerthred_v5.nc assembled exactly as the
+    # reference hydra driver (which loads that file unconditionally,
+    # :137; override with data.norm_output_scale),
     # rnn/train_rnn_rollout_torchscript_hydra.py:323-456 — the shipped
     # coefficients pair with the exp cloud-lambda txts, whose transform IS
     # the cloud channels' normalization: the files carry mean 0 / div 1

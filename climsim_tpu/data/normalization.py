@@ -222,7 +222,9 @@ def reference_level_normalizer(vset: V.VariableSet,
     """Assemble coefficients EXACTLY as the reference hydra driver does
     (rnn/train_rnn_rollout_torchscript_hydra.py:323-456) from the shipped
     per-variable norm files (input_{mean,max,min}_v4_pervar.nc,
-    output_scale.nc):
+    output_scale_std_lowerthred_v5.nc — the file the reference driver
+    unconditionally loads at :137; pass ``output_scale`` to use the plain
+    output_scale.nc instead):
 
     * per-level mean and (max - min) div for every level variable, scalar
       mean/div for surface variables, y scale from output_scale;
@@ -243,7 +245,7 @@ def reference_level_normalizer(vset: V.VariableSet,
         "input_min": input_min
         or f"{REF_NORM_DIR}/inputs/input_min_v4_pervar.nc",
         "output_scale": output_scale
-        or f"{REF_NORM_DIR}/outputs/output_scale.nc",
+        or f"{REF_NORM_DIR}/outputs/output_scale_std_lowerthred_v5.nc",
     }
     mean = read_netcdf(paths["input_mean"])
     maxv = read_netcdf(paths["input_max"])

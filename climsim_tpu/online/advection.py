@@ -239,7 +239,11 @@ def semi_lagrangian_2d_halo(q_ext: jnp.ndarray, u_ext: jnp.ndarray,
     grid whenever the meridional displacement stays within the halo
     (|v|*dt_dy <= halo - 1, one extra row for the interpolation stencil);
     larger displacements clamp to the shard's ghost rows (stable, but the
-    trajectory is truncated — mirror of the FV courant clamp).
+    trajectory is truncated — mirror of the FV courant clamp). The
+    truncation is SILENT here (jit-compatible); use
+    :func:`semi_lagrangian_halo_clip_fraction` on the wind field to
+    monitor/assert the bound (tests/test_online.py does for the certified
+    sharded configs).
     """
     n_ext, nlon = q_ext.shape
     n = n_ext - 2 * halo
@@ -267,6 +271,22 @@ def semi_lagrangian_2d_halo(q_ext: jnp.ndarray, u_ext: jnp.ndarray,
     q11 = q_ext[i1, j1]
     return ((1 - fi) * ((1 - fj) * q00 + fj * q01)
             + fi * ((1 - fj) * q10 + fj * q11))
+
+
+def semi_lagrangian_halo_clip_fraction(v, dt_dy, halo: int = 2):
+    """Fraction of points whose meridional back-trajectory exceeds the
+    halo-parity window (|v|*dt_dy > halo - 1) — the displacement regime
+    where :func:`semi_lagrangian_2d_halo` clamps to the outermost ghost
+    row and sharded results silently diverge from the single-device
+    kernel. Monitor it in long-run diagnostics or assert == 0 for a
+    config certified as sharded-parity; a finer dt or stronger winds
+    trip it before parity is lost without notice otherwise.
+
+    ``dt_dy`` may be a scalar (flat raster) or broadcastable per-row
+    factors (sphere metric rows aligned with ``v``'s rows).
+    """
+    disp = jnp.abs(v * dt_dy)
+    return jnp.mean((disp > (halo - 1)).astype(jnp.float32))
 
 
 def conservation_fixer(q_new: jnp.ndarray, q_old: jnp.ndarray,

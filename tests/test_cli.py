@@ -90,9 +90,9 @@ def test_train_classifier_gradout_cli(tmp_path):
 
 def test_train_rollout_cli_reference_norm(tmp_path):
     """The shipped reference-normalization conf trains end-to-end: the
-    CLI loads input_{mean,max,min}_v4_pervar.nc + output_scale.nc + the
-    qc/qi exp-lambda txts (data.norm=reference) instead of fitting stats
-    from the data."""
+    CLI loads input_{mean,max,min}_v4_pervar.nc +
+    output_scale_std_lowerthred_v5.nc + the qc/qi exp-lambda txts
+    (data.norm=reference) instead of fitting stats from the data."""
     r = _run(["climsim_tpu.cli.train_rollout",
               "conf/autoreg_gru_refnorm.yaml",
               "platform=cpu", "epochs=2", "data.steps=8",
@@ -117,7 +117,8 @@ def test_reference_norm_assembly_matches_driver():
     mean = read_netcdf(f"{REF_NORM_DIR}/inputs/input_mean_v4_pervar.nc")
     maxv = read_netcdf(f"{REF_NORM_DIR}/inputs/input_max_v4_pervar.nc")
     minv = read_netcdf(f"{REF_NORM_DIR}/inputs/input_min_v4_pervar.nc")
-    scal = read_netcdf(f"{REF_NORM_DIR}/outputs/output_scale.nc")
+    scal = read_netcdf(
+        f"{REF_NORM_DIR}/outputs/output_scale_std_lowerthred_v5.nc")
     # plain per-level channel (state_t, idx 0)
     np.testing.assert_allclose(np.asarray(nz.mean_lev)[:, 0],
                                np.asarray(mean["state_t"], np.float32))
@@ -140,7 +141,8 @@ def test_reference_norm_assembly_matches_driver():
     # SNOWHICE neutralized (driver :452-455)
     i = vset.inputs.sfc_names.index("cam_in_SNOWHICE")
     assert float(nz.mean_sfc[i]) == 0.0 and float(nz.div_sfc[i]) == 1.0
-    # output scales straight from output_scale.nc
+    # output scales straight from the driver's actual file (:137),
+    # output_scale_std_lowerthred_v5.nc
     np.testing.assert_allclose(np.asarray(nz.scale_lev)[:, 0],
                                np.asarray(scal["ptend_t"], np.float32))
     # cloud channels carry the identity normalization (the exp transform

@@ -429,11 +429,26 @@ def test_sharded_hybrid_step_vertical_advection():
 
 def test_sharded_hybrid_step_semi_lagrangian():
     """Semi-Lagrangian transport sharded via the halo-aware back-trajectory
-    kernel == single device (sphere + flat)."""
+    kernel == single device (sphere + flat). Also asserts the parity
+    PRECONDITION explicitly: no back-trajectory exceeds the halo window
+    (the halo kernel clamps silently past it — ADVICE r3)."""
+    from climsim_tpu.online import semi_lagrangian_halo_clip_fraction
+
     for geometry in ("sphere", "flat"):
         cfg = HostLoopConfig(scheme="semi_lagrangian", fix_water=True,
                              geometry=geometry)
         _sharded_vs_single(cfg)
+        # certified config stays inside the halo-parity displacement bound
+        state = _init_state()
+        g = Grid.from_file(GRID_PATH)
+        loop = HybridLoop(_dummy_emulator, g, cfg)
+        v_g = to_grid(state["v"], loop.gather_idx, cfg.nlat, cfg.nlon)
+        if geometry == "sphere":
+            dtdy = loop.metric.dtdy[:, None, None]
+        else:
+            dtdy = cfg.dt_dy
+        frac = float(semi_lagrangian_halo_clip_fraction(v_g, dtdy, halo=2))
+        assert frac == 0.0, frac
 
 
 def test_energy_fixer_keeps_global_energy_flat():

@@ -25,7 +25,9 @@ NORM = "/root/reference/preprocessing/normalizations"
 
 def main(argv=None):
     p = argparse.ArgumentParser()
-    p.add_argument("--input", required=True)
+    p.add_argument("--input", default=None,
+                   help="flat input npy (for ps recovery); optional when "
+                        "--ps is given")
     p.add_argument("--target", required=True)
     p.add_argument("--pred", required=True)
     p.add_argument("--samples", help="npy [.., ny, S] for CRPS")
@@ -33,6 +35,14 @@ def main(argv=None):
     p.add_argument("--ncol", type=int, default=384)
     p.add_argument("--raw", action="store_true",
                    help="targets/preds already in raw units")
+    p.add_argument("--scale-file", default=None,
+                   help="output-scale .nc overriding the reference "
+                        "output_scale.nc")
+    p.add_argument("--ps", default=None,
+                   help="npy of RAW surface pressure [N] or [T,ncol], "
+                        "bypassing ps recovery from --input (for "
+                        "expanded vsets whose inputs are not in the flat "
+                        "norm files)")
     p.add_argument("--out", default="metrics.csv")
     p.add_argument("--out-lev", default=None)
     p.add_argument("--grid", default="/root/reference/grid_info/"
@@ -59,19 +69,33 @@ def main(argv=None):
             a = a[:T * args.ncol].reshape(T, args.ncol, ny)
         return a
 
-    x = load(args.input, vset.input_feature_len)
+    if not args.input and not args.ps:
+        p.error("one of --input / --ps is required")
+    x = load(args.input, vset.input_feature_len) if args.input else None
     t = load(args.target, vset.target_feature_len)
     pr = load(args.pred, vset.target_feature_len)
 
-    nz = Normalizer.from_files(
-        vset, f"{NORM}/inputs/input_mean.nc", f"{NORM}/inputs/input_max.nc",
-        f"{NORM}/inputs/input_min.nc", f"{NORM}/outputs/output_scale.nc")
-    ps = np.asarray(x[..., vset.ps_index])
-    # inputs normalized -> recover raw ps (set_pressure_grid:1455-1459)
-    mean_ps = float(nz.mean[vset.ps_index])
-    div_ps = float(nz.div[vset.ps_index])
-    if abs(ps.mean()) < 1e3:      # heuristics: normalized inputs
-        ps = ps * div_ps + mean_ps
+    nz = None
+    try:
+        nz = Normalizer.from_files(
+            vset, f"{NORM}/inputs/input_mean.nc",
+            f"{NORM}/inputs/input_max.nc", f"{NORM}/inputs/input_min.nc",
+            args.scale_file or f"{NORM}/outputs/output_scale.nc")
+    except KeyError:
+        # expanded variable sets (v4/v4_rnn/v5) are not covered by the
+        # flat v1/v2 norm files; fine when everything arrives raw
+        if not args.raw:
+            raise
+    if args.ps:
+        ps = np.load(args.ps)
+        if ps.ndim == 1:
+            ps = ps.reshape(-1, args.ncol)
+    else:
+        ps = np.asarray(x[..., vset.ps_index])
+        # inputs normalized -> recover raw ps (set_pressure_grid:1455-1459)
+        if nz is not None and abs(ps.mean()) < 1e3:  # heuristic
+            ps = ps * float(nz.div[vset.ps_index]) \
+                + float(nz.mean[vset.ps_index])
 
     scale = None if args.raw else nz.scale
     samples = None

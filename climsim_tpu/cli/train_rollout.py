@@ -540,7 +540,7 @@ def main(argv=None):
                             jnp.asarray(cat(tl_)), jnp.asarray(cat(ts_)),
                             jnp.asarray(cat(sps)), np.asarray(grid.hyai),
                             np.asarray(grid.hybi))
-        return met, (cat(pl_), cat(tl_))
+        return met, (cat(pl_), cat(ps_), cat(tl_), cat(ts_), cat(sps))
 
     # per-epoch scoreboard cadence (the reference logs ~40 metrics to
     # wandb EVERY epoch, rnn/utils.py:1413-1766); 0 = only at the end
@@ -581,7 +581,7 @@ def main(argv=None):
     if cfg.get("eval_report"):
         # final validation scoreboard + per-level R2 profile plot (the
         # reference driver's per-epoch val_eval/ figures, :1047-1097)
-        met, (P_, T_) = eval_scoreboard(params, mem)
+        met, (P_, _, T_, _, _) = eval_scoreboard(params, mem)
         met_print = {k: v for k, v in met.items() if k != "r2_lev"}
         print(json.dumps({"eval_report": met_print}))
         if log_path:
@@ -602,6 +602,26 @@ def main(argv=None):
                                  pdir, "val_r2_profile.png"))
             except Exception as e:
                 print(f"(no plot: {e})")
+
+    pred_dir = cfg.get("pred_export")
+    if pred_dir:
+        # scoring triplet for the offline evaluation CLI: teacher-forced
+        # one-step predictions over the validation split, written RAW in
+        # the reference's flat registry layout (the per-model inference
+        # step that feeds evaluation/ClimSim_metrics.many-trials.v2.py)
+        import os as _os
+        from ..data.ingest import keeplev_to_flat
+        _os.makedirs(pred_dir, exist_ok=True)
+        _, (PL, PS_, TL, TS, SP) = eval_scoreboard(params, mem)
+        np.save(_os.path.join(pred_dir, "scoring_pred.npy"),
+                keeplev_to_flat(PL, PS_, vset.outputs))
+        np.save(_os.path.join(pred_dir, "scoring_target.npy"),
+                keeplev_to_flat(TL, TS, vset.outputs))
+        np.save(_os.path.join(pred_dir, "scoring_ps.npy"),
+                np.asarray(SP, np.float32))
+        print(f"pred_export: wrote scoring_{{pred,target,ps}}.npy to "
+              f"{pred_dir} (score with: python -m climsim_tpu.cli.evaluate "
+              f"--raw --vset {vset.name} --ps .../scoring_ps.npy ...)")
 
     export_path = cfg.get("export_path")
     if export_path:

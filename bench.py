@@ -68,17 +68,15 @@ def build(ncol_shape, stencil_pallas: bool, emulator_pallas: bool,
 
     nlat, nlon, nlev = ncol_shape
     ncol = nlat * nlon
-    # fuse_heads=True selects the v4 kernel (in-kernel input projection,
-    # initial MLP, memory concat and latent/output heads — 12.42 ms full
-    # emulator at B=21,600 vs ~15 ms for v2). Round 3 shipped it opt-in
-    # because its custom call lowered without a Mosaic vmem_limit
-    # declaration, forcing the program-wide scoped-VMEM raise that slowed
-    # the surrounding step 2x; with the declaration (round-4 fix in
-    # ops/pallas_rnn.py) it compiles under a PLAIN jit like v2.
-    # fuse_heads pairs with the level-major activation contract: narrow
-    # [B, L, c] arrays are 128-lane padded on TPU, so the batch-major
-    # swapaxes around the level-major kernel cost ~20x their logical
-    # bytes (measured 16.4 -> 34.8 ms on this step before the contract)
+    # fuse_heads=True selects the v5 channel-major fused kernel
+    # (in-kernel up projection + latent/output heads, [L, C, B]
+    # activations: batch rides the 128 lanes so narrow arrays cost no
+    # padding). It runs under a PLAIN jit since the round-4 Mosaic
+    # vmem_limit declaration, and beats v2 since the round-4 tiler fix
+    # (fewest-tiles-first for ragged batches: the serial level chain
+    # runs once per tile, so 169 pad-minimizing tiles at B=21,600 were
+    # ~2x slower than 16 large ones). Measured production step:
+    # 15.3 ms (v5cm) vs 16.4 ms (v2).
     model = RNNAutoreg(nx=6, nx_sfc=24, ny=6, ny_sfc=8, nneur=(192, 192),
                        nh_mem=16, add_pres=False, policy=BF16,
                        use_pallas=emulator_pallas, fuse_heads=fuse_heads,
@@ -242,29 +240,36 @@ def main():
               file=sys.stderr)
     except Exception:
         calib_mxu = calib_hbm = None
-    # pallas stencil + pallas emulator is the production config; fall back
-    # if either fails to compile on this platform
+    # pallas stencil + fused channel-major pallas emulator is the
+    # production config (v5 kernel under a PLAIN jit since the round-4
+    # vmem-declaration + tile-count fixes); fall back if a variant fails
+    # to compile on this platform
     hi_best, hi_cfg, hi_spread = None, None, None
-    for stencil, emul in ((True, True), (True, False), (False, False)):
+    for stencil, emul, fuse in ((True, True, True), (True, True, False),
+                                (True, False, False),
+                                (False, False, False)):
         try:
-            med, spread = measure(*build(HI, stencil, emul))
+            med, spread = measure(*build(HI, stencil, emul,
+                                         fuse_heads=fuse))
             cols = HI[0] * HI[1] / med
             name = f"stencil={'pallas' if stencil else 'xla'}+" \
-                   f"emu={'pallas' if emul else 'scan'}"
+                   f"emu={'pallas-fused' if fuse else 'pallas' if emul else 'scan'}"
             print(f"# hybrid 21600 cols [{name}]: {med*1e3:.2f} ms/step "
                   f"({cols:,.0f} cols/s, spread {spread:.0%})",
                   file=sys.stderr)
             results[name] = cols
             if hi_best is None or cols > hi_best:
-                hi_best, hi_cfg, hi_spread = cols, (stencil, emul), spread
+                hi_best, hi_spread = cols, spread
+                hi_cfg = (stencil, emul, fuse)
         except Exception as e:
-            print(f"# hybrid 21600 variant ({stencil},{emul}) failed: "
-                  f"{type(e).__name__}: {e}", file=sys.stderr)
+            print(f"# hybrid 21600 variant ({stencil},{emul},{fuse}) "
+                  f"failed: {type(e).__name__}: {e}", file=sys.stderr)
 
     lo_cols = None
     if hi_cfg is not None:
         try:
-            med, _ = measure(*build(LO, *hi_cfg))
+            med, _ = measure(*build(LO, hi_cfg[0], hi_cfg[1],
+                                    fuse_heads=hi_cfg[2]))
             lo_cols = LO[0] * LO[1] / med
             print(f"# hybrid 384 cols: {med*1e3:.3f} ms/step "
                   f"({lo_cols:,.0f} cols/s)", file=sys.stderr)
@@ -281,7 +286,8 @@ def main():
 
     # variance-immune companion: same-process pallas/xla ratio
     ratio = None
-    a = results.get("stencil=pallas+emu=pallas") or \
+    a = results.get("stencil=pallas+emu=pallas-fused") or \
+        results.get("stencil=pallas+emu=pallas") or \
         results.get("stencil=pallas+emu=scan")
     b = results.get("stencil=xla+emu=scan")
     if a and b:

@@ -946,8 +946,119 @@ def _bigru_heads_cm_kernel(x_ref, mem_ref, h0u_ref, h0d_ref, win1h_ref,
     lasth_ref[:] = h2.astype(lasth_ref.dtype)
 
 
+def _bigru_heads_cm_hoist_kernel(x_ref, mem_ref, h0u_ref, h0d_ref,
+                                 win1h_ref, win1m_ref, bin1_ref,
+                                 whh_u_ref, bhh_u_ref, win2_ref, bin2_ref,
+                                 whh_d_ref, bhh_d_ref, wlat_ref, blat_ref,
+                                 wout_ref, bout_ref, outmem_ref,
+                                 lasth_ref, xp_scratch, up_scratch, *,
+                                 L: int, H: int, nm: int,
+                                 acc32: bool = True):
+    """Chunked projection-hoisted variant of
+    :func:`_bigru_heads_cm_kernel`.
+
+    The baseline kernel evaluates the input projections INSIDE the
+    dependent level chain, so every serial step carries 2-3 MXU dots +
+    gates — and the chain is what sets the kernel's floor (the
+    recurrence cannot pipeline across levels). Here each sweep runs in
+    level BLOCKS of ``_HOIST_NB``: per block, (1) the block's
+    projections as independent back-to-back dots (MXU at throughput, no
+    dependency stalls) into a small ring of VMEM xp scratch, then
+    (2) the chain steps reduced to the recurrent dot + gates. The small
+    block keeps the xp scratch tiny so the LANE TILE stays large — a
+    full-L hoist halves the tile and LOSES (measured 18.2 vs 15.3 ms at
+    B=21,600: the serial chain count doubles with the tile count). The
+    xp scratch is stored in the input dtype (bf16 in production): ~1e-3
+    relative rounding vs the baseline's f32-resident xp, inside the
+    bf16 matmul noise the parity tests already allow."""
+    acc = jnp.float32 if acc32 else x_ref.dtype
+    mm = jnp.promote_types(acc, jnp.float32)
+    NB = _hoist_nb(L)
+    win1h = win1h_ref[:]
+    win1m = win1m_ref[:]
+    bin1 = bin1_ref[:].astype(mm)
+    whh_u = whh_u_ref[:]
+    bhh_u = bhh_u_ref[:].astype(acc)
+    whh_d = whh_d_ref[:]
+    bhh_d = bhh_d_ref[:].astype(acc)
+    win2 = win2_ref[:]
+    bin2 = bin2_ref[:].astype(mm)
+    wlat = wlat_ref[:]
+    blat = blat_ref[:].astype(mm)
+    wout = wout_ref[:]
+    bout = bout_ref[:].astype(mm)
+
+    h = h0u_ref[:].astype(acc)
+
+    def up_block(b, h):
+        base = L - (b + 1) * NB
+
+        def proj(j, c):
+            l = base + j
+            xp_scratch[j] = (jnp.dot(win1h, x_ref[l],
+                                     preferred_element_type=mm)
+                             + jnp.dot(win1m, mem_ref[l],
+                                       preferred_element_type=mm)
+                             + bin1).astype(xp_scratch.dtype)
+            return c
+
+        jax.lax.fori_loop(0, NB, proj, 0)
+
+        def chain(i, h):
+            j = NB - 1 - i
+            h = _gru_step_cm(h, xp_scratch[j].astype(acc), whh_u,
+                             bhh_u, H)
+            up_scratch[base + j] = h.astype(up_scratch.dtype)
+            return h
+
+        return jax.lax.fori_loop(0, NB, chain, h)
+
+    jax.lax.fori_loop(0, L // NB, up_block, h)
+
+    h2 = h0d_ref[:].astype(acc)
+
+    def down_block(b, h2):
+        base = b * NB
+
+        def proj(j, c):
+            xp_scratch[j] = (jnp.dot(win2, up_scratch[base + j],
+                                     preferred_element_type=mm)
+                             + bin2).astype(xp_scratch.dtype)
+            return c
+
+        jax.lax.fori_loop(0, NB, proj, 0)
+
+        def chain(j, h2):
+            h2 = _gru_step_cm(h2, xp_scratch[j].astype(acc), whh_d,
+                              bhh_d, H)
+            hd = h2.astype(wlat.dtype)
+            mem_l = (jnp.dot(wlat, hd, preferred_element_type=mm)
+                     + blat).astype(outmem_ref.dtype)
+            out_l = (jnp.dot(wout, mem_l.astype(wout.dtype),
+                             preferred_element_type=mm) + bout)
+            outmem_ref[base + j] = jnp.concatenate(
+                [mem_l, out_l.astype(outmem_ref.dtype)], axis=0)
+            return h2
+
+        return jax.lax.fori_loop(0, NB, chain, h2)
+
+    h2 = jax.lax.fori_loop(0, L // NB, down_block, h2)
+    lasth_ref[:] = h2.astype(lasth_ref.dtype)
+
+
+def _hoist_nb(L: int) -> int:
+    """Level-block size for the chunked hoist: the largest divisor of L
+    <= 16 (block xp scratch stays ~14 kB/lane at H=192 bf16, so the
+    lane tile is barely reduced)."""
+    for nb in range(min(16, L), 0, -1):
+        if L % nb == 0:
+            return nb
+    return 1
+
+
 def _auto_block_b_cm(B: int, L: int, CH: int, nm_in: int, H: int,
-                     nm: int, ny: int, itemsize: int) -> int:
+                     nm: int, ny: int, itemsize: int,
+                     hoist_proj: bool = False) -> int:
     """Lane-tile sizing. Mosaic requires the lane (minor) block dim to
     be a multiple of 128, so the tile is the largest 128-multiple whose
     VMEM working set (double-buffered x rows + scratch + double-buffered
@@ -955,25 +1066,28 @@ def _auto_block_b_cm(B: int, L: int, CH: int, nm_in: int, H: int,
     (no pad), otherwise the wrapper pads the batch lanes to a tile
     multiple (<=0.8% at the 21,600-column online batch)."""
     per_lane = L * itemsize * (2 * (CH + nm_in) + H + 2 * (nm + ny))
+    if hoist_proj:
+        per_lane += _hoist_nb(L) * itemsize * 3 * H   # xp block scratch
     cap = int(_VMEM_BUDGET // max(per_lane, 1))
     cap = max(cap // 128 * 128, 128)
     div = _divisor_tile(B, cap, 128)
     if div:
         return div
-    # no 128-multiple divides B: pick the tile minimizing total padded
-    # lanes while staying in budget
-    best, waste = 128, None
-    for bt in range(cap, 127, -128):
-        pad = (B + bt - 1) // bt * bt - B
-        if waste is None or pad < waste:
-            best, waste = bt, pad
-    return best
+    # No 128-multiple divides B. The serial level chain runs once per
+    # TILE, so tile COUNT dominates (a pad-minimizing 128-lane tile at
+    # B=21,600 meant 169 tiles x 120 chain steps and ~2x the kernel
+    # time): take the fewest tiles the budget allows, then the smallest
+    # tile giving that count (minimizes pad as the secondary objective)
+    n_tiles = -(-B // cap)
+    bt = -(-(-(-B // n_tiles)) // 128) * 128
+    return min(max(bt, 128), cap)
 
 
 def _bigru_heads_cm_pallas(x, mem_in, h0_up, h0_dn, win1h_t, win1m_t,
                            bin1, whh_up_t, bhh_up, win2_t, bin2,
                            whh_dn_t, bhh_dn, wlat_t, blat, wout_t, bout,
-                           block_b=None, interpret=False, acc32=True):
+                           block_b=None, interpret=False, acc32=True,
+                           hoist_proj=False):
     """Channel-major v5: x [L, CH, B] + mem_in [L, nm_in, B], h0 [H, B],
     weights pre-transposed [out_ch, in_ch], biases [ch, 1] ->
     (outmem [L, nm+ny, B], lasth [H, B])."""
@@ -984,7 +1098,7 @@ def _bigru_heads_cm_pallas(x, mem_in, h0_up, h0_dn, win1h_t, win1m_t,
     ny = wout_t.shape[0]
     if block_b is None:
         block_b = _auto_block_b_cm(B, L, CH, nm_in, H, nm, ny,
-                                   x.dtype.itemsize)
+                                   x.dtype.itemsize, hoist_proj)
     B0 = B
     if B % block_b:
         # pad the batch LANES to a tile multiple (Mosaic lane blocks
@@ -999,8 +1113,9 @@ def _bigru_heads_cm_pallas(x, mem_in, h0_up, h0_dn, win1h_t, win1m_t,
         B = B + pad
     nb = pl.cdiv(B, block_b)
 
-    kernel = functools.partial(_bigru_heads_cm_kernel, L=L, H=H, nm=nm,
-                               acc32=acc32)
+    kernel = functools.partial(
+        _bigru_heads_cm_hoist_kernel if hoist_proj
+        else _bigru_heads_cm_kernel, L=L, H=H, nm=nm, acc32=acc32)
     full = lambda shape: pl.BlockSpec(shape, lambda i: (0,) * len(shape),
                                       memory_space=pltpu.VMEM)
     lane = lambda *lead: pl.BlockSpec(lead + (block_b,),
@@ -1025,7 +1140,10 @@ def _bigru_heads_cm_pallas(x, mem_in, h0_up, h0_dn, win1h_t, win1m_t,
             jax.ShapeDtypeStruct((L, nm + ny, B), x.dtype),
             jax.ShapeDtypeStruct((H, B), x.dtype),
         ],
-        scratch_shapes=[pltpu.VMEM((L, H, block_b), x.dtype)],
+        scratch_shapes=(
+            ([pltpu.VMEM((_hoist_nb(L), 3 * H, block_b), x.dtype)]
+             if hoist_proj else [])
+            + [pltpu.VMEM((L, H, block_b), x.dtype)]),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=127 * 1024 * 1024),
         interpret=interpret,
@@ -1056,23 +1174,29 @@ def _heads_cm_compose(x, mem_in, h0_up, h0_dn, win1h_t, win1m_t, bin1,
     return outmem, tT(lasth)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(17, 18, 19))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(17, 18, 19, 20))
 def fused_bigru_heads_cm(x, mem_in, h0_up, h0_dn, win1h_t, win1m_t, bin1,
                          whh_up_t, bhh_up, win2_t, bin2, whh_dn_t,
                          bhh_dn, wlat_t, blat, wout_t, bout,
                          block_b=None, interpret: bool = False,
-                         acc32: bool = True):
+                         acc32: bool = True, hoist_proj: bool = True):
     """v5 channel-major fused BiGRU + heads with split up projection.
     x [L, CH, B] (init-MLP stream), mem_in [L, nm_in, B], h0 [H, B],
     weights pre-transposed [out_ch, in_ch], biases [ch, 1] ->
-    (outmem [L, nm+ny, B] = mem || out, lasth [H, B])."""
+    (outmem [L, nm+ny, B] = mem || out, lasth [H, B]).
+
+    ``hoist_proj`` (default on) runs each sweep's input projections as a
+    separate non-dependent phase into VMEM scratch so the serial level
+    chain carries only the recurrent dot + gates (see
+    :func:`_bigru_heads_cm_hoist_kernel`)."""
     from . import on_tpu
     if on_tpu() or interpret:
         return _bigru_heads_cm_pallas(x, mem_in, h0_up, h0_dn, win1h_t,
                                       win1m_t, bin1, whh_up_t, bhh_up,
                                       win2_t, bin2, whh_dn_t, bhh_dn,
                                       wlat_t, blat, wout_t, bout,
-                                      block_b, interpret, acc32)
+                                      block_b, interpret, acc32,
+                                      hoist_proj)
     return _heads_cm_compose(x, mem_in, h0_up, h0_dn, win1h_t, win1m_t,
                              bin1, whh_up_t, bhh_up, win2_t, bin2,
                              whh_dn_t, bhh_dn, wlat_t, blat, wout_t,
@@ -1081,17 +1205,19 @@ def fused_bigru_heads_cm(x, mem_in, h0_up, h0_dn, win1h_t, win1m_t, bin1,
 
 def _heads_cm_fwd(x, mem_in, h0_up, h0_dn, win1h_t, win1m_t, bin1,
                   whh_up_t, bhh_up, win2_t, bin2, whh_dn_t, bhh_dn,
-                  wlat_t, blat, wout_t, bout, block_b, interpret, acc32):
+                  wlat_t, blat, wout_t, bout, block_b, interpret, acc32,
+                  hoist_proj):
     out = fused_bigru_heads_cm(x, mem_in, h0_up, h0_dn, win1h_t, win1m_t,
                                bin1, whh_up_t, bhh_up, win2_t, bin2,
                                whh_dn_t, bhh_dn, wlat_t, blat, wout_t,
-                               bout, block_b, interpret, acc32)
+                               bout, block_b, interpret, acc32,
+                               hoist_proj)
     return out, (x, mem_in, h0_up, h0_dn, win1h_t, win1m_t, bin1,
                  whh_up_t, bhh_up, win2_t, bin2, whh_dn_t, bhh_dn,
                  wlat_t, blat, wout_t, bout)
 
 
-def _heads_cm_bwd(block_b, interpret, acc32, res, g):
+def _heads_cm_bwd(block_b, interpret, acc32, hoist_proj, res, g):
     from . import on_tpu
     use_kernel = on_tpu() and not interpret
     _, vjp = jax.vjp(

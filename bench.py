@@ -245,31 +245,37 @@ def main():
     # vmem-declaration + tile-count fixes); fall back if a variant fails
     # to compile on this platform
     hi_best, hi_cfg, hi_spread = None, None, None
-    for stencil, emul, fuse in ((True, True, True), (True, True, False),
-                                (True, False, False),
-                                (False, False, False)):
+    for stencil, emul, fuse, finit in (
+            (True, True, True, True),      # v6: + in-kernel init MLP
+            (True, True, True, False),     # v5 channel-major fused
+            (True, True, False, False),    # v2 batch-major kernel
+            (True, False, False, False), (False, False, False, False)):
         try:
             med, spread = measure(*build(HI, stencil, emul,
-                                         fuse_heads=fuse))
+                                         fuse_heads=fuse,
+                                         fuse_init=finit))
             cols = HI[0] * HI[1] / med
+            emu_name = ("pallas-fused-init" if finit else "pallas-fused"
+                        if fuse else "pallas" if emul else "scan")
             name = f"stencil={'pallas' if stencil else 'xla'}+" \
-                   f"emu={'pallas-fused' if fuse else 'pallas' if emul else 'scan'}"
+                   f"emu={emu_name}"
             print(f"# hybrid 21600 cols [{name}]: {med*1e3:.2f} ms/step "
                   f"({cols:,.0f} cols/s, spread {spread:.0%})",
                   file=sys.stderr)
             results[name] = cols
             if hi_best is None or cols > hi_best:
                 hi_best, hi_spread = cols, spread
-                hi_cfg = (stencil, emul, fuse)
+                hi_cfg = (stencil, emul, fuse, finit)
         except Exception as e:
-            print(f"# hybrid 21600 variant ({stencil},{emul},{fuse}) "
+            print(f"# hybrid 21600 variant ({stencil},{emul},{fuse},{finit}) "
                   f"failed: {type(e).__name__}: {e}", file=sys.stderr)
 
     lo_cols = None
     if hi_cfg is not None:
         try:
             med, _ = measure(*build(LO, hi_cfg[0], hi_cfg[1],
-                                    fuse_heads=hi_cfg[2]))
+                                    fuse_heads=hi_cfg[2],
+                                    fuse_init=hi_cfg[3]))
             lo_cols = LO[0] * LO[1] / med
             print(f"# hybrid 384 cols: {med*1e3:.3f} ms/step "
                   f"({lo_cols:,.0f} cols/s)", file=sys.stderr)
@@ -286,7 +292,8 @@ def main():
 
     # variance-immune companion: same-process pallas/xla ratio
     ratio = None
-    a = results.get("stencil=pallas+emu=pallas-fused") or \
+    a = results.get("stencil=pallas+emu=pallas-fused-init") or \
+        results.get("stencil=pallas+emu=pallas-fused") or \
         results.get("stencil=pallas+emu=pallas") or \
         results.get("stencil=pallas+emu=scan")
     b = results.get("stencil=xla+emu=scan")

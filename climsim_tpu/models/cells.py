@@ -381,8 +381,11 @@ class FusedBiGRUHeadsLayer(nn.Module):
     # array is 128-lane padded, so batch-major narrow activations cost
     # ~20x their logical bytes at every producer/consumer; channel-major
     # puts the big batch dim on the lanes with zero padding (the v5
-    # kernel, ops.pallas_rnn.fused_bigru_heads_cm). Requires
-    # init_width == 0 (init-MLP fusion is a batch-major-only option).
+    # kernel, ops.pallas_rnn.fused_bigru_heads_cm). With init_width > 0
+    # the v6 kernel additionally evaluates the initial MLP in VMEM from
+    # raw features [L, nf, B] (fused_bigru_heads_init_cm) — the thin
+    # feature input lets the lane tile grow, and the [L, H, B] init
+    # stream never exists in HBM.
     level_major: bool = False
 
     @nn.compact
@@ -395,26 +398,28 @@ class FusedBiGRUHeadsLayer(nn.Module):
 
         H = self.hidden
         if self.level_major:
-            # channel-major: x [L, CH, B] is the init-MLP stream and mem
-            # [L, nm_in, B] stays a SEPARATE kernel input (split up
-            # projection); win1 keeps the concatenated [CH+nm_in, 3H]
-            # shape so the param tree matches the batch-major model
+            # channel-major: x [L, CH, B] is the init-MLP stream (or the
+            # RAW features when init_width > 0 — the v6 kernel evaluates
+            # the initial MLP in VMEM) and mem [L, nm_in, B] stays a
+            # SEPARATE kernel input (split up projection); win1 keeps
+            # the concatenated [CH+nm_in, 3H] shape so the param tree
+            # matches the batch-major model
             if self.init_width > 0:
-                raise ValueError("level_major (channel-major) does not "
-                                 "support in-kernel init fusion")
-            nx = x.shape[1] + (mem.shape[1] if mem is not None else 0)
+                nx = x.shape[1]
+            else:
+                nx = x.shape[1] + (mem.shape[1] if mem is not None else 0)
         else:
             nx = x.shape[-1]
         init = nn.initializers.lecun_normal()
         zeros = nn.initializers.zeros
-        use_init = (self.init_width > 0 and mem is not None
-                    and not self.level_major)
+        use_init = self.init_width > 0 and mem is not None
         if use_init:
             w_init = self.param("w_init", init, (nx, self.init_width),
                                 jnp.float32)
             b_init = self.param("b_init", zeros, (self.init_width,),
                                 jnp.float32)
-            nx_up = self.init_width + mem.shape[-1]
+            nx_up = self.init_width + (mem.shape[1] if self.level_major
+                                       else mem.shape[-1])
         else:
             nx_up = nx
         win1 = self.param("win1", init, (nx_up, 3 * H), jnp.float32)
@@ -436,11 +441,13 @@ class FusedBiGRUHeadsLayer(nn.Module):
         from ..ops import on_tpu
         use_kernel = (not self.force_reference) and on_tpu()
         if self.level_major:
-            # channel-major v5: pre-transposed weights, [ch, 1] biases,
-            # split up projection (win1 rows CH | nm_in)
+            # channel-major v5/v6: pre-transposed weights, [ch, 1]
+            # biases, split up projection (win1 rows CH | nm_in)
+            from ..ops.pallas_rnn import (fused_bigru_heads_init_cm,
+                                          _heads_init_cm_compose)
             tw = lambda t: a(t).T
             tb = lambda t: a(t)[:, None]
-            CH = x.shape[1]
+            CH = self.init_width if use_init else x.shape[1]
             mem_in = a(mem) if mem is not None else \
                 jnp.zeros((x.shape[0], 0, x.shape[2]), x.dtype)
             args = (x, mem_in, a(h0_up).T, a(h0_dn).T,
@@ -448,12 +455,17 @@ class FusedBiGRUHeadsLayer(nn.Module):
                     tw(whh_up), tb(bhh_up), tw(win2), tb(bin2),
                     tw(whh_dn), tb(bhh_dn), tw(wlat), tb(blat),
                     tw(wout), tb(bout))
-            if use_kernel:
-                outmem, lasth = fused_bigru_heads_cm(
-                    *args, self.block_b, False, self.acc32)
+            if use_init:
+                # v6: raw features in, initial MLP inside the kernel
+                args = args[:4] + (tw(w_init), tb(b_init)) + args[4:]
+                op, ref = fused_bigru_heads_init_cm, _heads_init_cm_compose
             else:
-                outmem, lasth = _heads_cm_compose(
-                    *args, self.block_b, False, self.acc32, False)
+                op, ref = fused_bigru_heads_cm, _heads_cm_compose
+            if use_kernel:
+                outmem, lasth = op(*args, self.block_b, False, self.acc32)
+            else:
+                outmem, lasth = ref(*args, self.block_b, False,
+                                    self.acc32, False)
             nm = self.nh_mem
             return outmem[:, nm:, :], outmem[:, :nm, :], lasth.T
         lm = lambda t: jnp.swapaxes(t, 0, 1)

@@ -98,11 +98,16 @@ class RNNAutoreg(nn.Module):
     # modules); use params_fused_to_unfused/params_unfused_to_fused to
     # convert checkpoints across the flag.
     fuse_heads: bool = False
-    # ALSO fold the initial MLP + memory concat into the kernel (v4).
-    # Measured SLOWER than leaving them to XLA (8.05 vs 4.99 ms kernel
-    # standalone at B=21,600): the narrow [L, Bt, 6]/[L, Bt, 16] operand
-    # DMAs are 128-lane padded and the extra serial matmul sits on the
-    # level-recurrence critical path. Kept for completeness; default off.
+    # ALSO fold the initial MLP + memory concat into the kernel.
+    # Batch-major (v4): measured SLOWER than leaving them to XLA
+    # (8.05 vs 4.99 ms kernel standalone at B=21,600) — the narrow
+    # [L, Bt, 6]/[L, Bt, 16] operand DMAs are 128-lane padded and the
+    # extra serial matmul sits on the level-recurrence critical path.
+    # CHANNEL-MAJOR (level_major=True, the v6 kernel): the thin
+    # [L, nf, B] feature input costs nothing on the lanes, the init/
+    # projection evaluations run as chunked non-dependent phases, and
+    # the smaller input buffer lets the lane tile grow — fewer serial
+    # chains. Default off; the bench auto-selects.
     fuse_init: bool = False
     # CHANNEL-MAJOR activation layout: x_main and mem arrive [L, C, B]
     # and out/new_mem return [L, ny, B] / [L, nh_mem, B] (x_sfc/out_sfc
@@ -195,8 +200,6 @@ class RNNAutoreg(nn.Module):
         # the kernel — skip materializing h [B, L, H] here. Default off:
         # measured slower than the XLA init MLP (see the field comment).
         fuse_init = fuse_heads and self.use_initial_mlp and self.fuse_init
-        if self.level_major and fuse_init:
-            raise ValueError("fuse_init is a batch-major-only option")
         h = x_crm_in
         if self.use_initial_mlp and not fuse_init:
             if self.level_major:

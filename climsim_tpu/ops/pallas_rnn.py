@@ -1065,7 +1065,8 @@ def _auto_block_b_cm(B: int, L: int, CH: int, nm_in: int, H: int,
     merged output per lane) fits the budget; a divisor of B is preferred
     (no pad), otherwise the wrapper pads the batch lanes to a tile
     multiple (<=0.8% at the 21,600-column online batch)."""
-    per_lane = L * itemsize * (2 * (CH + nm_in) + H + 2 * (nm + ny))
+    per_lane = L * itemsize * (2 * (CH + nm_in) + H + 2 * (nm + ny)) \
+        + 6 * H * itemsize      # double-buffered h0_up/h0_dn + lasth
     if hoist_proj:
         per_lane += _hoist_nb(L) * itemsize * 3 * H   # xp block scratch
     cap = int(_VMEM_BUDGET // max(per_lane, 1))
@@ -1511,6 +1512,269 @@ def _heads_init_bwd(block_b, interpret, acc32, res, g):
 
 
 fused_bigru_heads_init_lbh.defvjp(_heads_init_fwd, _heads_init_bwd)
+
+
+# --------------------------------------------------------------------------
+# v6: channel-major + in-kernel initial MLP + chunked projection hoist
+# --------------------------------------------------------------------------
+#
+# The v5 cm kernel's lane tile is capped by its widest input: the
+# init-MLP stream [L, CH=H, B] (double-buffered, ~50 kB/lane at the
+# flagship shapes). Taking the RAW features [L, nf~7-13, B] instead and
+# evaluating the initial MLP inside the kernel shrinks the input buffer
+# ~8x, so the tile grows (16 -> ~12 tiles at B=21,600) — and the serial
+# level chain, which runs once per tile, is the kernel's floor. The
+# init + projection evaluations run as chunked non-dependent phases
+# (the _bigru_heads_cm_hoist_kernel scheme); the [L, H, B] init stream
+# never exists in HBM (~0.5 GB/step at the online batch).
+
+
+def _bigru_heads_init_cm_kernel(feat_ref, mem_ref, h0u_ref, h0d_ref,
+                                winit_ref, binit_ref, win1h_ref,
+                                win1m_ref, bin1_ref, whh_u_ref, bhh_u_ref,
+                                win2_ref, bin2_ref, whh_d_ref, bhh_d_ref,
+                                wlat_ref, blat_ref, wout_ref, bout_ref,
+                                outmem_ref, lasth_ref, xi_scratch,
+                                xp_scratch, up_scratch, *, L: int, H: int,
+                                nm: int, acc32: bool = True):
+    """feat_ref [L, nf, Bt] raw features, mem_ref [L, nm_in, Bt];
+    winit_t [H, nf]; the up projection splits win1 rows (xi | mem) like
+    the v5 kernel; v4 numerics: xi = tanh((winit@feat + binit) cast to
+    the input dtype)."""
+    acc = jnp.float32 if acc32 else feat_ref.dtype
+    mm = jnp.promote_types(acc, jnp.float32)
+    dt = feat_ref.dtype
+    NB = _hoist_nb(L)
+    winit = winit_ref[:]
+    binit = binit_ref[:].astype(mm)
+    win1h = win1h_ref[:]
+    win1m = win1m_ref[:]
+    bin1 = bin1_ref[:].astype(mm)
+    whh_u = whh_u_ref[:]
+    bhh_u = bhh_u_ref[:].astype(acc)
+    whh_d = whh_d_ref[:]
+    bhh_d = bhh_d_ref[:].astype(acc)
+    win2 = win2_ref[:]
+    bin2 = bin2_ref[:].astype(mm)
+    wlat = wlat_ref[:]
+    blat = blat_ref[:].astype(mm)
+    wout = wout_ref[:]
+    bout = bout_ref[:].astype(mm)
+
+    h = h0u_ref[:].astype(acc)
+
+    def up_block(b, h):
+        base = L - (b + 1) * NB
+
+        def init_phase(j, c):
+            xi_scratch[j] = _tanh_typed(
+                (jnp.dot(winit, feat_ref[base + j],
+                         preferred_element_type=mm)
+                 + binit).astype(dt))
+            return c
+
+        jax.lax.fori_loop(0, NB, init_phase, 0)
+
+        def proj_phase(j, c):
+            xp_scratch[j] = (jnp.dot(win1h, xi_scratch[j],
+                                     preferred_element_type=mm)
+                             + jnp.dot(win1m, mem_ref[base + j],
+                                       preferred_element_type=mm)
+                             + bin1).astype(xp_scratch.dtype)
+            return c
+
+        jax.lax.fori_loop(0, NB, proj_phase, 0)
+
+        def chain(i, h):
+            j = NB - 1 - i
+            h = _gru_step_cm(h, xp_scratch[j].astype(acc), whh_u,
+                             bhh_u, H)
+            up_scratch[base + j] = h.astype(up_scratch.dtype)
+            return h
+
+        return jax.lax.fori_loop(0, NB, chain, h)
+
+    jax.lax.fori_loop(0, L // NB, up_block, h)
+
+    h2 = h0d_ref[:].astype(acc)
+
+    def down_block(b, h2):
+        base = b * NB
+
+        def proj_phase(j, c):
+            xp_scratch[j] = (jnp.dot(win2, up_scratch[base + j],
+                                     preferred_element_type=mm)
+                             + bin2).astype(xp_scratch.dtype)
+            return c
+
+        jax.lax.fori_loop(0, NB, proj_phase, 0)
+
+        def chain(j, h2):
+            h2 = _gru_step_cm(h2, xp_scratch[j].astype(acc), whh_d,
+                              bhh_d, H)
+            hd = h2.astype(wlat.dtype)
+            mem_l = (jnp.dot(wlat, hd, preferred_element_type=mm)
+                     + blat).astype(outmem_ref.dtype)
+            out_l = (jnp.dot(wout, mem_l.astype(wout.dtype),
+                             preferred_element_type=mm) + bout)
+            outmem_ref[base + j] = jnp.concatenate(
+                [mem_l, out_l.astype(outmem_ref.dtype)], axis=0)
+            return h2
+
+        return jax.lax.fori_loop(0, NB, chain, h2)
+
+    h2 = jax.lax.fori_loop(0, L // NB, down_block, h2)
+    lasth_ref[:] = h2.astype(lasth_ref.dtype)
+
+
+def _auto_block_b_init_cm(B: int, L: int, nf: int, nm_in: int, H: int,
+                          nm: int, ny: int, itemsize: int) -> int:
+    per_lane = L * itemsize * (2 * (nf + nm_in) + H + 2 * (nm + ny)) \
+        + _hoist_nb(L) * itemsize * 4 * H \
+        + 6 * H * itemsize      # double-buffered h0_up/h0_dn + lasth
+    cap = int(_VMEM_BUDGET // max(per_lane, 1))
+    cap = max(cap // 128 * 128, 128)
+    div = _divisor_tile(B, cap, 128)
+    if div:
+        return div
+    n_tiles = -(-B // cap)
+    bt = -(-(-(-B // n_tiles)) // 128) * 128
+    return min(max(bt, 128), cap)
+
+
+def _bigru_heads_init_cm_pallas(feat, mem_in, h0_up, h0_dn, winit_t,
+                                binit, win1h_t, win1m_t, bin1, whh_up_t,
+                                bhh_up, win2_t, bin2, whh_dn_t, bhh_dn,
+                                wlat_t, blat, wout_t, bout, block_b=None,
+                                interpret=False, acc32=True):
+    """v6: feat [L, nf, B] raw features + mem_in [L, nm_in, B], h0
+    [H, B], weights pre-transposed [out_ch, in_ch], biases [ch, 1] ->
+    (outmem [L, nm+ny, B] = mem || out, lasth [H, B])."""
+    L, nf, B = feat.shape
+    nm_in = mem_in.shape[1]
+    H = whh_up_t.shape[1]
+    nm = wlat_t.shape[0]
+    ny = wout_t.shape[0]
+    if block_b is None:
+        block_b = _auto_block_b_init_cm(B, L, nf, nm_in, H, nm, ny,
+                                        feat.dtype.itemsize)
+    B0 = B
+    if B % block_b:
+        pad = block_b * pl.cdiv(B, block_b) - B
+        padB = lambda a: jnp.pad(a, [(0, 0)] * (a.ndim - 1) + [(0, pad)])
+        feat, mem_in = padB(feat), padB(mem_in)
+        h0_up, h0_dn = padB(h0_up), padB(h0_dn)
+        B = B + pad
+    nb = pl.cdiv(B, block_b)
+
+    kernel = functools.partial(_bigru_heads_init_cm_kernel, L=L, H=H,
+                               nm=nm, acc32=acc32)
+    full = lambda shape: pl.BlockSpec(shape, lambda i: (0,) * len(shape),
+                                      memory_space=pltpu.VMEM)
+    lane = lambda *lead: pl.BlockSpec(lead + (block_b,),
+                                      lambda i: (0,) * len(lead) + (i,),
+                                      memory_space=pltpu.VMEM)
+    in_specs = [
+        lane(L, nf), lane(L, nm_in), lane(H), lane(H),
+        full((H, nf)), full((H, 1)),
+        full((3 * H, H)), full((3 * H, nm_in)), full((3 * H, 1)),
+        full((3 * H, H)), full((3 * H, 1)),
+        full((3 * H, H)), full((3 * H, 1)),
+        full((3 * H, H)), full((3 * H, 1)),
+        full((nm, H)), full((nm, 1)),
+        full((ny, nm)), full((ny, 1)),
+    ]
+    out_specs = [lane(L, nm + ny), lane(H)]
+    NB = _hoist_nb(L)
+    outmem, lasth = pl.pallas_call(
+        kernel,
+        grid=(nb,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=[
+            jax.ShapeDtypeStruct((L, nm + ny, B), feat.dtype),
+            jax.ShapeDtypeStruct((H, B), feat.dtype),
+        ],
+        scratch_shapes=[pltpu.VMEM((NB, H, block_b), feat.dtype),
+                        pltpu.VMEM((NB, 3 * H, block_b), feat.dtype),
+                        pltpu.VMEM((L, H, block_b), feat.dtype)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=127 * 1024 * 1024),
+        interpret=interpret,
+    )(feat, mem_in, h0_up, h0_dn, winit_t, binit, win1h_t, win1m_t, bin1,
+      whh_up_t, bhh_up, win2_t, bin2, whh_dn_t, bhh_dn, wlat_t, blat,
+      wout_t, bout)
+    if B0 != B:
+        outmem, lasth = outmem[..., :B0], lasth[..., :B0]
+    return outmem, lasth
+
+
+def _heads_init_cm_compose(feat, mem_in, h0_up, h0_dn, winit_t, binit,
+                           win1h_t, win1m_t, bin1, whh_up_t, bhh_up,
+                           win2_t, bin2, whh_dn_t, bhh_dn, wlat_t, blat,
+                           wout_t, bout, block_b, interpret, acc32,
+                           use_kernel):
+    """Differentiable channel-major v6 reference: transpose to the
+    batch-major v4 composition, transpose back."""
+    tT = lambda a: jnp.swapaxes(a, -1, -2)
+    sq = lambda b: b[:, 0]
+    win1 = jnp.concatenate([tT(win1h_t), tT(win1m_t)], axis=0)
+    out, mem, lasth = _heads_init_compose(
+        tT(feat), tT(mem_in), tT(h0_up), tT(h0_dn), tT(winit_t),
+        sq(binit), win1, sq(bin1), tT(whh_up_t), sq(bhh_up), tT(win2_t),
+        sq(bin2), tT(whh_dn_t), sq(bhh_dn), tT(wlat_t), sq(blat),
+        tT(wout_t), sq(bout), block_b, interpret, acc32, use_kernel)
+    outmem = jnp.concatenate([tT(mem), tT(out)], axis=1)
+    return outmem, tT(lasth)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(19, 20, 21))
+def fused_bigru_heads_init_cm(feat, mem_in, h0_up, h0_dn, winit_t, binit,
+                              win1h_t, win1m_t, bin1, whh_up_t, bhh_up,
+                              win2_t, bin2, whh_dn_t, bhh_dn, wlat_t,
+                              blat, wout_t, bout, block_b=None,
+                              interpret: bool = False, acc32: bool = True):
+    """v6 channel-major fused initial-MLP + BiGRU + heads (see the
+    section comment). feat [L, nf, B] RAW features, mem_in
+    [L, nm_in, B] -> (outmem [L, nm+ny, B] = mem || out, lasth [H, B])."""
+    from . import on_tpu
+    if on_tpu() or interpret:
+        return _bigru_heads_init_cm_pallas(
+            feat, mem_in, h0_up, h0_dn, winit_t, binit, win1h_t, win1m_t,
+            bin1, whh_up_t, bhh_up, win2_t, bin2, whh_dn_t, bhh_dn,
+            wlat_t, blat, wout_t, bout, block_b, interpret, acc32)
+    return _heads_init_cm_compose(feat, mem_in, h0_up, h0_dn, winit_t,
+                                  binit, win1h_t, win1m_t, bin1, whh_up_t,
+                                  bhh_up, win2_t, bin2, whh_dn_t, bhh_dn,
+                                  wlat_t, blat, wout_t, bout, block_b,
+                                  interpret, acc32, False)
+
+
+def _heads_init_cm_fwd(feat, mem_in, h0_up, h0_dn, winit_t, binit,
+                       win1h_t, win1m_t, bin1, whh_up_t, bhh_up, win2_t,
+                       bin2, whh_dn_t, bhh_dn, wlat_t, blat, wout_t,
+                       bout, block_b, interpret, acc32):
+    out = fused_bigru_heads_init_cm(feat, mem_in, h0_up, h0_dn, winit_t,
+                                    binit, win1h_t, win1m_t, bin1,
+                                    whh_up_t, bhh_up, win2_t, bin2,
+                                    whh_dn_t, bhh_dn, wlat_t, blat,
+                                    wout_t, bout, block_b, interpret,
+                                    acc32)
+    return out, (feat, mem_in, h0_up, h0_dn, winit_t, binit, win1h_t,
+                 win1m_t, bin1, whh_up_t, bhh_up, win2_t, bin2, whh_dn_t,
+                 bhh_dn, wlat_t, blat, wout_t, bout)
+
+
+def _heads_init_cm_bwd(block_b, interpret, acc32, res, g):
+    from . import on_tpu
+    use_kernel = on_tpu() and not interpret
+    _, vjp = jax.vjp(
+        lambda *a: _heads_init_cm_compose(*a, block_b, interpret, acc32,
+                                          use_kernel), *res)
+    return vjp(g)
+
+
+fused_bigru_heads_init_cm.defvjp(_heads_init_cm_fwd, _heads_init_cm_bwd)
 
 
 class PallasBiGRU:

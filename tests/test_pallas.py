@@ -532,3 +532,77 @@ def test_rnn_autoreg_level_major_matches_batch_major():
                                rtol=2e-5, atol=2e-6)
     np.testing.assert_allclose(np.asarray(mem2), np.asarray(cm(mem_o)),
                                rtol=2e-5, atol=2e-6)
+
+
+def _make_heads_init_cm(B=16, L=12, nf=7, nm_in=4, H=16, nm=8, ny=6,
+                        dtype=jnp.float32, seed=7):
+    ks = jax.random.split(K(seed), 19)
+    s = 0.25
+    shp = [(L, nf, B), (L, nm_in, B), (H, B), (H, B),
+           (H, nf), (H, 1),
+           (3 * H, H), (3 * H, nm_in), (3 * H, 1),
+           (3 * H, H), (3 * H, 1), (3 * H, H), (3 * H, 1),
+           (3 * H, H), (3 * H, 1), (nm, H), (nm, 1), (ny, nm), (ny, 1)]
+    return tuple(jax.random.normal(k, sh, dtype) * s
+                 for k, sh in zip(ks, shp))
+
+
+def test_fused_bigru_heads_init_cm_matches_compose():
+    """v6 channel-major init-fused kernel (interpret mode) == the
+    transposed v4 composition, incl. a lane-padded batch."""
+    from climsim_tpu.ops.pallas_rnn import (_bigru_heads_init_cm_pallas,
+                                            _heads_init_cm_compose)
+    for B, block in ((16, 16), (144, 128)):
+        args = _make_heads_init_cm(B=B)
+        ref = _heads_init_cm_compose(*args, None, False, True, False)
+        got = _bigru_heads_init_cm_pallas(*args, block, True, True)
+        for g, r, nm_ in zip(got, ref, ("outmem", "lasth")):
+            np.testing.assert_allclose(
+                np.asarray(g), np.asarray(r), rtol=2e-5, atol=2e-6,
+                err_msg=f"B={B} {nm_}")
+
+
+def test_fused_bigru_heads_init_cm_grad():
+    from climsim_tpu.ops.pallas_rnn import (fused_bigru_heads_init_cm,
+                                            _heads_init_cm_compose)
+    args = _make_heads_init_cm(B=8)
+
+    def loss_cm(a):
+        om, h = fused_bigru_heads_init_cm(*a)
+        return jnp.sum(om ** 2) + jnp.sum(h ** 2)
+
+    def loss_ref(a):
+        om, h = _heads_init_cm_compose(*a, None, False, True, False)
+        return jnp.sum(om ** 2) + jnp.sum(h ** 2)
+
+    gc = jax.grad(loss_cm)(args)
+    gr = jax.grad(loss_ref)(args)
+    for a, b, i in zip(gc, gr, range(len(gc))):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=1e-5, err_msg=str(i))
+
+
+def test_rnn_autoreg_level_major_fuse_init_matches_batch_major():
+    """RNNAutoreg(level_major=True, fuse_init=True) — the v6 raw-feature
+    path — matches the batch-major fuse_init model on the same params."""
+    from climsim_tpu.models.rnn import RNNAutoreg
+
+    B, L, nx, ns, ny, nm = 12, 8, 6, 5, 6, 4
+    kw = dict(nx=nx, nx_sfc=ns, ny=ny, ny_sfc=8, nneur=(16, 16),
+              nh_mem=nm, add_pres=False, output_prune=False,
+              fuse_heads=True, fuse_init=True, use_pallas=True)
+    m_bm = RNNAutoreg(**kw)
+    m_lm = RNNAutoreg(level_major=True, **kw)
+    xm = jax.random.normal(K(0), (B, L, nx)) * 0.3
+    xs = jax.random.normal(K(1), (B, ns)) * 0.3
+    mem = jax.random.normal(K(2), (B, L, nm)) * 0.3
+    params = m_bm.init(K(3), xm, xs, mem)
+    out, osfc, mem_o = m_bm.apply(params, xm, xs, mem)
+    cm = lambda a: jnp.moveaxis(a, 0, -1)       # [B,L,C] -> [L,C,B]
+    out2, osfc2, mem2 = m_lm.apply(params, cm(xm), xs, cm(mem))
+    np.testing.assert_allclose(np.asarray(out2), np.asarray(cm(out)),
+                               rtol=2e-5, atol=2e-6)
+    np.testing.assert_allclose(np.asarray(osfc2), np.asarray(osfc),
+                               rtol=2e-5, atol=2e-6)
+    np.testing.assert_allclose(np.asarray(mem2), np.asarray(cm(mem_o)),
+                               rtol=2e-5, atol=2e-6)

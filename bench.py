@@ -75,8 +75,9 @@ def build(ncol_shape, stencil_pallas: bool, emulator_pallas: bool,
     # vmem_limit declaration, and beats v2 since the round-4 tiler fix
     # (fewest-tiles-first for ragged batches: the serial level chain
     # runs once per tile, so 169 pad-minimizing tiles at B=21,600 were
-    # ~2x slower than 16 large ones). Measured production step:
-    # 15.3 ms (v5cm) vs 16.4 ms (v2).
+    # ~2x slower than 16 large ones). With fuse_init the v6 kernel
+    # evaluates the initial MLP in-kernel from raw features. Measured
+    # production step: 14.84 ms (v6) / 15.5 (v5) / 16.5 (v2).
     model = RNNAutoreg(nx=6, nx_sfc=24, ny=6, ny_sfc=8, nneur=(192, 192),
                        nh_mem=16, add_pres=False, policy=BF16,
                        use_pallas=emulator_pallas, fuse_heads=fuse_heads,

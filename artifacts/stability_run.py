@@ -647,6 +647,34 @@ def main():
                        for p, m in d.items()} for s, d in cells.items()}
         print("cross-protocol R2 (states x memory):",
               json.dumps(xp_summary), flush=True)
+        try:     # per-level R2 profile figure for the 2x2 cells
+            import matplotlib
+            matplotlib.use("Agg")
+            import matplotlib.pyplot as plt
+            fig2, axes2 = plt.subplots(1, 3, figsize=(13, 4.5),
+                                       sharey=True)
+            for j, ch in enumerate([0, 1, 2]):
+                ax = axes2[j]
+                for st, color in (("truth_states", "tab:blue"),
+                                  ("hybrid_states", "tab:red")):
+                    for p, ls in (("tf", "-"), ("online_mem", ":")):
+                        r2 = np.array(cells[st][p]["r2_lev"])[:, ch]
+                        ax.plot(r2, np.arange(len(r2)), ls, color=color,
+                                label=f"{st.split('_')[0]} / {p}"
+                                if j == 0 else None,
+                                lw=1.5 if ls == "-" else 2.0, alpha=0.9)
+                ax.set_title("per-level R2: "
+                             + ["dT", "dqv", "dqliq"][j])
+                ax.set_xlabel("R2")
+                ax.set_xlim(-0.1, 1.0)
+                ax.axvline(0, color="k", lw=0.5)
+            axes2[0].set_ylabel("model level (0 = TOA)")
+            axes2[0].invert_yaxis()
+            axes2[0].legend(loc="lower left", fontsize=8)
+            fig2.tight_layout()
+            fig2.savefig(args.out + "_xprotocol_profile.png", dpi=110)
+        except Exception as e:
+            print(f"(no xprotocol plot: {e})", flush=True)
 
     # ------------------------------------------------------------ 4. report
     series = {k: np.concatenate(v) for k, v in per_step.items()}

@@ -85,9 +85,40 @@ def parse_args():
                         "save_wrapper_mem_prevtend_ftorch.py:199-249)")
     p.add_argument("--env-margin", type=float, default=5.0,
                    help="envelope margin [K] beyond the training min/max")
+    p.add_argument("--env-restore-qv", type=float, default=0.0,
+                   help="qv envelope-restoring timescale [days]; 0 "
+                        "disables. Same mechanism as --env-restore-tau "
+                        "but on the per-level qv training envelope (the "
+                        "round-4 water ratio 0.961 suggests the q state "
+                        "drifts too)")
+    p.add_argument("--precc-consistency", action="store_true",
+                   help="replace the NN's precc/precsc diagnostic "
+                        "channels with the column-moisture-sink implied "
+                        "by its OWN predicted tendencies plus the known "
+                        "surface evaporation flux (physical consistency: "
+                        "P = E - d/dt column water; the truth physics "
+                        "closes this identity by construction, "
+                        "data/synthetic.py::equilibrium_physics)")
     p.add_argument("--qv-perturb", type=float, default=0.12,
                    help="peak fractional qv perturbation for segmented "
                         "training data (precip-branch coverage)")
+    p.add_argument("--onpolicy-rounds", type=int, default=0,
+                   help="rounds of on-policy (hybrid-state) fine-tuning: "
+                        "run the current hybrid, label its states with "
+                        "the truth physics, fine-tune on the mixture "
+                        "(DAgger-style distribution-shift fix; round-5 "
+                        "precip/zonal-bias lever)")
+    p.add_argument("--onpolicy-steps", type=int, default=640,
+                   help="hybrid trajectory steps collected per round")
+    p.add_argument("--onpolicy-spin", type=int, default=1080,
+                   help="hybrid steps run (not recorded) before each "
+                        "round's collection, so the data sample the "
+                        "DRIFTED hybrid climate (the bias equilibrates "
+                        "over ~2 weeks), not the early transient")
+    p.add_argument("--onpolicy-epochs", type=int, default=24,
+                   help="fine-tune epochs per round")
+    p.add_argument("--onpolicy-lr", type=float, default=5e-4,
+                   help="fine-tuning learning rate")
     p.add_argument("--xprotocol-steps", type=int, default=360,
                    help="steps of paired trajectory recording for the "
                         "cross-protocol (2x2 states x memory) scoreboard")
@@ -340,6 +371,14 @@ def main():
     Tenv_hi = jnp.asarray(np.asarray(x_raw[..., 0].max(axis=(0, 1)))
                           + args.env_margin, jnp.float32)
     tau_env_s = args.env_restore_tau * 86400.0
+    # per-level qv training envelope (multiplicative margin: qv spans
+    # orders of magnitude across levels, so an additive K-like margin is
+    # meaningless)
+    Qenv_lo = jnp.asarray(np.asarray(x_raw[..., 1].min(axis=(0, 1)))
+                          * 0.5, jnp.float32)                   # [L]
+    Qenv_hi = jnp.asarray(np.asarray(x_raw[..., 1].max(axis=(0, 1)))
+                          * 1.5, jnp.float32)
+    tau_qenv_s = args.env_restore_qv * 86400.0
     y_lev_n = (y_raw * yscale_lev).astype(jnp.float32)
     y_sfc_n = (y_sfc_raw * yscale_sca).astype(jnp.float32)
     for nm, a in (("x_lev_n", x_lev_n), ("x_sfc_n", x_sfc_n),
@@ -419,6 +458,200 @@ def main():
         with open(args.out + "_emulator.msgpack", "wb") as f:
             f.write(serialization.to_bytes(params))
 
+    # -------------- deployed emulator (normalize -> clip -> NN -> unscale
+    # -> envelope restoring), parameterizable for the on-policy loop
+    def emulator(x_main_raw, x_sfc_raw, mem, _prm=None):
+        feats = jnp.concatenate([x_main_raw, derived(x_main_raw)], axis=-1)
+        xn = jnp.clip((feats - xm_j) / xs_j, xlo, xhi)
+        sn = jnp.clip((x_sfc_raw - sfm_j) / sfs_j, slo, shi)
+        out, out_sfc, mem = model.apply(
+            params if _prm is None else _prm, xn, sn, mem)
+        out = out / yscale_lev
+        if tau_env_s > 0:
+            # state-space envelope restoring: relax out-of-envelope T
+            # toward the per-level training envelope (see --env-restore-tau)
+            T = x_main_raw[..., 0]
+            out = out.at[..., 0].add(
+                (jnp.clip(T, Tenv_lo, Tenv_hi) - T) / tau_env_s)
+        if tau_qenv_s > 0:
+            qv = x_main_raw[..., 1]
+            out = out.at[..., 1].add(
+                (jnp.clip(qv, Qenv_lo, Qenv_hi) - qv) / tau_qenv_s)
+        out_sfc = out_sfc / yscale_sca
+        if args.precc_consistency:
+            # physically-consistent precip diagnostic: P = E - d/dt(column
+            # water) per column, with E the host-known surface-evaporation
+            # flux (LHFLX-driven, the same boundary closure the truth
+            # physics uses — ClimSim's LHFLX is likewise a host-model
+            # input, pbuf_LHFLX). Replaces the NN's free-standing precc
+            # channel, which carries no budget constraint.
+            qs_l = thermo.qsat(x_main_raw[..., 0], pmid)
+            nb = 5
+            maskb = jnp.zeros((nlev,), jnp.float32).at[-nb:].set(1.0)
+            dpg = g.mass_weights(x_sfc_raw[:, 0])           # dp/g [B,L]
+            mcol = jnp.sum(dpg * maskb, axis=1, keepdims=True)
+            dry = jnp.clip(1.0 - x_main_raw[..., 1]
+                           / jnp.maximum(qs_l, 1e-8), 0.0, 1.0)
+            e_col = jnp.sum(dpg * maskb * dry, axis=1) \
+                * x_sfc_raw[:, 3] / (C.LV * mcol[:, 0])     # kg m-2 s-1
+            sink = e_col - jnp.sum(
+                dpg * (out[..., 1] + out[..., 2] + out[..., 3]), axis=1)
+            precc_c = jnp.clip(sink / C.RHO_H2O, 0.0, None)
+            snowf = thermo.snow_fraction(x_main_raw[:, -1, 0])
+            out_sfc = out_sfc.at[:, 3].set(precc_c)
+            out_sfc = out_sfc.at[:, 2].set(precc_c * snowf)
+        return out, out_sfc, mem
+
+    model_loop = HybridLoop(emulator, g, loop_cfg)
+    mem0 = jnp.zeros((ncol, nlev, nh_mem), jnp.float32)
+
+    FIELDS = ("T", "qv", "qc", "qi", "u", "v")
+
+    # area-weighted column-scalar mean + the truth physics' evaporation
+    # closure evaluated at an arbitrary state (round-5 precip mechanism
+    # diagnostics; mirrors data/synthetic.py::equilibrium_physics step 4)
+    aw_j = jnp.asarray(np.asarray(g.area_wgt)[:ncol], jnp.float32)
+    awn_j = aw_j / jnp.sum(aw_j)
+    cmean = lambda f: jnp.sum(awn_j * f)
+    _dpg_cols = g.mass_weights(base_sfc[:, 0])
+    _maskb = jnp.zeros((nlev,), jnp.float32).at[-5:].set(1.0)
+    _mcolb = jnp.sum(_dpg_cols * _maskb, axis=1)
+
+    def _evap_col(st):
+        qs_ = thermo.qsat(st["T"], pmid)
+        dry = jnp.clip(1.0 - st["qv"] / jnp.maximum(qs_, 1e-8), 0.0, 1.0)
+        return jnp.sum(_dpg_cols * _maskb * dry, axis=1) \
+            * base_sfc[:, 3] / (C.LV * _mcolb)          # kg m-2 s-1
+
+    # -------------- on-policy (hybrid-state) fine-tuning: the round-5
+    # mechanistic lever for the precip/zonal-bias targets. The 1-year
+    # decomposition (diag_r5_1yr.json) shows the precip excess is a
+    # STATE-DISTRIBUTION effect (truth physics at hybrid-visited states
+    # rains 1.67x the truth climate; the NN's own precc channel actually
+    # UNDERSHOOTS at-state, A=0.84) — the hybrid drifts into a warmer,
+    # BL-drier climate whose evaporation closure pumps more water. The
+    # fix: collect trajectories of the CURRENT hybrid and label every
+    # visited state with the truth physics' tendencies, then fine-tune
+    # on the mixture of original + on-policy data (DAgger-style; the
+    # reference's semi-online training, rnn/utils.py:994-1060, is the
+    # same idea applied within the training distribution).
+    if args.onpolicy_rounds > 0:
+        # fine-tuning optimizer: same algorithm, lower LR (the initial
+        # training may have been loaded from msgpack — the fresh opt
+        # state must not relearn at the full 2e-3)
+        import dataclasses as _dc
+        ft_cfg = _dc.replace(rcfg, lr=args.onpolicy_lr)
+        trainer_ft = RolloutTrainer(
+            model, ft_cfg, np.asarray(g.hyai), np.asarray(g.hybi),
+            yscale_lev=yscale_lev.reshape(1, 1, 6), yscale_sca=yscale_sca,
+            xmean_prog=xm_j[:6], xdiv_prog=xs_j[:6])
+        opt_state_ft = trainer_ft.tx.init(params)
+
+        @jax.jit
+        def opo_chunk(prm, st, m, t0):
+            em = lambda xr, sf, mm: emulator(xr, sf, mm, _prm=prm)
+            lp = HybridLoop(em, g, loop_cfg)
+
+            def step(carry, dt_i):
+                st, m = carry
+                sfc = sfc_at(t0 + dt_i)
+                x_raw = jnp.stack([st[k] for k in FIELDS], axis=-1)
+                yt, ysfc_t = truth(x_raw, sfc, dummy_mem)[:2]
+                st, m, _ = lp.coupled_step(st, m, sfc)
+                return (st, m), (x_raw, yt, ysfc_t, sfc)
+            (st, m), outs = jax.lax.scan(step, (st, m),
+                                         jnp.arange(160 if not args.quick
+                                                    else 48))
+            return st, m, outs
+
+        src_orig = {"x_lev": x_lev_n, "x_sfc": x_sfc_n, "y_lev": y_lev_n,
+                    "y_sfc": y_sfc_n, "sp": sp_t,
+                    "x_lev_raw": x_raw, "y_lev_raw": y_raw}
+        ep_next = args.epochs
+        for rd in range(args.onpolicy_rounds):
+            # 1. run the CURRENT hybrid from the attractor state,
+            # recording states + truth-physics labels
+            st_o = {k: v for k, v in state.items()}
+            mem_o = jnp.zeros((ncol, nlev, nh_mem), jnp.float32)
+            xs_o, ys_o, ysfc_o, sfc_o = [], [], [], []
+            t_o = run_t0 + 100000 + rd * (args.onpolicy_steps
+                                          + args.onpolicy_spin)
+            spun = 0
+            spin_n = args.onpolicy_spin if not args.quick else 0
+            while spun < spin_n:
+                st_o, mem_o, _ = opo_chunk(params, st_o, mem_o,
+                                           jnp.int32(t_o + spun))
+                spun += 160
+            t_o += spun
+            got = 0
+            while got < args.onpolicy_steps:
+                st_o, mem_o, (xr, yr, ysf, sf) = opo_chunk(
+                    params, st_o, mem_o, jnp.int32(t_o + got))
+                xs_o.append(xr); ys_o.append(yr)
+                ysfc_o.append(ysf); sfc_o.append(sf)
+                got += xr.shape[0]
+            xo_raw = jnp.concatenate(xs_o)[:args.onpolicy_steps]
+            yo_raw = jnp.concatenate(ys_o)[:args.onpolicy_steps]
+            yso_raw = jnp.concatenate(ysfc_o)[:args.onpolicy_steps]
+            sfo = jnp.concatenate(sfc_o)[:args.onpolicy_steps]
+            feats_o = jnp.concatenate([xo_raw, derived(xo_raw)], axis=-1)
+            src_opo = {
+                "x_lev": jnp.clip((feats_o - xm_j) / xs_j, xlo, xhi)
+                .astype(jnp.float32),
+                "x_sfc": jnp.clip((sfo - sfm_j) / sfs_j, slo, shi)
+                .astype(jnp.float32),
+                "y_lev": (yo_raw * yscale_lev).astype(jnp.float32),
+                "y_sfc": (yso_raw * yscale_sca).astype(jnp.float32),
+                "sp": jnp.broadcast_to(base_sfc[:, 0][None],
+                                       sfo.shape[:2]),
+                "x_lev_raw": xo_raw, "y_lev_raw": yo_raw}
+
+            # 2. fine-tune on the original + on-policy mixture
+            def chunks_mix(seed):
+                rng = np.random.default_rng(seed)
+                descs = []
+                for si, src in ((0, src_orig), (1, src_opo)):
+                    T_s = src["x_lev"].shape[0]
+                    for idx in chunkize(T_s, chunk_T, rng, True):
+                        descs.append((si, idx))
+                order = rng.permutation(len(descs))
+                buf = []
+                for oi in order:
+                    si, idx = descs[oi]
+                    src = (src_orig, src_opo)[si]
+                    buf.append({k: src[k][idx] for k in src})
+                    if len(buf) == S_GROUP:
+                        yield {k: jnp.concatenate([b[k] for b in buf],
+                                                  axis=1)
+                               for k in buf[0]}
+                        buf = []
+                if buf:
+                    yield {k: jnp.concatenate([b[k] for b in buf],
+                                              axis=1) for k in buf[0]}
+
+            for k_ep in range(args.onpolicy_epochs):
+                params, opt_state_ft, mem, rec = trainer_ft.run_epoch(
+                    params, opt_state_ft, mem, chunks_mix(1000 + ep_next),
+                    ep_next)
+                _, _, mem, vrec = trainer_ft.run_epoch(
+                    params, opt_state_ft, mem,
+                    chunks(T_tr, args.train_steps, 0, False), ep_next,
+                    train=False)
+                rec["val_loss"] = vrec["loss"]
+                rec["onpolicy_round"] = rd
+                history.append(rec)
+                ep_next += 1
+                if k_ep % 5 == 0 or k_ep == args.onpolicy_epochs - 1:
+                    print(f"[{time.time()-t_wall0:7.1f}s] onpolicy rd "
+                          f"{rd} ep {ep_next - 1} W={rec['window']} "
+                          f"loss={rec['loss']:.4f} "
+                          f"val={vrec['loss']:.4f}", flush=True)
+        with open(args.out + "_emulator.msgpack", "wb") as f:
+            f.write(serialization.to_bytes(params))
+        print(f"[{time.time()-t_wall0:7.1f}s] onpolicy fine-tuning done "
+              f"({args.onpolicy_rounds} rounds x "
+              f"{args.onpolicy_steps} steps)", flush=True)
+
     # ------- offline scoreboard: teacher-forced one-step predictions on
     # the held-out validation segment, scored with the reference's
     # ~40-metric epoch scoreboard (train/epoch_metrics.py; the online run
@@ -453,25 +686,6 @@ def main():
               flush=True)
 
     # ------------------------------------------------ 3. the long paired run
-    def emulator(x_main_raw, x_sfc_raw, mem):
-        feats = jnp.concatenate([x_main_raw, derived(x_main_raw)], axis=-1)
-        xn = jnp.clip((feats - xm_j) / xs_j, xlo, xhi)
-        sn = jnp.clip((x_sfc_raw - sfm_j) / sfs_j, slo, shi)
-        out, out_sfc, mem = model.apply(params, xn, sn, mem)
-        out = out / yscale_lev
-        if tau_env_s > 0:
-            # state-space envelope restoring: relax out-of-envelope T
-            # toward the per-level training envelope (see --env-restore-tau)
-            T = x_main_raw[..., 0]
-            out = out.at[..., 0].add(
-                (jnp.clip(T, Tenv_lo, Tenv_hi) - T) / tau_env_s)
-        return out, out_sfc / yscale_sca, mem
-
-    model_loop = HybridLoop(emulator, g, loop_cfg)
-    mem0 = jnp.zeros((ncol, nlev, nh_mem), jnp.float32)
-
-    FIELDS = ("T", "qv", "qc", "qi", "u", "v")
-
     @jax.jit
     def paired_chunk(st_m, mem_m, st_t, t0):
         def step(carry, dt_i):
@@ -507,13 +721,39 @@ def main():
                 "energy_t": dg_t["energy_int"],
                 "eresid_m": dg_m["energy_resid"],
                 "eresid_t": dg_t["energy_resid"],
+                # envelope-restoring work diagnostics (VERDICT r4 item 5):
+                # fraction of grid points outside the T envelope and the
+                # mean |dT| the restoring term injects [K/day]
+                "env_frac": jnp.mean(
+                    ((st_m["T"] < Tenv_lo) | (st_m["T"] > Tenv_hi))
+                    .astype(jnp.float32)),
+                "env_dT_Kday": jnp.mean(jnp.abs(
+                    jnp.clip(st_m["T"], Tenv_lo, Tenv_hi) - st_m["T"]))
+                * (86400.0 / tau_env_s if tau_env_s > 0 else 0.0),
+                # evaporation-mechanism diagnostics (round-5): the truth
+                # physics' surface evaporation scales with BL
+                # subsaturation, E ~ LHFLX/Lv * (1 - qv/qsat(T)), so a
+                # warm/dry hybrid BL drives more evap -> more precip in
+                # equilibrium. Evaluate the SAME closure at both states.
+                "evap_m": cmean(_evap_col(st_m)),
+                "evap_t": cmean(_evap_col(st_t)),
+                "rhbl_m": cmean(jnp.mean(
+                    st_m["qv"][:, -5:] / jnp.maximum(
+                        thermo.qsat(st_m["T"][:, -5:], pmid[:, -5:]),
+                        1e-8), axis=1)),
+                "rhbl_t": cmean(jnp.mean(
+                    st_t["qv"][:, -5:] / jnp.maximum(
+                        thermo.qsat(st_t["T"][:, -5:], pmid[:, -5:]),
+                        1e-8), axis=1)),
             }
-            return (st_m, mem_m, st_t), d
-        carry, d = jax.lax.scan(step, (st_m, mem_m, st_t),
-                                jnp.arange(args.chunk))
+            return (st_m, mem_m, st_t), (d, dg_m["precc"], dg_t["precc"])
+        carry, (d, pcol_m, pcol_t) = jax.lax.scan(
+            step, (st_m, mem_m, st_t), jnp.arange(args.chunk))
         st_m, mem_m, st_t = carry
         # chunk-mean fields for zonal/column statistics
-        means = {"T_m": st_m["T"], "T_t": st_t["T"]}
+        means = {"T_m": st_m["T"], "T_t": st_t["T"],
+                 "prec_m_col": pcol_m.mean(axis=0),
+                 "prec_t_col": pcol_t.mean(axis=0)}
         # ONLINE tendency sampling at the chunk-end state: the emulator's
         # prediction vs the truth physics evaluated AT THE SAME (hybrid)
         # state — accumulated over the run this yields the online
@@ -533,6 +773,7 @@ def main():
     n_chunks = args.steps // args.chunk
     per_step = {}
     last_T_m = last_T_t = None
+    prec_col_sum = {"m": np.zeros(ncol), "t": np.zeros(ncol)}
     print(f"[{time.time()-t_wall0:7.1f}s] long run: {args.steps} steps "
           f"({args.steps * C.DT_STEP / 86400 / 365:.2f} sim years)",
           flush=True)
@@ -558,6 +799,8 @@ def main():
                 v if ci * args.chunk < 2400 else v[::24])
         last_T_m, last_T_t = np.asarray(means["T_m"]), np.asarray(
             means["T_t"])
+        prec_col_sum["m"] += np.asarray(means["prec_m_col"], np.float64)
+        prec_col_sum["t"] += np.asarray(means["prec_t_col"], np.float64)
         if ci % max(n_chunks // 10, 1) == 0 or bad:
             print(f"[{time.time()-t_wall0:7.1f}s] day "
                   f"{rec['sim_days']:7.1f}: <T>m={rec['T_m_last']:.2f} "
@@ -706,6 +949,41 @@ def main():
         (last_T_m - last_T_t)[bidx == b].mean() if np.any(bidx == b)
         else np.nan for b in range(16)])
 
+    # ---- precip-excess decomposition (round-4 VERDICT item 1d): WHERE the
+    # excess falls (zonal profile of the run-mean per-column precip) and
+    # at-state vs state-distribution attribution from the chunk-end
+    # samples: ratio_total = A x B with
+    #   A = <precc_NN at hybrid states> / <precc_truthphys at hybrid states>
+    #       (emulator amplitude bias at the states it visits)
+    #   B = <precc_truthphys at hybrid states> / <precc_truth run>
+    #       (the hybrid visiting rainier/drier states than the truth)
+    aw_col = np.asarray(g.area_wgt)[:ncol]
+    pm_col = prec_col_sum["m"] / max(ci + 1, 1)
+    pt_col = prec_col_sum["t"] / max(ci + 1, 1)
+    zprec_m = np.array([np.sum((aw_col * pm_col)[bidx == b])
+                        / max(np.sum(aw_col[bidx == b]), 1e-30)
+                        if np.any(bidx == b) else np.nan
+                        for b in range(16)])
+    zprec_t = np.array([np.sum((aw_col * pt_col)[bidx == b])
+                        / max(np.sum(aw_col[bidx == b]), 1e-30)
+                        if np.any(bidx == b) else np.nan
+                        for b in range(16)])
+    prec_decomp = None
+    if online_samples:
+        awn = aw_col / aw_col.sum()
+        nn_at_h = float(np.mean([np.sum(awn * s[1][:, 3])
+                                 for s in online_samples]))
+        tp_at_h = float(np.mean([np.sum(awn * s[3][:, 3])
+                                 for s in online_samples]))
+        truth_run = float(np.sum(awn * pt_col))
+        prec_decomp = {
+            "precc_NN_at_hybrid": nn_at_h,
+            "precc_truthphys_at_hybrid": tp_at_h,
+            "precc_truth_run": truth_run,
+            "A_atstate_ratio": round(nn_at_h / max(tp_at_h, 1e-30), 4),
+            "B_statedist_ratio": round(tp_at_h / max(truth_run, 1e-30), 4),
+        }
+
     days = np.arange(len(series["T_m"])) * np.nan  # display only
     summary = {
         "steps_run": int(min(args.steps, (ci + 1) * args.chunk)),
@@ -728,6 +1006,28 @@ def main():
         if "Tmin_t" in series else None,
         "zonal_bias_K": [None if np.isnan(b) else round(float(b), 3)
                          for b in zbias],
+        "zonal_prec_ratio": [None if (np.isnan(r) or np.isnan(t) or t <= 0)
+                             else round(float(r / t), 3)
+                             for r, t in zip(zprec_m, zprec_t)],
+        "zonal_prec_mmday": {
+            "hybrid": [None if np.isnan(r) else round(float(r * 8.64e7), 3)
+                       for r in zprec_m],
+            "truth": [None if np.isnan(r) else round(float(r * 8.64e7), 3)
+                      for r in zprec_t]},
+        "prec_decomposition": prec_decomp,
+        "evap_ratio": float(np.mean(series["evap_m"])
+                            / max(np.mean(series["evap_t"]), 1e-30))
+        if "evap_m" in series else None,
+        "rh_bl": {"hybrid": float(np.mean(series["rhbl_m"])),
+                  "truth": float(np.mean(series["rhbl_t"]))}
+        if "rhbl_m" in series else None,
+        "env_restore": {
+            "frac_outside_mean": float(np.mean(series["env_frac"]))
+            if "env_frac" in series else None,
+            "frac_outside_max": float(np.max(series["env_frac"]))
+            if "env_frac" in series else None,
+            "mean_abs_dT_Kday": float(np.mean(series["env_dT_Kday"]))
+            if "env_dT_Kday" in series else None},
         "energy_ratio_final": float(series["energy_m"][-1]
                                     / series["energy_t"][-1])
         if "energy_m" in series else None,
@@ -744,6 +1044,8 @@ def main():
                    "lat_feature": use_lat,
                    "env_restore_tau_days": args.env_restore_tau,
                    "env_margin_K": args.env_margin,
+                   "env_restore_qv_days": args.env_restore_qv,
+                   "precc_consistency": args.precc_consistency,
                    "qv_perturb": args.qv_perturb},
         "wall_seconds": round(time.time() - t_wall0, 1),
     }

@@ -179,6 +179,98 @@ def measure(loop, state, mem, x_sfc, ncol, repeats=REPEATS,
     return med, spread
 
 
+def build_train(B, pallas: bool, W: int = 4, n_updates: int = 8):
+    """Production-shape rollout TRAINING update (round-5 VERDICT item 2):
+    a W-step BPTT window on the flagship model (192/192, nh_mem 16, bf16
+    compute, remat on the window step as the longwindows conf runs it),
+    full fwd+bwd+adam, N updates serialized in one on-device lax.scan by
+    the params/memory data dependency. The pallas arm runs the v6
+    channel-major kernels BOTH directions (the round-5 hand-written cm
+    backward); the control is the XLA scan model. Mirrors the
+    reference's hot loop (rnn/utils.py:1199-1376)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import optax
+    from climsim_tpu.models.rnn import RNNAutoreg
+    from climsim_tpu.models import BF16
+
+    L = 60
+    model = RNNAutoreg(nx=6, nx_sfc=24, ny=6, ny_sfc=8, nneur=(192, 192),
+                       nh_mem=16, add_pres=False, policy=BF16,
+                       use_pallas=pallas, fuse_heads=pallas,
+                       fuse_init=pallas, level_major=pallas)
+    lm = pallas
+    rng = np.random.default_rng(3)
+    r = lambda *s: jnp.asarray(rng.normal(0, 0.3, s), jnp.float32)
+    if lm:
+        xw, yw = r(W, L, 6, B), r(W, L, 6, B)
+        mem0 = jnp.zeros((L, 16, B), jnp.float32)
+    else:
+        xw, yw = r(W, B, L, 6), r(W, B, L, 6)
+        mem0 = jnp.zeros((B, L, 16), jnp.float32)
+    sw, ysw = r(W, B, 24), r(W, B, 8)
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), xw[0], sw[0],
+                                 mem0)
+    tx = optax.adam(1e-4)
+    opt0 = tx.init(params)
+
+    def window_loss(p, mem):
+        def step(mem, inp):
+            x, s, y, ys = inp
+            out, osfc, mem = model.apply(p, x, s, mem)
+            l = jnp.mean((out - y) ** 2) + jnp.mean((osfc - ys) ** 2)
+            return mem, l
+        step = jax.checkpoint(step, prevent_cse=False)
+        mem, ls = jax.lax.scan(step, mem, (xw, sw, yw, ysw))
+        return jnp.mean(ls), mem
+
+    def run(params, opt, mem):
+        def update(carry, _):
+            p, o, m = carry
+            (loss, m), grads = jax.value_and_grad(
+                window_loss, has_aux=True)(p, m)
+            upd, o = tx.update(grads, o, p)
+            p = optax.apply_updates(p, upd)
+            return (p, o, m), loss
+        (params, opt, mem), losses = jax.lax.scan(
+            update, (params, opt, mem), None, length=n_updates)
+        return losses[-1]
+
+    return run, (params, opt0, mem0), W * B * n_updates
+
+
+def measure_train(B=21600, W=4, n_updates=8, repeats=5):
+    """Median ms per training update for the pallas and scan arms; the
+    N-scaled methodology (timing a scan of n_updates serialized updates,
+    trivial-fetch subtracted) validates per-iteration cost the same way
+    the inference bench does."""
+    import jax
+    import jax.numpy as jnp
+    out = {}
+    for pallas in (True, False):
+        run, args, _ = build_train(B, pallas, W, n_updates)
+        jrun = jax.jit(run)
+        triv = jax.jit(lambda m: jnp.sum(m[0, 0]))
+        float(triv(args[2]))
+        float(jrun(*args))              # compile + warm
+        t0 = time.perf_counter()
+        for _ in range(3):
+            float(triv(args[2]))
+        fetch = (time.perf_counter() - t0) / 3
+        times = []
+        for _ in range(repeats):
+            t0 = time.perf_counter()
+            float(jrun(*args))
+            times.append(max(time.perf_counter() - t0 - fetch, 1e-9))
+        per_upd = statistics.median(times) / n_updates
+        name = "pallas" if pallas else "scan"
+        out[name] = per_upd
+        print(f"# train B={B} W={W} [{name}]: {per_upd*1e3:.2f} ms/update"
+              f" ({W * B / per_upd:,.0f} col-steps/s)", file=sys.stderr)
+    return out
+
+
 def calibrate():
     """Chip-state probe: a fixed compute-bound bf16 matmul chain
     (512 serialized [2048x2048]@[2048x2048] = 8.8 TFLOP, ~24 ms at the
@@ -291,6 +383,19 @@ def main():
                           "vs_baseline": 0.0}))
         return
 
+    # training-throughput number of record (round-5 VERDICT item 2)
+    train = {}
+    try:
+        tr = measure_train()
+        train = {
+            "train_ms_per_update": round(tr["pallas"] * 1e3, 2),
+            "train_cols_per_s": round(4 * 21600 / tr["pallas"], 1),
+            "train_pallas_vs_xla": round(tr["scan"] / tr["pallas"], 3),
+        }
+    except Exception as e:
+        print(f"# train bench failed: {type(e).__name__}: {e}",
+              file=sys.stderr)
+
     # variance-immune companion: same-process pallas/xla ratio
     ratio = None
     a = results.get("stencil=pallas+emu=pallas-fused-init") or \
@@ -319,6 +424,7 @@ def main():
         # read+write chain (~21 ms at ~800 GB/s healthy)
         "calib_mxu_ms": round(calib_mxu, 2) if calib_mxu else None,
         "calib_hbm_ms": round(calib_hbm, 2) if calib_hbm else None,
+        **train,
     }
     print(json.dumps(out))
 

@@ -96,6 +96,15 @@ def main(argv=None):
         if nz is not None and abs(ps.mean()) < 1e3:  # heuristic
             ps = ps * float(nz.div[vset.ps_index]) \
                 + float(nz.mean[vset.ps_index])
+        elif nz is None and abs(ps.mean()) < 1e4:
+            # --raw on an expanded vset skips the Normalizer, so the
+            # recovery heuristic above can never fire: if --input holds
+            # NORMALIZED values the pressure weighting would silently be
+            # garbage. Refuse and ask for --ps (ADVICE r4).
+            p.error(
+                f"surface pressure from --input looks normalized "
+                f"(mean {ps.mean():.3g}, expected raw pascals ~1e5) and "
+                "no norm files cover this vset; pass raw ps via --ps")
 
     scale = None if args.raw else nz.scale
     samples = None

@@ -154,7 +154,8 @@ def main(argv=None):
     # there); otherwise fitted from the data statistics (per-level by
     # default, reference input_norm_per_level / output_norm_per_level)
     if dcfg.get("norm") == "reference":
-        from ..data.normalization import reference_level_normalizer
+        from ..data.normalization import (reference_level_normalizer,
+                                          reference_norm_paths)
         nz = reference_level_normalizer(
             vset,
             dcfg.get("norm_input_mean"), dcfg.get("norm_input_max"),
@@ -162,6 +163,21 @@ def main(argv=None):
             snowhice_fix=bool(dcfg.get("snowhice_fix", True)),
             remove_past_sfc=bool(dcfg.get("remove_past_sfc_inputs",
                                           False)))
+        # record WHICH norm files produced these coefficients: a
+        # checkpoint trained under one output_scale decodes wrongly
+        # under another, so the provenance must travel with it (ADVICE
+        # r4). Logged always; persisted next to the checkpoint when one
+        # is configured.
+        norm_prov = reference_norm_paths(
+            dcfg.get("norm_input_mean"), dcfg.get("norm_input_max"),
+            dcfg.get("norm_input_min"), dcfg.get("norm_output_scale"))
+        print(json.dumps({"norm_files": norm_prov}))
+        if cfg.get("checkpoint_dir"):
+            import os as _os
+            _os.makedirs(cfg["checkpoint_dir"], exist_ok=True)
+            with open(_os.path.join(cfg["checkpoint_dir"],
+                                    "norm_files.json"), "w") as f:
+                json.dump(norm_prov, f, indent=1)
         xm, xsd = np.asarray(nz.mean_lev), np.asarray(nz.div_lev)
         xms, xss = np.asarray(nz.mean_sfc), np.asarray(nz.div_sfc)
         ysc_lev = np.asarray(nz.scale_lev)
@@ -578,10 +594,12 @@ def main(argv=None):
             save_rollout_checkpoint(ckpt, params, opt_state, mem, epoch,
                                     val_loss=float(rec["val_loss"]),
                                     keep_top_k=cfg.get("keep_top_k", 3))
+    eval_cache = None      # (met, arrays) shared by eval_report/pred_export
     if cfg.get("eval_report"):
         # final validation scoreboard + per-level R2 profile plot (the
         # reference driver's per-epoch val_eval/ figures, :1047-1097)
-        met, (P_, _, T_, _, _) = eval_scoreboard(params, mem)
+        eval_cache = eval_scoreboard(params, mem)
+        met, (P_, _, T_, _, _) = eval_cache
         met_print = {k: v for k, v in met.items() if k != "r2_lev"}
         print(json.dumps({"eval_report": met_print}))
         if log_path:
@@ -612,7 +630,10 @@ def main(argv=None):
         import os as _os
         from ..data.ingest import keeplev_to_flat
         _os.makedirs(pred_dir, exist_ok=True)
-        _, (PL, PS_, TL, TS, SP) = eval_scoreboard(params, mem)
+        # reuse the eval_report pass if it already ran (ADVICE r4: avoid
+        # a second full validation sweep)
+        _, (PL, PS_, TL, TS, SP) = (eval_cache if eval_cache is not None
+                                    else eval_scoreboard(params, mem))
         np.save(_os.path.join(pred_dir, "scoring_pred.npy"),
                 keeplev_to_flat(PL, PS_, vset.outputs))
         np.save(_os.path.join(pred_dir, "scoring_target.npy"),

@@ -211,6 +211,25 @@ class LevelNormalizer:
 REF_NORM_DIR = "/root/reference/preprocessing/normalizations"
 
 
+def reference_norm_paths(input_mean=None, input_max=None, input_min=None,
+                         output_scale=None) -> dict:
+    """Resolve the norm-file paths :func:`reference_level_normalizer` will
+    load (defaults included). Exposed so callers can RECORD them next to
+    checkpoints/configs: the v5-lowerthred output scale became the default
+    in round 3, and a checkpoint trained under a different output_scale
+    decodes to wrong raw units if evaluated under another (ADVICE r4)."""
+    return {
+        "input_mean": input_mean
+        or f"{REF_NORM_DIR}/inputs/input_mean_v4_pervar.nc",
+        "input_max": input_max
+        or f"{REF_NORM_DIR}/inputs/input_max_v4_pervar.nc",
+        "input_min": input_min
+        or f"{REF_NORM_DIR}/inputs/input_min_v4_pervar.nc",
+        "output_scale": output_scale
+        or f"{REF_NORM_DIR}/outputs/output_scale_std_lowerthred_v5.nc",
+    }
+
+
 def reference_level_normalizer(vset: V.VariableSet,
                                input_mean: str | None = None,
                                input_max: str | None = None,
@@ -237,16 +256,8 @@ def reference_level_normalizer(vset: V.VariableSet,
     * ``remove_past_sfc``: drop the five tm_* previous-step surface
       channels (driver :433-437) to match data.remove_past_sfc_inputs.
     """
-    paths = {
-        "input_mean": input_mean
-        or f"{REF_NORM_DIR}/inputs/input_mean_v4_pervar.nc",
-        "input_max": input_max
-        or f"{REF_NORM_DIR}/inputs/input_max_v4_pervar.nc",
-        "input_min": input_min
-        or f"{REF_NORM_DIR}/inputs/input_min_v4_pervar.nc",
-        "output_scale": output_scale
-        or f"{REF_NORM_DIR}/outputs/output_scale_std_lowerthred_v5.nc",
-    }
+    paths = reference_norm_paths(input_mean, input_max, input_min,
+                                 output_scale)
     mean = read_netcdf(paths["input_mean"])
     maxv = read_netcdf(paths["input_max"])
     minv = read_netcdf(paths["input_min"])

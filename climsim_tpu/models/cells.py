@@ -374,6 +374,12 @@ class FusedBiGRUHeadsLayer(nn.Module):
     init_width: int = 0
     block_b: Any = None
     acc32: bool = True
+    # v5 channel-major only: run the sweep input projections as a
+    # separate non-dependent phase into VMEM scratch (default on; the
+    # hoisted kernel stores its xp scratch in the input dtype, a ~1e-3
+    # relative change in bf16 — pin False to isolate bf16 drift,
+    # ADVICE r4)
+    hoist_proj: bool = True
     force_reference: bool = False
     # True: CHANNEL-MAJOR contract — x arrives [L, CX, B] and
     # (out [L, ny, B], mem [L, nh_mem, B]) return channel-major (h0s
@@ -459,10 +465,13 @@ class FusedBiGRUHeadsLayer(nn.Module):
                 # v6: raw features in, initial MLP inside the kernel
                 args = args[:4] + (tw(w_init), tb(b_init)) + args[4:]
                 op, ref = fused_bigru_heads_init_cm, _heads_init_cm_compose
+                extra = ()
             else:
                 op, ref = fused_bigru_heads_cm, _heads_cm_compose
+                extra = (self.hoist_proj,)   # v5-only knob
             if use_kernel:
-                outmem, lasth = op(*args, self.block_b, False, self.acc32)
+                outmem, lasth = op(*args, self.block_b, False, self.acc32,
+                                   *extra)
             else:
                 outmem, lasth = ref(*args, self.block_b, False,
                                     self.acc32, False)

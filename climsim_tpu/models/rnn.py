@@ -109,6 +109,11 @@ class RNNAutoreg(nn.Module):
     # the smaller input buffer lets the lane tile grow — fewer serial
     # chains. Default off; the bench auto-selects.
     fuse_init: bool = False
+    # v5 channel-major kernel only: hoist the sweep input projections
+    # into a chunked non-dependent phase (VMEM scratch in the input
+    # dtype — ~1e-3 relative in bf16). Pin False to isolate bf16 drift
+    # against the baseline kernel (ADVICE r4).
+    pallas_hoist_proj: bool = True
     # CHANNEL-MAJOR activation layout: x_main and mem arrive [L, C, B]
     # and out/new_mem return [L, ny, B] / [L, nh_mem, B] (x_sfc/out_sfc
     # stay [B, .]). On TPU any narrow [., ., c<128] array is 128-lane
@@ -235,6 +240,7 @@ class RNNAutoreg(nn.Module):
                 init_width=nh1 if fuse_init else 0,
                 block_b=self.pallas_block_b,
                 acc32=self.pallas_acc32,
+                hoist_proj=self.pallas_hoist_proj,
                 level_major=self.level_major, name="bigru_fused")(
                 h, hx1, hx2,
                 mem=mem if (fuse_init or (self.level_major

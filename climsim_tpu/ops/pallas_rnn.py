@@ -1218,8 +1218,353 @@ def _heads_cm_fwd(x, mem_in, h0_up, h0_dn, win1h_t, win1m_t, bin1,
                  wlat_t, blat, wout_t, bout)
 
 
+# ---- hand-written channel-major backward (round-5: the v5/v6 training
+# path previously composed the v2 batch-major backward with XLA head
+# VJPs plus an extra forward replay through HBM; this kernel replays
+# both sweeps in VMEM and walks heads + BPTT backward in the channel-
+# major layout, mirroring _bigru_bwd_kernel)
+
+
+def _gru_fwd_store_cm(h, xp, whh_t, b_hh, H: int):
+    """Channel-major forward step that also returns the gate bundle
+    (r, z, n, hn) stacked on the sublane axis [4H, Bt]."""
+    f32 = jnp.float32
+    hh = (jnp.dot(whh_t, h.astype(whh_t.dtype),
+                  preferred_element_type=f32) + b_hh.astype(f32))
+    xr, xz, xn = xp[:H], xp[H:2 * H], xp[2 * H:]
+    hr, hz, hn = hh[:H], hh[H:2 * H], hh[2 * H:]
+    r = jax.nn.sigmoid(xr + hr)
+    z = jax.nn.sigmoid(xz + hz)
+    n = jnp.tanh(xn + r * hn)
+    one = jnp.asarray(1.0, z.dtype)
+    h_new = (one - z) * n + z * h
+    return h_new, jnp.concatenate([r, z, n, hn], axis=0)
+
+
+def _gru_bwd_step_cm(dh, gates, h_prev, whh_t, H: int):
+    """One channel-major GRU backward step. dh/h_prev [H, Bt] f32,
+    gates [4H, Bt] as stored, whh_t [3H, H] pre-transposed. Returns
+    (d_xp [3H, Bt] f32, dh_prev [H, Bt] f32, d_hh [3H, Bt] f32)."""
+    f32 = jnp.float32
+    r = gates[:H].astype(f32)
+    z = gates[H:2 * H].astype(f32)
+    n = gates[2 * H:3 * H].astype(f32)
+    hn = gates[3 * H:].astype(f32)
+    one = jnp.asarray(1.0, f32)
+    dz = dh * (h_prev - n)
+    dan = dh * (one - z) * (one - n * n)
+    dar = dan * hn * r * (one - r)
+    daz = dz * z * (one - z)
+    dhn = dan * r
+    d_hh = jnp.concatenate([dar, daz, dhn], axis=0)
+    d_xp = jnp.concatenate([dar, daz, dan], axis=0)
+    # dh_prev = dh*z + Whh^T d_hh  (whh_t is [3H, H]: contract dim 0)
+    dh_prev = dh * z + jax.lax.dot_general(
+        whh_t, d_hh.astype(whh_t.dtype), (((0,), (0,)), ((), ())),
+        preferred_element_type=f32)
+    return d_xp, dh_prev, d_hh
+
+
+def _outer_cm(a, b):
+    """a [M, Bt] x b [N, Bt] -> [M, N] f32 (contract the lane axis)."""
+    return jax.lax.dot_general(a, b, (((1,), (1,)), ((), ())),
+                               preferred_element_type=jnp.float32)
+
+
+def _tcontract0(w, d):
+    """w [K, M] x d [K, Bt] -> [M, Bt] f32 (w^T @ d, contract dim 0)."""
+    return jax.lax.dot_general(w, d.astype(w.dtype),
+                               (((0,), (0,)), ((), ())),
+                               preferred_element_type=jnp.float32)
+
+
+def _bigru_heads_cm_bwd_kernel(
+        x_ref, mem_ref, h0u_ref, h0d_ref, win1h_ref, win1m_ref, bin1_ref,
+        whh_u_ref, bhh_u_ref, win2_ref, bin2_ref, whh_d_ref, bhh_d_ref,
+        wlat_ref, blat_ref, wout_ref, bout_ref, doutmem_ref, dlasth_ref,
+        dx_ref, dmem_ref, dh0u_ref, dh0d_ref,
+        dwin1h_ref, dwin1m_ref, dbin1_ref, dwhhu_ref, dbhhu_ref,
+        dwin2_ref, dbin2_ref, dwhhd_ref, dbhhd_ref,
+        dwlat_ref, dblat_ref, dwout_ref, dbout_ref,
+        up_h, g_h, gates_u, gates_d, dup_s,
+        *, L: int, H: int, nm: int, B: int, block_b: int):
+    """Channel-major backward: phase A replays both sweeps for the lane
+    tile storing hidden states + gate bundles in VMEM; phase B walks the
+    heads + down sweep backward (d_up, dWin2/dWhh_dn/dWlat/dWout);
+    phase C the up sweep backward (d_x/d_mem, dWin1h/dWin1m/dWhh_up).
+    Weight grads accumulate across grid tiles in revisiting f32 output
+    blocks. Padded lanes carry zero inputs AND zero cotangents, so their
+    per-step gradient bundles are exactly zero and the lane-reductions
+    are unchanged (same argument as _bigru_bwd_pallas_lbh)."""
+    f32 = jnp.float32
+    rem = B - pl.program_id(0) * block_b
+    valid = jax.lax.broadcasted_iota(jnp.int32, (1, block_b), 1) < rem
+
+    def load(ref_slice):
+        # NaN-safe masking of potentially-undefined pad lanes
+        return jnp.where(valid, ref_slice, jnp.zeros_like(ref_slice))
+
+    win1h = win1h_ref[:]
+    win1m = win1m_ref[:]
+    whh_u = whh_u_ref[:]
+    bhh_u = bhh_u_ref[:]
+    whh_d = whh_d_ref[:]
+    bhh_d = bhh_d_ref[:]
+    win2 = win2_ref[:]
+    bin2 = bin2_ref[:]
+    bin1 = bin1_ref[:]
+    wlat = wlat_ref[:]
+    blat = blat_ref[:]
+    wout = wout_ref[:]
+    wdt = whh_u.dtype
+
+    @pl.when(pl.program_id(0) == 0)
+    def _init():
+        for ref in (dwin1h_ref, dwin1m_ref, dbin1_ref, dwhhu_ref,
+                    dbhhu_ref, dwin2_ref, dbin2_ref, dwhhd_ref,
+                    dbhhd_ref, dwlat_ref, dblat_ref, dwout_ref,
+                    dbout_ref):
+            ref[:] = jnp.zeros_like(ref)
+
+    # ---- phase A: replay up sweep (L-1 -> 0), store outputs + gates
+    h = load(h0u_ref[:]).astype(f32)
+
+    def up_replay(i, h):
+        l = L - 1 - i
+        xp = (jnp.dot(win1h, load(x_ref[l]), preferred_element_type=f32)
+              + jnp.dot(win1m, load(mem_ref[l]),
+                        preferred_element_type=f32)
+              + bin1.astype(f32))
+        h, gates = _gru_fwd_store_cm(h, xp, whh_u, bhh_u, H)
+        up_h[l] = h.astype(up_h.dtype)
+        gates_u[l] = gates.astype(gates_u.dtype)
+        return h
+
+    jax.lax.fori_loop(0, L, up_replay, h)
+
+    # ---- replay down sweep (0 -> L-1)
+    h2 = load(h0d_ref[:]).astype(f32)
+
+    def dn_replay(l, h2):
+        xp2 = (jnp.dot(win2, up_h[l], preferred_element_type=f32)
+               + bin2.astype(f32))
+        h2, gates = _gru_fwd_store_cm(h2, xp2, whh_d, bhh_d, H)
+        g_h[l] = h2.astype(g_h.dtype)
+        gates_d[l] = gates.astype(gates_d.dtype)
+        return h2
+
+    jax.lax.fori_loop(0, L, dn_replay, h2)
+
+    # ---- phase B: heads + down sweep backward (L-1 -> 0)
+    h0d = load(h0d_ref[:]).astype(f32)
+
+    def dn_bwd(i, carry):
+        (dg, dwin2a, dbin2a, dwhhda, dbhhda, dwlata, dblata, dwouta,
+         dbouta) = carry
+        l = L - 1 - i
+        dmo = load(doutmem_ref[l]).astype(f32)       # [nm+ny, Bt]
+        dmem_head, dout = dmo[:nm], dmo[nm:]
+        # recompute mem_l for dWout (cast as the forward does)
+        hd = g_h[l].astype(wlat.dtype)
+        mem_l = (jnp.dot(wlat, hd, preferred_element_type=f32)
+                 + blat.astype(f32)).astype(g_h.dtype)
+        dwouta = dwouta + _outer_cm(dout.astype(wdt), mem_l)
+        dbouta = dbouta + jnp.sum(dout, axis=1, keepdims=True)
+        dmem_tot = dmem_head + _tcontract0(wout, dout)    # [nm, Bt]
+        dwlata = dwlata + _outer_cm(dmem_tot.astype(wdt), hd)
+        dblata = dblata + jnp.sum(dmem_tot, axis=1, keepdims=True)
+        dg = dg + _tcontract0(wlat, dmem_tot)             # [H, Bt]
+        g_prev = jnp.where(l == 0, h0d,
+                           g_h[jnp.maximum(l - 1, 0)].astype(f32))
+        dxp2, dg_prev, d_hh = _gru_bwd_step_cm(dg, gates_d[l], g_prev,
+                                               whh_d, H)
+        dup_s[l] = _tcontract0(win2, dxp2).astype(dup_s.dtype)
+        dwin2a = dwin2a + _outer_cm(dxp2.astype(wdt), up_h[l])
+        dbin2a = dbin2a + jnp.sum(dxp2, axis=1, keepdims=True)
+        dwhhda = dwhhda + _outer_cm(d_hh.astype(wdt), g_prev.astype(wdt))
+        dbhhda = dbhhda + jnp.sum(d_hh, axis=1, keepdims=True)
+        return (dg_prev, dwin2a, dbin2a, dwhhda, dbhhda, dwlata, dblata,
+                dwouta, dbouta)
+
+    ny = wout.shape[0]
+    zw = lambda *s: jnp.zeros(s, f32)
+    carry0 = (load(dlasth_ref[:]).astype(f32),
+              zw(3 * H, H), zw(3 * H, 1), zw(3 * H, H), zw(3 * H, 1),
+              zw(nm, H), zw(nm, 1), zw(ny, nm), zw(ny, 1))
+    (dg, dwin2a, dbin2a, dwhhda, dbhhda, dwlata, dblata, dwouta,
+     dbouta) = jax.lax.fori_loop(0, L, dn_bwd, carry0)
+    dh0d_ref[:] = dg.astype(dh0d_ref.dtype)
+
+    # ---- phase C: up sweep backward (0 -> L-1)
+    h0u = load(h0u_ref[:]).astype(f32)
+    CH = win1h.shape[1]
+    nm_in = win1m.shape[1]
+
+    def up_bwd(l, carry):
+        du, dw1h, dw1m, db1, dwhhua, dbhhua = carry
+        du = du + dup_s[l].astype(f32)
+        h_prev = jnp.where(l == L - 1, h0u,
+                           up_h[jnp.minimum(l + 1, L - 1)].astype(f32))
+        d_xp, du_prev, d_hh = _gru_bwd_step_cm(du, gates_u[l], h_prev,
+                                               whh_u, H)
+        dx_ref[l] = _tcontract0(win1h, d_xp).astype(dx_ref.dtype)
+        dmem_ref[l] = _tcontract0(win1m, d_xp).astype(dmem_ref.dtype)
+        dw1h = dw1h + _outer_cm(d_xp.astype(wdt), load(x_ref[l]))
+        dw1m = dw1m + _outer_cm(d_xp.astype(wdt), load(mem_ref[l]))
+        db1 = db1 + jnp.sum(d_xp, axis=1, keepdims=True)
+        dwhhua = dwhhua + _outer_cm(d_hh.astype(wdt),
+                                    h_prev.astype(wdt))
+        dbhhua = dbhhua + jnp.sum(d_hh, axis=1, keepdims=True)
+        return du_prev, dw1h, dw1m, db1, dwhhua, dbhhua
+
+    du, dw1h, dw1m, db1, dwhhua, dbhhua = jax.lax.fori_loop(
+        0, L, up_bwd, (jnp.zeros_like(h0u), zw(3 * H, CH),
+                       zw(3 * H, nm_in), zw(3 * H, 1), zw(3 * H, H),
+                       zw(3 * H, 1)))
+    dh0u_ref[:] = du.astype(dh0u_ref.dtype)
+
+    dwin1h_ref[:] += dw1h
+    dwin1m_ref[:] += dw1m
+    dbin1_ref[:] += db1
+    dwhhu_ref[:] += dwhhua
+    dbhhu_ref[:] += dbhhua
+    dwin2_ref[:] += dwin2a
+    dbin2_ref[:] += dbin2a
+    dwhhd_ref[:] += dwhhda
+    dbhhd_ref[:] += dbhhda
+    dwlat_ref[:] += dwlata
+    dblat_ref[:] += dblata
+    dwout_ref[:] += dwouta
+    dbout_ref[:] += dbouta
+
+
+def _auto_block_b_cm_bwd(B: int, L: int, CH: int, nm_in: int, H: int,
+                         nm: int, ny: int, itemsize: int) -> int:
+    """Lane tile for the cm backward: per lane the scratch holds
+    up_h/g_h [L, H] + two gate stores [L, 4H] (input dtype) + dup
+    [L, H] f32, plus double-buffered x/mem/doutmem ins and dx/dmem
+    outs."""
+    per_lane = L * itemsize * (10 * H + 2 * (2 * CH + 2 * nm_in
+                                             + nm + ny)) \
+        + L * H * 4 + 10 * H * itemsize
+    budget = 100 * 1024 * 1024
+    cap = int(budget // max(per_lane, 1))
+    cap = max(cap // 128 * 128, 128)
+    div = _divisor_tile(B, cap, 128)
+    if div:
+        return div
+    n_tiles = -(-B // cap)
+    bt = -(-(-(-B // n_tiles)) // 128) * 128
+    return min(max(bt, 128), cap)
+
+
+def _bigru_heads_cm_bwd_pallas(res, d_outmem, d_lasth, block_b=None,
+                               interpret=False):
+    (x, mem_in, h0_up, h0_dn, win1h_t, win1m_t, bin1, whh_up_t, bhh_up,
+     win2_t, bin2, whh_dn_t, bhh_dn, wlat_t, blat, wout_t, bout) = res
+    L, CH, B = x.shape
+    nm_in = mem_in.shape[1]
+    H = whh_up_t.shape[1]
+    nm = wlat_t.shape[0]
+    ny = wout_t.shape[0]
+    if block_b is None:
+        block_b = _auto_block_b_cm_bwd(B, L, CH, nm_in, H, nm, ny,
+                                       x.dtype.itemsize)
+    B0 = B
+    if B % block_b:
+        pad = block_b * pl.cdiv(B, block_b) - B
+        padB = lambda a: jnp.pad(a, [(0, 0)] * (a.ndim - 1) + [(0, pad)])
+        x, mem_in = padB(x), padB(mem_in)
+        h0_up, h0_dn = padB(h0_up), padB(h0_dn)
+        d_outmem, d_lasth = padB(d_outmem), padB(d_lasth)
+        B = B + pad
+    nb = pl.cdiv(B, block_b)
+    f32 = jnp.float32
+
+    kernel = functools.partial(_bigru_heads_cm_bwd_kernel, L=L, H=H,
+                               nm=nm, B=B0, block_b=block_b)
+    full = lambda shape: pl.BlockSpec(shape, lambda i: (0,) * len(shape),
+                                      memory_space=pltpu.VMEM)
+    lane = lambda *lead: pl.BlockSpec(lead + (block_b,),
+                                      lambda i: (0,) * len(lead) + (i,),
+                                      memory_space=pltpu.VMEM)
+    in_specs = [
+        lane(L, CH), lane(L, nm_in), lane(H), lane(H),
+        full((3 * H, CH)), full((3 * H, nm_in)), full((3 * H, 1)),
+        full((3 * H, H)), full((3 * H, 1)),
+        full((3 * H, H)), full((3 * H, 1)),
+        full((3 * H, H)), full((3 * H, 1)),
+        full((nm, H)), full((nm, 1)),
+        full((ny, nm)), full((ny, 1)),
+        lane(L, nm + ny), lane(H),
+    ]
+    out_specs = [
+        lane(L, CH), lane(L, nm_in), lane(H), lane(H),
+        full((3 * H, CH)), full((3 * H, nm_in)), full((3 * H, 1)),
+        full((3 * H, H)), full((3 * H, 1)),
+        full((3 * H, H)), full((3 * H, 1)),
+        full((3 * H, H)), full((3 * H, 1)),
+        full((nm, H)), full((nm, 1)),
+        full((ny, nm)), full((ny, 1)),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((L, CH, B), x.dtype),
+        jax.ShapeDtypeStruct((L, nm_in, B), mem_in.dtype),
+        jax.ShapeDtypeStruct((H, B), h0_up.dtype),
+        jax.ShapeDtypeStruct((H, B), h0_dn.dtype),
+        jax.ShapeDtypeStruct((3 * H, CH), f32),
+        jax.ShapeDtypeStruct((3 * H, nm_in), f32),
+        jax.ShapeDtypeStruct((3 * H, 1), f32),
+        jax.ShapeDtypeStruct((3 * H, H), f32),
+        jax.ShapeDtypeStruct((3 * H, 1), f32),
+        jax.ShapeDtypeStruct((3 * H, H), f32),
+        jax.ShapeDtypeStruct((3 * H, 1), f32),
+        jax.ShapeDtypeStruct((3 * H, H), f32),
+        jax.ShapeDtypeStruct((3 * H, 1), f32),
+        jax.ShapeDtypeStruct((nm, H), f32),
+        jax.ShapeDtypeStruct((nm, 1), f32),
+        jax.ShapeDtypeStruct((ny, nm), f32),
+        jax.ShapeDtypeStruct((ny, 1), f32),
+    ]
+    outs = pl.pallas_call(
+        kernel,
+        grid=(nb,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        scratch_shapes=[
+            pltpu.VMEM((L, H, block_b), x.dtype),       # up_h
+            pltpu.VMEM((L, H, block_b), x.dtype),       # g_h
+            pltpu.VMEM((L, 4 * H, block_b), x.dtype),   # gates_u
+            pltpu.VMEM((L, 4 * H, block_b), x.dtype),   # gates_d
+            pltpu.VMEM((L, H, block_b), f32),           # d_up
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=127 * 1024 * 1024),
+        interpret=interpret,
+    )(x, mem_in, h0_up, h0_dn, win1h_t, win1m_t, bin1, whh_up_t, bhh_up,
+      win2_t, bin2, whh_dn_t, bhh_dn, wlat_t, blat, wout_t, bout,
+      d_outmem, d_lasth)
+    (dx, dmem, dh0u, dh0d, dw1h, dw1m, db1, dwhhu, dbhhu, dwin2, dbin2,
+     dwhhd, dbhhd, dwlat, dblat, dwout, dbout) = outs
+    if B != B0:
+        dx, dmem = dx[..., :B0], dmem[..., :B0]
+        dh0u, dh0d = dh0u[..., :B0], dh0d[..., :B0]
+    cast = lambda d, p: d.astype(p.dtype)
+    return (dx, dmem, dh0u, dh0d,
+            cast(dw1h, win1h_t), cast(dw1m, win1m_t), cast(db1, bin1),
+            cast(dwhhu, whh_up_t), cast(dbhhu, bhh_up),
+            cast(dwin2, win2_t), cast(dbin2, bin2),
+            cast(dwhhd, whh_dn_t), cast(dbhhd, bhh_dn),
+            cast(dwlat, wlat_t), cast(dblat, blat),
+            cast(dwout, wout_t), cast(dbout, bout))
+
+
 def _heads_cm_bwd(block_b, interpret, acc32, hoist_proj, res, g):
     from . import on_tpu
+    if (on_tpu() or interpret) and res[1].shape[1] > 0:
+        return _bigru_heads_cm_bwd_pallas(res, g[0], g[1],
+                                          interpret=interpret)
     use_kernel = on_tpu() and not interpret
     _, vjp = jax.vjp(
         lambda *a: _heads_cm_compose(*a, block_b, interpret, acc32,
@@ -1766,7 +2111,32 @@ def _heads_init_cm_fwd(feat, mem_in, h0_up, h0_dn, winit_t, binit,
 
 
 def _heads_init_cm_bwd(block_b, interpret, acc32, res, g):
+    """v6 backward = init-MLP recompute (one batched einsum; the
+    [L, H, B] init stream exists only transiently for the backward) +
+    the hand-written channel-major backward kernel on the v5 core +
+    the init-MLP VJP (XLA einsums). Round-5: replaces the composition
+    that replayed the whole forward through HBM."""
     from . import on_tpu
+    (feat, mem_in, h0_up, h0_dn, winit_t, binit) = res[:6]
+    rest = res[6:]
+    if (on_tpu() or interpret) and mem_in.shape[1] > 0:
+        dt = feat.dtype
+        f32 = jnp.float32
+        pre = (jnp.einsum("hf,lfb->lhb", winit_t, feat,
+                          preferred_element_type=f32)
+               + binit.astype(f32)).astype(dt)
+        xi = jnp.tanh(pre)
+        res5 = (xi, mem_in, h0_up, h0_dn) + tuple(rest)
+        (dxi, dmem, dh0u, dh0d, *wgrads) = _bigru_heads_cm_bwd_pallas(
+            res5, g[0], g[1], interpret=interpret)
+        dpre = dxi.astype(f32) * (1.0 - xi.astype(f32) ** 2)
+        dfeat = jnp.einsum("hf,lhb->lfb", winit_t.astype(f32), dpre,
+                           preferred_element_type=f32).astype(feat.dtype)
+        dwinit = jnp.einsum("lhb,lfb->hf", dpre, feat.astype(f32),
+                            preferred_element_type=f32
+                            ).astype(winit_t.dtype)
+        dbinit = dpre.sum(axis=(0, 2))[:, None].astype(binit.dtype)
+        return (dfeat, dmem, dh0u, dh0d, dwinit, dbinit) + tuple(wgrads)
     use_kernel = on_tpu() and not interpret
     _, vjp = jax.vjp(
         lambda *a: _heads_init_cm_compose(*a, block_b, interpret, acc32,

@@ -132,6 +132,33 @@ def _dummy_emulator(x_main, x_sfc, mem):
     return pt, sfc, mem + 1.0
 
 
+def _real_emulator(nh_mem=4, nneur=(16, 16), seed=0):
+    """A REAL (randomly initialized) flagship-architecture RNNAutoreg as
+    the emulator: bi-GRU trunk over levels + latent memory threading —
+    the online contract the zeros-stub certification bypassed (round-4
+    VERDICT item 3; reference rnn/save_wrapper_mem_prevtend_ftorch.py:
+    361-387). Raw-units state is scaled to O(1) inside the closure, the
+    model's tendencies scaled back to physical magnitudes — the same
+    normalization shape the production stability run uses."""
+    from climsim_tpu.models.rnn import RNNAutoreg
+
+    model = RNNAutoreg(nx=6, nx_sfc=24, ny=6, ny_sfc=8, nneur=nneur,
+                       nh_mem=nh_mem, add_pres=False, output_prune=False)
+    xscale = jnp.asarray([250.0, 1e-3, 1e-5, 1e-5, 10.0, 10.0])
+    yscale = jnp.asarray([1e-5, 1e-9, 1e-10, 1e-10, 1e-5, 1e-5])
+    xm = jnp.ones((8, 60, 6), jnp.float32)
+    xs = jnp.ones((8, 24), jnp.float32)
+    m0 = jnp.zeros((8, 60, nh_mem), jnp.float32)
+    params = model.init(jax.random.PRNGKey(seed), xm, xs, m0)
+
+    def emulator(x_main_raw, x_sfc_raw, mem):
+        xn = (x_main_raw / xscale).astype(jnp.float32)
+        out, out_sfc, mem = model.apply(params, xn, x_sfc_raw, mem)
+        return out * yscale, out_sfc, mem
+
+    return emulator
+
+
 def _init_state(ncol=384, nlev=60):
     rng = np.random.default_rng(4)
     return {
@@ -313,14 +340,17 @@ def test_hybrid_with_vertical_advection():
 def test_sharded_hybrid_step_overlap_matches_exchange():
     """The halo-compute-overlap variant (input-halo ppermute overlapped
     with the emulator + redundant ghost-row emulator) is bit-close to the
-    post-update exchange variant and to the single-device step."""
+    post-update exchange variant and to the single-device step — with the
+    REAL RNNAutoreg emulator computing inside the overlap window (the
+    ghost-row recompute actually re-runs the bi-GRU on neighbor columns;
+    round-4 VERDICT item 3)."""
     from climsim_tpu.online.host_loop import sharded_hybrid_step
     from climsim_tpu.online import to_grid, to_columns
     from climsim_tpu.parallel import make_mesh
 
     g = Grid.from_file(GRID_PATH)
     cfg = HostLoopConfig(scheme="fv", fix_water=False)
-    loop = HybridLoop(_dummy_emulator, g, cfg)
+    loop = HybridLoop(_real_emulator(), g, cfg)
     mesh = make_mesh(8, axis="col")
 
     state = _init_state()
@@ -346,8 +376,14 @@ def test_sharded_hybrid_step_overlap_matches_exchange():
                 np.asarray(ref_state[k]), rtol=1e-6, atol=1e-8,
                 err_msg=f"{k} overlap={overlap}")
     for k in state:
-        np.testing.assert_array_equal(np.asarray(outs[True][k]),
-                                      np.asarray(outs[False][k]))
+        # with the real bi-GRU the ghost-row recompute is a different
+        # fused XLA program than the post-update exchange, so the pair
+        # agrees to float noise rather than bit-exactly (the stub
+        # variant WAS bit-exact; rtol here is ~1000x below f32 eps
+        # effects at these magnitudes)
+        np.testing.assert_allclose(np.asarray(outs[True][k]),
+                                   np.asarray(outs[False][k]),
+                                   rtol=1e-7, atol=1e-10, err_msg=k)
 
 
 def test_hybrid_step_fused_advection_matches_per_field():
@@ -390,14 +426,23 @@ def _sharded_vs_single(cfg, emulator=_dummy_emulator, nmem=4, rtol=1e-5):
     mem = jnp.zeros((384, 60, nmem))
     x_sfc = jnp.concatenate([jnp.full((384, 1), 1e5),
                              jnp.ones((384, 23))], axis=1)
-    ref_state, _, ref_diags = jax.jit(loop.coupled_step)(state, mem, x_sfc)
+    ref_state, ref_mem, ref_diags = jax.jit(loop.coupled_step)(state, mem,
+                                                               x_sfc)
     state_g, x_sfc_g, mem_g = _to_grid_layout(loop, state, x_sfc, mem)
     step = sharded_hybrid_step(loop, mesh)
-    out_g, _, diags = step(state_g, mem_g, x_sfc_g)
+    out_g, out_mem, diags = step(state_g, mem_g, x_sfc_g)
     for k in state:
         np.testing.assert_allclose(
             np.asarray(to_columns(out_g[k], loop.scatter_idx)),
             np.asarray(ref_state[k]), rtol=rtol, atol=1e-8, err_msg=k)
+    # the threaded memory must round-trip too (the real-emulator runs
+    # actually update it; the stub certification never exercised this).
+    # atol at f32 noise: the shard_map program fuses the GRU math
+    # differently from the plain jit
+    np.testing.assert_allclose(np.asarray(out_mem),
+                               np.asarray(ref_mem)[np.asarray(
+                                   loop.gather_idx)],
+                               rtol=rtol, atol=5e-7, err_msg="mem")
     return ref_diags, diags
 
 
@@ -405,16 +450,27 @@ def test_sharded_hybrid_step_production_config():
     """The PRODUCTION coupled step — spherical metric + psum'd area x dp/g
     water fixer + energy epilogue (the stability-run config,
     artifacts/stability_run.py) — is reproduced by the 8-device sharded
-    step, not just the reduced fix_water=False subset."""
+    step with the REAL RNNAutoreg emulator (bi-GRU + latent memory), not
+    a stub (round-4 VERDICT item 3)."""
     cfg = HostLoopConfig(scheme="fv", fix_water=True, fix_energy=True,
                          geometry="sphere")
-    ref_diags, diags = _sharded_vs_single(cfg)
+    ref_diags, diags = _sharded_vs_single(cfg, emulator=_real_emulator())
     # the psum'd diagnostics match the single-device ones too
     np.testing.assert_allclose(float(diags["energy_int"]),
                                float(ref_diags["energy_int"]), rtol=1e-6)
     np.testing.assert_allclose(float(diags["energy_resid"]),
                                float(ref_diags["energy_resid"]),
                                rtol=1e-5, atol=1e-6)
+
+
+def test_sharded_hybrid_step_production_config_stub():
+    """The stub-emulator variant of the production-config certification
+    (kept: it isolates transport/fixer parity from emulator numerics)."""
+    cfg = HostLoopConfig(scheme="fv", fix_water=True, fix_energy=True,
+                         geometry="sphere")
+    ref_diags, diags = _sharded_vs_single(cfg)
+    np.testing.assert_allclose(float(diags["energy_int"]),
+                               float(ref_diags["energy_int"]), rtol=1e-6)
 
 
 def test_sharded_hybrid_step_vertical_advection():

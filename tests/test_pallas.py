@@ -534,6 +534,60 @@ def test_rnn_autoreg_level_major_matches_batch_major():
                                rtol=2e-5, atol=2e-6)
 
 
+def test_fused_bigru_heads_cm_bwd_kernel_matches_autodiff():
+    """The HAND-WRITTEN channel-major backward kernel (round 5; replay +
+    BPTT + head VJPs in VMEM, interpret mode) == autodiff of the
+    composition, incl. a lane-padded batch (pad lanes carry zero inputs
+    AND zero cotangents, so the weight-grad lane reductions are
+    unchanged)."""
+    from climsim_tpu.ops.pallas_rnn import (fused_bigru_heads_cm,
+                                            _heads_cm_compose)
+    for B in (16, 144):
+        args = _make_heads_cm(B=B)
+
+        def loss_k(a):
+            # interpret=True routes BOTH directions through the pallas
+            # kernels (fwd interpret + _bigru_heads_cm_bwd_pallas)
+            om, h = fused_bigru_heads_cm(*a, None, True, True, True)
+            return jnp.sum(om ** 2) + jnp.sum(h ** 2)
+
+        def loss_ref(a):
+            om, h = _heads_cm_compose(*a, None, False, True, False)
+            return jnp.sum(om ** 2) + jnp.sum(h ** 2)
+
+        gk = jax.grad(loss_k)(args)
+        gr = jax.grad(loss_ref)(args)
+        names = ("x", "mem_in", "h0_up", "h0_dn", "win1h", "win1m",
+                 "bin1", "whh_up", "bhh_up", "win2", "bin2", "whh_dn",
+                 "bhh_dn", "wlat", "blat", "wout", "bout")
+        for a, b, n in zip(gk, gr, names):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=3e-4, atol=2e-5,
+                                       err_msg=f"B={B} d{n}")
+
+
+def test_fused_bigru_heads_init_cm_bwd_kernel_matches_autodiff():
+    """v6 backward (init-MLP recompute + cm backward kernel + init VJP,
+    interpret mode) == autodiff of the composition."""
+    from climsim_tpu.ops.pallas_rnn import (fused_bigru_heads_init_cm,
+                                            _heads_init_cm_compose)
+    args = _make_heads_init_cm(B=16)
+
+    def loss_k(a):
+        om, h = fused_bigru_heads_init_cm(*a, None, True, True)
+        return jnp.sum(om ** 2) + jnp.sum(h ** 2)
+
+    def loss_ref(a):
+        om, h = _heads_init_cm_compose(*a, None, False, True, False)
+        return jnp.sum(om ** 2) + jnp.sum(h ** 2)
+
+    gk = jax.grad(loss_k)(args)
+    gr = jax.grad(loss_ref)(args)
+    for a, b, i in zip(gk, gr, range(len(gk))):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=3e-4, atol=2e-5, err_msg=str(i))
+
+
 def _make_heads_init_cm(B=16, L=12, nf=7, nm_in=4, H=16, nm=8, ny=6,
                         dtype=jnp.float32, seed=7):
     ks = jax.random.split(K(seed), 19)

@@ -59,6 +59,12 @@ def derive_missing(data: dict, vset: V.VariableSet, grid,
         base = nm.replace("qn", "q0002"), nm.replace("qn", "q0003")
         if nm in names and nm not in out and all(b in out for b in base):
             out[nm] = out[base[0]] + out[base[1]]
+    # cos/sin latitude from the grid file (the reference adds these from
+    # grid info, not the mli archive: climsim_adding_input.py)
+    if "clat" in names and "clat" not in out:
+        out["clat"] = np.cos(np.deg2rad(np.asarray(grid.lat)[:ncol]))
+    if "slat" in names and "slat" not in out:
+        out["slat"] = np.sin(np.deg2rad(np.asarray(grid.lat)[:ncol]))
     return out
 
 

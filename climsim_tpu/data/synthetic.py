@@ -153,10 +153,23 @@ def synthetic_physics(state: dict, grid: Grid, key, cfg: SyntheticConfig):
     lat_heat = 4e-5 * jnp.tanh(3 * (rh - 0.7)) * s
     dT = sw_heat + lat_heat \
         + 1e-5 * jnp.sin(3 * s) * (T / 280.0 - 1.0)
+    # diurnal convective moisture sink (active wherever the sun is up):
+    # guarantees every column's precc has time-axis variance, so the
+    # reference R2 convention (time-TSS, data_utils.py:1876) stays finite
+    # on the synthetic scoring split
+    conv = (5e-9 + 2.5e-8 * state["pbuf_COSZRS"][:, None]) * s
     dq = -2e-8 * jnp.tanh(3 * (rh - 0.7)) * s \
-        - 5e-9 * (rh - 0.5)
-    dqc = 5e-9 * jnp.tanh(5 * (rh - 0.9)) * thermo.liquid_fraction(T) * s
-    dqi = 5e-9 * jnp.tanh(5 * (rh - 0.9)) * (1 - thermo.liquid_fraction(T)) * s
+        - 5e-9 * (rh - 0.5) - conv
+    # the trailing micro-variability term (1e-12, ~3 orders below the
+    # signal) keeps the condensate channels' time-axis TSS nonzero at
+    # their structural zeros (fliq==0 / 1-fliq==0 / s==0 points would
+    # otherwise be constant for the whole period and degenerate the
+    # reference R2 estimator on the synthetic scoring split)
+    micro = 1e-12 * (0.05 + s) * state["pbuf_COSZRS"][:, None]
+    dqc = 5e-9 * jnp.tanh(5 * (rh - 0.9)) * thermo.liquid_fraction(T) * s \
+        + micro
+    dqi = 5e-9 * jnp.tanh(5 * (rh - 0.9)) * (1 - thermo.liquid_fraction(T)) * s \
+        + micro
     du = -state["state_u"] * 1e-6
     dv = -state["state_v"] * 1e-6
 
@@ -172,7 +185,11 @@ def synthetic_physics(state: dict, grid: Grid, key, cfg: SyntheticConfig):
     dp_g = grid.mass_weights(ps)
     sink = -jnp.sum(dp_g * (dq + dqc + dqi), axis=1)        # kg m-2 s-1
     precc = jnp.clip(sink / C.RHO_H2O, 0.0, None)           # m s-1
-    snow_frac = thermo.snow_fraction(T[:, -1])
+    # 2% snow-fraction floor: the linear ramp is exactly 0 for warm
+    # columns, which would leave PRECSC identically zero there for the
+    # whole synthetic period and degenerate the time-TSS R2 estimator
+    # (real data never produces exact zeros over a scoring year)
+    snow_frac = jnp.maximum(thermo.snow_fraction(T[:, -1]), 0.02)
     precsc = precc * snow_frac
 
     coszrs = state["pbuf_COSZRS"]
@@ -394,12 +411,40 @@ def equilibrium_emulator(grid: Grid,
 def make_timeseries(key, cfg: SyntheticConfig, grid: Grid, nsteps: int,
                     flat: bool = True):
     """Generate nsteps of (x, y) with temporal correlation (states evolve by
-    applying the synthetic tendencies), jit-compiled as a lax.scan."""
-    vset = V.get(cfg.vset_name)
+    applying the synthetic tendencies), jit-compiled as a lax.scan.
 
-    def step(carry, k):
-        state = carry
-        k1, k2 = jax.random.split(k)
+    Every channel carries genuine per-column TEMPORAL variance: a diurnal
+    insolation cycle (hour angle from the column longitudes advancing
+    2*pi/day), a slow 'seasonal' modulation of the solar constant, flux
+    forcing that follows the sun, and evolving winds. The reference's
+    calc_R2 computes the total sum of squares along the TIME axis
+    (climsim_utils/data_utils.py:1876), so a scoring split without this
+    structure scores -inf/NaN R2 in every steady channel (round-4 VERDICT
+    item 4)."""
+    vset = V.get(cfg.vset_name)
+    ncol = cfg.ncol
+    lat = grid.lat[:ncol] if grid.ncol >= ncol \
+        else jnp.linspace(-88, 88, ncol)
+    lon = grid.lon[:ncol] if grid.ncol >= ncol \
+        else jnp.linspace(0, 360, ncol, endpoint=False)
+    coslat = jnp.cos(jnp.deg2rad(lat)).astype(jnp.float32)
+    lonrad = jnp.deg2rad(lon).astype(jnp.float32)
+    omega_day = 2.0 * jnp.pi * C.DT_STEP / 86400.0
+    omega_seas = 2.0 * jnp.pi / 2048.0        # slow 'seasonal' cycle
+
+    def step(carry, inp):
+        state, t = carry
+        k = inp
+        k1, k2, k3 = jax.random.split(k, 3)
+        # time-varying boundary forcing BEFORE the physics so x and y see
+        # the same instant
+        mu = jnp.clip(coslat * jnp.cos(lonrad + omega_day * t), 0.0, 1.0)
+        seas = 1.0 + 0.1 * jnp.sin(omega_seas * t)
+        state = dict(state)
+        state["pbuf_COSZRS"] = mu
+        state["pbuf_SOLIN"] = 1360.0 * seas * jnp.ones_like(mu)
+        state["pbuf_LHFLX"] = (80.0 * coslat + 20.0) * (0.7 + 0.6 * mu)
+        state["pbuf_SHFLX"] = (25.0 * coslat + 5.0) * (0.7 + 0.6 * mu)
         target = synthetic_physics(state, grid, k1, cfg)
         if flat:
             out = pack_flat(state, target, vset)
@@ -416,16 +461,24 @@ def make_timeseries(key, cfg: SyntheticConfig, grid: Grid, nsteps: int,
                 state["state_q0002"] + C.DT_STEP * target["ptend_q0002"], 0, None)
             new["state_q0003"] = jnp.clip(
                 state["state_q0003"] + C.DT_STEP * target["ptend_q0003"], 0, None)
+        # winds evolve too (a slow rotation + damping + noise), so the
+        # du/dv tendency channels have time-axis variance per column
+        new["state_u"] = state["state_u"] + C.DT_STEP * target["ptend_u"] \
+            + 2.0 * jnp.sin(omega_day * t / 8.0) \
+            * jax.random.normal(k3, state["state_u"].shape) * 0.2 \
+            + 0.3 * jnp.cos(omega_seas * t)
+        new["state_v"] = state["state_v"] + C.DT_STEP * target["ptend_v"] \
+            + 0.1 * jnp.sin(omega_day * t / 5.0)
         pmid = grid.mid_pressure(new["state_ps"])
         new["state_rh"] = thermo.specific_to_relative_humidity(
             new["state_q0001"], new["state_t"], pmid)
         if "state_qn" in state:
             new["state_qn"] = new["state_q0002"] + new["state_q0003"]
             new["liq_partition"] = thermo.liquid_fraction(new["state_t"])
-        return new, out
+        return (new, t + 1.0), out
 
     k0, kscan = jax.random.split(key)
     state0 = generate_state(k0, cfg, grid)
     keys = jax.random.split(kscan, nsteps)
-    _, outs = jax.lax.scan(step, state0, keys)
+    _, outs = jax.lax.scan(step, (state0, jnp.float32(0.0)), keys)
     return outs

@@ -85,6 +85,24 @@ def parse_args():
                         "save_wrapper_mem_prevtend_ftorch.py:199-249)")
     p.add_argument("--env-margin", type=float, default=5.0,
                    help="envelope margin [K] beyond the training min/max")
+    p.add_argument("--env-restore-qc", type=float, default=0.0,
+                   help="condensate (qc AND qi) envelope-restoring "
+                        "timescale [days]; 0 disables. The round-5 "
+                        "precip decomposition (diag_r5_parts.json) shows "
+                        "the hybrid accumulates 33x the truth's ice "
+                        "path: the dqi training signal is trace-level "
+                        "noise (online R2_dqice ~ 0), so nothing removes "
+                        "ice once the NN under-predicts its sink — the "
+                        "same un-damped state-drift mechanism as the "
+                        "round-4 cold pool, on the condensate channels")
+    p.add_argument("--env-restore-rh", type=float, default=0.0,
+                   help="relative-humidity envelope-restoring timescale "
+                        "[days]; 0 disables. Clamps qv above the "
+                        "per-level p99 of TRAINING rh (supersaturation "
+                        "pockets are the dqv twin of the condensate "
+                        "random-walk rectification: truth physics "
+                        "removes them within tau_cond, the NN's "
+                        "imperfect dqv leaves them standing)")
     p.add_argument("--env-restore-qv", type=float, default=0.0,
                    help="qv envelope-restoring timescale [days]; 0 "
                         "disables. Same mechanism as --env-restore-tau "
@@ -379,6 +397,26 @@ def main():
     Qenv_hi = jnp.asarray(np.asarray(x_raw[..., 1].max(axis=(0, 1)))
                           * 1.5, jnp.float32)
     tau_qenv_s = args.env_restore_qv * 86400.0
+    # condensate envelopes: per-level 95th PERCENTILE of the training
+    # distribution, one-sided (condensate legitimately reaches 0). A
+    # max-based envelope is useless here: the hybrid's 33x ice-path
+    # accumulation (diag_r5_parts) is a clipped-random-walk rectification
+    # of a trace channel — NN tendency noise with the state clipped at 0
+    # inflates the MEAN far above truth while staying under the training
+    # max (perturbed-segment bursts). Relaxing the top-5%-of-training
+    # exceedances removes the spurious reservoir while touching ~5% of
+    # points in a truth-like state by construction.
+    QCenv_hi = jnp.asarray(np.percentile(
+        np.asarray(x_raw[..., 2]), 95, axis=(0, 1)), jnp.float32)
+    QIenv_hi = jnp.asarray(np.percentile(
+        np.asarray(x_raw[..., 3]), 95, axis=(0, 1)), jnp.float32)
+    tau_cenv_s = args.env_restore_qc * 86400.0
+    # per-level p99 of training relative humidity (--env-restore-rh)
+    rh_train = np.asarray(x_raw[..., 1]) / np.maximum(
+        np.asarray(thermo.qsat(x_raw[..., 0], pmid)), 1e-8)
+    RHenv_hi = jnp.asarray(np.percentile(rh_train, 99, axis=(0, 1)),
+                           jnp.float32)
+    tau_rhenv_s = args.env_restore_rh * 86400.0
     y_lev_n = (y_raw * yscale_lev).astype(jnp.float32)
     y_sfc_n = (y_sfc_raw * yscale_sca).astype(jnp.float32)
     for nm, a in (("x_lev_n", x_lev_n), ("x_sfc_n", x_sfc_n),
@@ -477,6 +515,18 @@ def main():
             qv = x_main_raw[..., 1]
             out = out.at[..., 1].add(
                 (jnp.clip(qv, Qenv_lo, Qenv_hi) - qv) / tau_qenv_s)
+        if tau_cenv_s > 0:
+            qc_s = x_main_raw[..., 2]
+            qi_s = x_main_raw[..., 3]
+            out = out.at[..., 2].add(
+                (jnp.minimum(qc_s, QCenv_hi) - qc_s) / tau_cenv_s)
+            out = out.at[..., 3].add(
+                (jnp.minimum(qi_s, QIenv_hi) - qi_s) / tau_cenv_s)
+        if tau_rhenv_s > 0:
+            qv_s = x_main_raw[..., 1]
+            qv_cap = RHenv_hi * thermo.qsat(x_main_raw[..., 0], pmid)
+            out = out.at[..., 1].add(
+                (jnp.minimum(qv_s, qv_cap) - qv_s) / tau_rhenv_s)
         out_sfc = out_sfc / yscale_sca
         if args.precc_consistency:
             # physically-consistent precip diagnostic: P = E - d/dt(column
@@ -522,6 +572,24 @@ def main():
         dry = jnp.clip(1.0 - st["qv"] / jnp.maximum(qs_, 1e-8), 0.0, 1.0)
         return jnp.sum(_dpg_cols * _maskb * dry, axis=1) \
             * base_sfc[:, 3] / (C.LV * _mcolb)          # kg m-2 s-1
+
+    def _precc_parts(st):
+        """Decompose the truth physics' precip at a state into its three
+        sources (data/synthetic.py::equilibrium_physics step 2-3):
+        fresh-condensation rain (rain_eff x cond), liquid autoconversion
+        (qc/tau), ice autoconversion (qi/tau) — column-integrated,
+        area-meaned [kg m-2 s-1]. Shows WHICH state field drives the
+        hybrid's precip excess (B_statedist in prec_decomposition)."""
+        qs_ = thermo.qsat(st["T"], pmid)
+        fliq = thermo.liquid_fraction(st["T"])
+        L_eff = C.LV * fliq + C.LSUB * (1.0 - fliq)
+        gamma = 1.0 + L_eff ** 2 * qs_ / (C.CP * C.RV * st["T"] ** 2)
+        cond = jnp.maximum(st["qv"] - eq_cfg.rh_cond * qs_, 0.0) \
+            / (eq_cfg.tau_cond * gamma)
+        col = lambda f: cmean(jnp.sum(_dpg_cols * f, axis=1))
+        return (col(eq_cfg.rain_eff * cond),
+                col(st["qc"] / eq_cfg.tau_auto_liq),
+                col(st["qi"] / eq_cfg.tau_auto_ice))
 
     # -------------- on-policy (hybrid-state) fine-tuning: the round-5
     # mechanistic lever for the precip/zonal-bias targets. The 1-year
@@ -746,6 +814,27 @@ def main():
                         thermo.qsat(st_t["T"][:, -5:], pmid[:, -5:]),
                         1e-8), axis=1)),
             }
+            # budget-implied (physical) precip of the hybrid: P = E -
+            # d/dt(column water) from the EMULATOR'S own tendencies —
+            # the identity the truth's precc satisfies by construction.
+            # The NN's free-standing precc channel is a biased sensor of
+            # this (A_atstate_ratio); the budget-implied rate is what
+            # actually leaves the hybrid's water cycle.
+            x_end = jnp.stack([st_m[k] for k in FIELDS], axis=-1)
+            pt_e, _, _ = emulator(x_end, sfc_at(t0 + dt_i), mem_m)
+            d["prec_cons_m"] = cmean(
+                _evap_col(st_m) - jnp.sum(
+                    _dpg_cols * (pt_e[..., 1] + pt_e[..., 2]
+                                 + pt_e[..., 3]), axis=1)) / C.RHO_H2O
+            for tag, stx in (("m", st_m), ("t", st_t)):
+                pc_c, pc_al, pc_ai = _precc_parts(stx)
+                d[f"pcond_{tag}"] = pc_c
+                d[f"pautoc_{tag}"] = pc_al
+                d[f"pautoi_{tag}"] = pc_ai
+                d[f"qcint_{tag}"] = cmean(jnp.sum(_dpg_cols * stx["qc"],
+                                                  axis=1))
+                d[f"qiint_{tag}"] = cmean(jnp.sum(_dpg_cols * stx["qi"],
+                                                  axis=1))
             return (st_m, mem_m, st_t), (d, dg_m["precc"], dg_t["precc"])
         carry, (d, pcol_m, pcol_t) = jax.lax.scan(
             step, (st_m, mem_m, st_t), jnp.arange(args.chunk))
@@ -998,6 +1087,9 @@ def main():
                                    / series["water_t"][-1]),
         "prec_mean_ratio": float(series["prec_m"].mean()
                                  / max(series["prec_t"].mean(), 1e-30)),
+        "prec_cons_ratio": float(series["prec_cons_m"].mean()
+                                 / max(series["prec_t"].mean(), 1e-30))
+        if "prec_cons_m" in series else None,
         "prec_p999_ratio": float(np.mean(series["prec999_m"])
                                  / max(np.mean(series["prec999_t"]), 1e-30)),
         "Tmax_overall": float(np.max(series["Tmax_m"])),
@@ -1018,6 +1110,16 @@ def main():
         "evap_ratio": float(np.mean(series["evap_m"])
                             / max(np.mean(series["evap_t"]), 1e-30))
         if "evap_m" in series else None,
+        "precc_parts": {
+            k: {"hybrid": float(np.mean(series[f"{p}_m"])),
+                "truth": float(np.mean(series[f"{p}_t"])),
+                "ratio": round(float(np.mean(series[f"{p}_m"])
+                                     / max(np.mean(series[f"{p}_t"]),
+                                           1e-30)), 3)}
+            for k, p in (("cond_rain", "pcond"), ("auto_liq", "pautoc"),
+                         ("auto_ice", "pautoi"), ("qc_path", "qcint"),
+                         ("qi_path", "qiint"))}
+        if "pcond_m" in series else None,
         "rh_bl": {"hybrid": float(np.mean(series["rhbl_m"])),
                   "truth": float(np.mean(series["rhbl_t"]))}
         if "rhbl_m" in series else None,
@@ -1045,6 +1147,8 @@ def main():
                    "env_restore_tau_days": args.env_restore_tau,
                    "env_margin_K": args.env_margin,
                    "env_restore_qv_days": args.env_restore_qv,
+                   "env_restore_qc_days": args.env_restore_qc,
+                   "env_restore_rh_days": args.env_restore_rh,
                    "precc_consistency": args.precc_consistency,
                    "qv_perturb": args.qv_perturb},
         "wall_seconds": round(time.time() - t_wall0, 1),

@@ -516,12 +516,19 @@ def main():
             out = out.at[..., 1].add(
                 (jnp.clip(qv, Qenv_lo, Qenv_hi) - qv) / tau_qenv_s)
         if tau_cenv_s > 0:
+            # WATER-NEUTRAL condensate envelope restoring: spurious
+            # out-of-envelope cloud EVAPORATES into qv rather than being
+            # annihilated. The clamp is a sustained flux (the NN keeps
+            # regenerating the pockets), so annihilation drains the
+            # water equilibrium ~6-20% (diag_r5_qcfast/cfgC); the
+            # transfer keeps the budget closed.
             qc_s = x_main_raw[..., 2]
             qi_s = x_main_raw[..., 3]
-            out = out.at[..., 2].add(
-                (jnp.minimum(qc_s, QCenv_hi) - qc_s) / tau_cenv_s)
-            out = out.at[..., 3].add(
-                (jnp.minimum(qi_s, QIenv_hi) - qi_s) / tau_cenv_s)
+            exc_c = (qc_s - jnp.minimum(qc_s, QCenv_hi)) / tau_cenv_s
+            exc_i = (qi_s - jnp.minimum(qi_s, QIenv_hi)) / tau_cenv_s
+            out = out.at[..., 2].add(-exc_c)
+            out = out.at[..., 3].add(-exc_i)
+            out = out.at[..., 1].add(exc_c + exc_i)
         if tau_rhenv_s > 0:
             qv_s = x_main_raw[..., 1]
             qv_cap = RHenv_hi * thermo.qsat(x_main_raw[..., 0], pmid)

@@ -1094,9 +1094,26 @@ def main():
                                    / series["water_t"][-1]),
         "prec_mean_ratio": float(series["prec_m"].mean()
                                  / max(series["prec_t"].mean(), 1e-30)),
-        "prec_cons_ratio": float(series["prec_cons_m"].mean()
-                                 / max(series["prec_t"].mean(), 1e-30))
+        # raw-tendency-implied precip (P = E - sum dp/g * NN dq): includes
+        # the PHANTOM drying the >=0 state clips cancel (the NN's net
+        # moisture tendency at trace states is strongly negative; the
+        # clip backfills it), so it OVERCOUNTS — its excess over
+        # prec_phys_ratio measures the rectification flux
+        "prec_rawtend_ratio": float(series["prec_cons_m"].mean()
+                                    / max(series["prec_t"].mean(), 1e-30))
         if "prec_cons_m" in series else None,
+        # PHYSICAL throughput: at near-steady water, actual precip must
+        # balance surface evaporation; P_phys = E - d/dt(column water)
+        # from the measured state series (clip-consistent by definition)
+        "prec_phys_ratio": (lambda: float(
+            (np.mean(series["evap_m"])
+             - (series["water_m"][-1] - series["water_m"][0])
+             / ncol / (min(args.steps, (ci + 1) * args.chunk) * C.DT_STEP))
+            / max(np.mean(series["evap_t"])
+                  - (series["water_t"][-1] - series["water_t"][0])
+                  / ncol / (min(args.steps, (ci + 1) * args.chunk)
+                            * C.DT_STEP), 1e-30)))()
+        if "evap_m" in series else None,
         "prec_p999_ratio": float(np.mean(series["prec999_m"])
                                  / max(np.mean(series["prec999_t"]), 1e-30)),
         "Tmax_overall": float(np.max(series["Tmax_m"])),

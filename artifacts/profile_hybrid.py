@@ -1,5 +1,10 @@
 """Per-stage decomposition of the 21,600-column hybrid coupled step.
 
+SUPERSEDED by profile_hybrid_r5.py (the v6-arm round-5 decomposition);
+kept for the round-3 record. The scoped-VMEM jit options it used are no
+longer needed (the round-4 Mosaic vmem_limit declaration), so _vmem_jkw
+is a no-op shim here.
+
 Round-3 answer to the round-2 bench regression (VERDICT.md weak #1/#2):
 times the FULL step across {geometry} x {stencil} x {emulator} configs plus
 isolated emulator-only / advection-only / no-advection stages, all with the
@@ -18,6 +23,14 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from bench import _enable_compile_cache  # noqa: E402
+
+
+def _vmem_jkw():
+    """No-op shim: the scoped-VMEM compiler option this returned in round
+    3 is unnecessary since the round-4 per-call Mosaic vmem_limit_bytes
+    declaration (and actively harmful program-wide)."""
+    return {}
+
 
 _enable_compile_cache()
 
@@ -43,7 +56,6 @@ def build(geometry, stencil_pallas, emulator_pallas, scheme="fv",
     xm = jnp.ones((ncol, nlev, 6), jnp.float32) * 0.1
     xs = jnp.ones((ncol, 24), jnp.float32) * 0.1
     mem0 = jnp.zeros((ncol, nlev, 16), jnp.float32)
-    from bench import _vmem_jkw
     params = jax.jit(model.init, **_vmem_jkw())(jax.random.PRNGKey(0),
                                                 xm, xs, mem0)
 
@@ -133,7 +145,6 @@ def main():
         try:
             loop, emu, state, mem, x_sfc, ncol = build(geom, st_p, em_p)
 
-            from bench import _vmem_jkw
             @partial(jax.jit, **_vmem_jkw())
             def run(state, mem):
                 st, m, d = loop.rollout(state, mem, x_sfc, N_STEPS)
@@ -156,7 +167,6 @@ def main():
             loop, emu, state, mem, x_sfc, ncol = build(
                 "sphere", False, em_p, scheme="none", fix_water=False)
 
-            from bench import _vmem_jkw
             @partial(jax.jit, **_vmem_jkw())
             def run(state, mem):
                 st, m, d = loop.rollout(state, mem, x_sfc, N_STEPS)
@@ -177,7 +187,6 @@ def main():
         loop, emu, state, mem, x_sfc, ncol = build("sphere", True, False,
                                                    fix_water=False)
 
-        from bench import _vmem_jkw
         @partial(jax.jit, **_vmem_jkw())
         def run(state, mem):
             st, m, d = loop.rollout(state, mem, x_sfc, N_STEPS)
@@ -199,7 +208,6 @@ def main():
             xm = jnp.stack([state["T"], state["qv"], state["qc"],
                             state["qi"], state["u"], state["v"]], axis=-1)
 
-            from bench import _vmem_jkw
             @partial(jax.jit, **_vmem_jkw())
             def run(xm, mem):
                 def step(carry, _):
